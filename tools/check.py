@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local oracle-parity harness mirroring the driver's t2 gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name> parquet (Spark output), runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the sfDir parquet tables, and
+compares: column names (sorted), row count, and full sorted-rowset equality.
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_ok = n_bad = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        spark_rel = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
+        scols = sorted(spark_rel.columns)
+        srows = con.execute(
+            f"SELECT {', '.join(q(c) for c in scols)} FROM read_parquet('{d}/*.parquet')").fetchall()
+        if name not in oracles:
+            print(f"  [rows-only] {name}: {len(srows)} rows")
+            continue
+        try:
+            orel = con.sql(oracles[name])
+            ocols = sorted(orel.columns)
+            orows = con.execute(
+                f"SELECT {', '.join(q(c) for c in ocols)} FROM ({oracles[name]})").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_bad += 1
+            continue
+        if scols != ocols:
+            print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+            n_bad += 1
+            continue
+        a = sorted([tuple(norm(v) for v in r) for r in srows], key=repr)
+        b = sorted([tuple(norm(v) for v in r) for r in orows], key=repr)
+        if a == b:
+            print(f"ok   {name}: {len(a)} rows")
+            n_ok += 1
+        else:
+            n_bad += 1
+            print(f"FAIL {name}: spark {len(a)} rows vs oracle {len(b)} rows")
+            diff_a = [r for r in a if r not in set(b)][:3]
+            diff_b = [r for r in b if r not in set(a)][:3]
+            print(f"     spark-only: {diff_a}")
+            print(f"     oracle-only: {diff_b}")
+    print(f"== {n_ok} ok, {n_bad} fail ==")
+    return 1 if n_bad else 0
+
+
+def q(c):
+    return '"' + c.replace('"', '""') + '"'
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
