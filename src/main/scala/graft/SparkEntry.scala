@@ -13,10 +13,14 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("join_inner")(spark, "/root/testdata/sf0.001")
+    Pipeline.vehicleHotPath(spark, "/root/testdata/sf0.001")
 
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
-    (CoreRelational.queries, CoreRelational.oracle)
+    (CoreRelational.queries, CoreRelational.oracle),
+    (MergeOps.queries, MergeOps.oracle),
+    (Lookup.queries, Lookup.oracle),
+    (graft.functions.ScalarFuncs.queries, graft.functions.ScalarFuncs.oracle),
+    (Pipeline.queries, Pipeline.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

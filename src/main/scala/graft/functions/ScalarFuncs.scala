@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Scalar function surface (SURVEY.md §2.7 F1/F2/F4/F9).
+  *
+  * All pure built-in expressions — whole-stage-codegen friendly, no UDFs.
+  * Epoch/interval arithmetic is done in integer microseconds on both the Spark
+  * and DuckDB sides so results are bit-identical (no float timestamp math).
+  */
+object ScalarFuncs {
+
+  private def ord(df: DataFrame, cols: String*): DataFrame =
+    df.orderBy(cols.map(c => col(c).asc_nulls_first): _*)
+
+  // F1: epoch-ms → timestamp rounded to seconds
+  // (reference: utcfromtimestamp(round(ms/1000)), route.py:165-167).
+  private val tsFromEpoch: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "events").select(
+        col("event_id"),
+        unix_millis(col("ts")).as("epoch_ms"),
+        timestamp_seconds(round(unix_millis(col("ts")) / lit(1000.0)).cast("long")).as("ts_sec")),
+      "event_id")
+
+  // F2: event time = ingest time − seconds-since-report (float seconds),
+  // computed in exact integer µs (reference: route.py:202).
+  private val tsArith: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "events").select(
+        col("event_id"),
+        timestamp_micros(
+          unix_micros(col("ts")) - round(col("value") * lit(1000000.0)).cast("long")
+        ).as("event_ts")),
+      "event_id")
+
+  // F4: UTC → named-zone conversion + date extraction
+  // (reference: astimezone(user_tz).date(), run.py:59-60,103-104).
+  private val tzDate: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "events").select(
+        col("event_id"),
+        to_date(from_utc_timestamp(col("ts"), "America/Los_Angeles")).as("local_date")),
+      "event_id")
+
+  // F9/G8: geometry point construction + canonical text form
+  // (reference: ST_SetSRID(ST_MakePoint(lon,lat),4326), agency.py:179,308; the
+  // reference only constructs points and compares their text form — a struct
+  // plus its JSON rendering carries the full semantics).
+  private val geoPoint: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          struct(col("value").as("lon"), (-col("value")).as("lat")).as("point"))
+        .select(
+          col("event_id"),
+          col("point.lon").as("lon"),
+          col("point.lat").as("lat"),
+          to_json(col("point")).as("point_json")),
+      "event_id")
+
+  val queries: Map[String, Q] = Map(
+    "ts_from_epoch" -> tsFromEpoch,
+    "ts_arith" -> tsArith,
+    "tz_date" -> tzDate,
+    "geo_point" -> geoPoint
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ts_from_epoch" ->
+      """SELECT event_id, epoch_ms(ts) AS epoch_ms,
+        |  make_timestamp(CAST(round(epoch_ms(ts) / 1000.0) AS BIGINT) * 1000000) AS ts_sec
+        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "ts_arith" ->
+      """SELECT event_id,
+        |  make_timestamp(epoch_us(ts) - CAST(round(value * 1000000.0) AS BIGINT)) AS event_ts
+        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "tz_date" ->
+      """SELECT event_id,
+        |  CAST(timezone('America/Los_Angeles', timezone('UTC', ts)) AS DATE) AS local_date
+        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "geo_point" ->
+      """SELECT event_id, value AS lon, -value AS lat,
+        |  CAST(to_json(struct_pack(lon := value, lat := -value)) AS VARCHAR) AS point_json
+        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin
+  )
+}
