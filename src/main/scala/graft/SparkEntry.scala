@@ -20,7 +20,8 @@ object SparkEntry {
     (MergeOps.queries, MergeOps.oracle),
     (Lookup.queries, Lookup.oracle),
     (graft.functions.ScalarFuncs.queries, graft.functions.ScalarFuncs.oracle),
-    (Pipeline.queries, Pipeline.oracle)
+    (Pipeline.queries, Pipeline.oracle),
+    (Analytics.queries, Analytics.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

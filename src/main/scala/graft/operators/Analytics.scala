@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Q, Tables}
+
+/** Analytics extension surface (SURVEY.md §7 phase 5; BASELINE.json north star).
+  *
+  * The reference has no numeric aggregates (§2.4) — this is the extension layer
+  * a 100 TB analytics engine needs: grouped/rollup aggregation, event-time
+  * windows (tumbling / sliding / session, batch-expressible and identical in
+  * semantics to their Structured Streaming forms), JSON prop extraction, and
+  * join-heavy reporting queries.
+  *
+  * Float determinism: every SUM over doubles goes through an exact
+  * DECIMAL(25,6) accumulator and is cast back to DOUBLE at the end — partial
+  * aggregation order can then never change the result, on Spark or DuckDB.
+  */
+object Analytics {
+
+  private def ord(df: DataFrame, cols: String*): DataFrame =
+    df.orderBy(cols.map(c => col(c).asc_nulls_first): _*)
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(25, 6))).cast("double")
+
+  // TPC-H Q1 shape: scan-heavy grouped aggregation with derived measures.
+  private val q1Agg: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order")),
+      "l_returnflag", "l_linestatus")
+
+  // Multi-measure grouped stats over the event stream.
+  private val aggStats: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"),
+          dsum(col("value")).as("sum_v")),
+      "event_type")
+
+  // Sketch aggregate — approximate, so rows-only (no DuckDB hash parity).
+  private val approxDistinct: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users")),
+      "event_type")
+
+  // Tumbling event-time window via Spark's native window() (streaming-identical
+  // semantics); oracle reproduces the epoch-aligned bucketing arithmetically.
+  private val windowAggTime: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_v")),
+      "ws", "event_type")
+
+  // Sliding window (1 h span, 30 min slide): each event lands in two windows.
+  private val windowSliding: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n")),
+      "ws", "event_type")
+
+  // Session window (30 min gap) via Spark's native session_window; end = last
+  // event + gap by definition, which the oracle mirrors as max(ts) + 30 min.
+  private val sessionWindowQ: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events")),
+      "user_id", "session_start")
+
+  // JSON prop extraction (events.props is a JSON string; BASELINE.json:6).
+  private val jsonExtract: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val")),
+      "event_id")
+
+  // TPC-H Q3 shape: broadcast dim filter + fact-fact join + top-k by revenue.
+  private val q3Topk: Q = (s, dir) => {
+    val cust = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc_nulls_last, col("o_orderkey").asc_nulls_first)
+      .limit(10)
+  }
+
+  // TPC-H Q5 shape: dim-chain broadcast joins down to lineitem, revenue by nation.
+  private val q5RegionRevenue: Q = (s, dir) => {
+    val dims = Tables(s, dir, "customer")
+      .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("c_custkey"), col("n_name"))
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("n_name").asc_nulls_first)
+  }
+
+  // Rollup: hierarchical subtotals (extension; DuckDB GROUP BY ROLLUP parity).
+  private val aggRollup: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")),
+      "l_returnflag", "l_linestatus")
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> q1Agg,
+    "agg_stats" -> aggStats,
+    "approx_distinct" -> approxDistinct,
+    "window_agg_time" -> windowAggTime,
+    "window_sliding" -> windowSliding,
+    "session_window" -> sessionWindowQ,
+    "json_extract" -> jsonExtract,
+    "q3_topk" -> q3Topk,
+    "q5_region_revenue" -> q5RegionRevenue,
+    "agg_rollup" -> aggRollup
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_stats" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+    "window_agg_time" ->
+      """SELECT make_timestamp(epoch_us(ts) // 3600000000 * 3600000000) AS ws,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2
+        |ORDER BY ws ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+    "window_sliding" ->
+      """SELECT make_timestamp(epoch_us(ts) // 1800000000 * 1800000000
+        |         - k * 1800000000) AS ws,
+        |  event_type, count(*) AS n
+        |FROM events CROSS JOIN (VALUES (0), (1)) t(k)
+        |GROUP BY 1, 2
+        |ORDER BY ws ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+    "session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST""".stripMargin,
+    "json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "q3_topk" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC NULLS LAST, o_orderkey ASC NULLS FIRST LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |GROUP BY n_name ORDER BY n_name ASC NULLS FIRST""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+  )
+}
