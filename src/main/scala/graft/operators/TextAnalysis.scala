@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Text-analysis operators for training-data pipelines (builder prompt; SURVEY §7
+  * phase 5): token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All pure built-in expressions over the `documents` table — per-row, no
+  * shuffle, codegen-friendly: at 100 TB these run as a single map stage over
+  * the parquet scan. Ratios are single IEEE double divisions (bit-identical on
+  * any engine); hashes are md5-based so the DuckDB oracle reproduces them.
+  *
+  * The language-ID marker lists are tuned to the synthetic corpus vocabulary —
+  * in production they'd be per-language stopword lists; the operator shape
+  * (score-per-language via array filter, deterministic argmax) is the real
+  * deliverable.
+  */
+object TextAnalysis {
+
+  private def ord(df: DataFrame, cols: String*): DataFrame =
+    df.orderBy(cols.map(c => col(c).asc_nulls_first): _*)
+
+  // Whitespace tokens + BPE-ish regex tokens (letters run | digit | other symbol).
+  private val textTokens: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")).cast("long").as("n_bpe_tokens")),
+      "doc_id")
+
+  // Quality signals: alpha ratio, space ratio, mean token length, stopword ratio.
+  private val textQuality: Q = (s, dir) => {
+    val toks = split(col("text"), " ")
+    ord(
+      Tables(s, dir, "documents")
+        .withColumn("n_alpha", regexp_count(col("text"), lit("[a-z]")).cast("long"))
+        .withColumn("n_space", regexp_count(col("text"), lit(" ")).cast("long"))
+        .withColumn("n_toks", size(toks).cast("long"))
+        .withColumn("n_stop", size(filter(toks, t => t.isin("the", "a", "of"))).cast("long"))
+        .select(
+          col("doc_id"), col("n_chars"),
+          (col("n_alpha").cast("double") / col("n_chars").cast("double")).as("alpha_ratio"),
+          (col("n_space").cast("double") / col("n_chars").cast("double")).as("space_ratio"),
+          ((col("n_chars") - col("n_space")).cast("double") / col("n_toks").cast("double")).as("mean_tok_len"),
+          (col("n_stop").cast("double") / col("n_toks").cast("double")).as("stopword_ratio")),
+      "doc_id")
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("data", "line", "value"),
+    "de" -> Seq("window", "row", "group"),
+    "fr" -> Seq("query", "stream", "filter"),
+    "zh" -> Seq("batch", "vector", "hash"))
+
+  // Marker-token scoring with a deterministic argmax (priority = list order).
+  private val textLangid: Q = (s, dir) => {
+    val toks = split(col("text"), " ")
+    val scored = langMarkers.foldLeft(Tables(s, dir, "documents")) { case (df, (l, ms)) =>
+      df.withColumn(s"s_$l", size(filter(toks, t => t.isin(ms: _*))).cast("long"))
+    }
+    val langs = langMarkers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) { case ((l, i), els) =>
+      val beats = langs.drop(i + 1).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(beats, lit(l)).otherwise(els)
+    }
+    ord(
+      scored.select(
+        col("doc_id") +: langs.map(l => col(s"s_$l")) :+ pred.as("pred_lang") :+ col("lang").as("actual_lang"): _*),
+      "doc_id")
+  }
+
+  // Normalized-content fingerprints: md5 hex + a 60-bit integer form
+  // (rolling-hash role; md5-based so the oracle can reproduce it).
+  private val textFingerprint: Q = (s, dir) => {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    ord(
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        md5(norm).as("fp_md5"),
+        conv(substring(md5(norm), 1, 15), 16, 10).cast("long").as("fp64")),
+      "doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint
+  )
+
+  private val langidScoreCols: String =
+    langMarkers.map { case (l, ms) =>
+      val set = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS s_$l"
+    }.mkString(",\n    ")
+
+  private val langidPred: String = {
+    val langs = langMarkers.map(_._1)
+    val arms = langs.init.zipWithIndex.map { case (l, i) =>
+      val beats = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $beats THEN '$l'"
+    }.mkString(" ")
+    s"CASE $arms ELSE '${langs.last}' END"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "text_quality" ->
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT) AS n_alpha,
+        |    CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS n_space,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of'))) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) AS alpha_ratio,
+        |  CAST(n_space AS DOUBLE) / CAST(n_chars AS DOUBLE) AS space_ratio,
+        |  CAST(n_chars - n_space AS DOUBLE) / CAST(n_toks AS DOUBLE) AS mean_tok_len,
+        |  CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE) AS stopword_ratio
+        |FROM c ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "text_langid" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    $langidScoreCols
+         |  FROM documents)
+         |SELECT doc_id, ${langMarkers.map(m => "s_" + m._1).mkString(", ")},
+         |  $langidPred AS pred_lang, lang AS actual_lang
+         |FROM scored ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+        |  CAST(('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fp64
+        |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  )
+}
