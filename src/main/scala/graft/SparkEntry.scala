@@ -21,13 +21,30 @@ object SparkEntry {
     (Lookup.queries, Lookup.oracle),
     (graft.functions.ScalarFuncs.queries, graft.functions.ScalarFuncs.oracle),
     (Pipeline.queries, Pipeline.oracle),
-    (Analytics.queries, Analytics.oracle)
+    (Analytics.queries, Analytics.oracle),
+    (TextAnalysis.queries, TextAnalysis.oracle),
+    (DedupText.queries, DedupText.oracle),
+    (Similarity.queries, Similarity.oracle),
+    (graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracle),
+    (graft.sources.XmlFeed.queries, graft.sources.XmlFeed.oracle),
+    (Multimodal.queries, Multimodal.oracle)
   )
 
+  /** A duplicate query key across modules would silently shadow one
+    * implementation (and its oracle), weakening the grading gate. Fail fast.
+    */
+  private def merged[A](ms: Seq[Map[String, A]]): Map[String, A] = {
+    val m = ms.reduce(_ ++ _)
+    require(m.size == ms.map(_.size).sum,
+      s"duplicate query keys across modules: " +
+        ms.flatMap(_.keys).groupBy(identity).collect { case (k, v) if v.size > 1 => k }.mkString(", "))
+    m
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, Q] = modules.map(_._1).reduce(_ ++ _)
+  def queries: Map[String, Q] = merged(modules.map(_._1))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
-  def oracleSql: Map[String, String] = modules.map(_._2).reduce(_ ++ _)
+  def oracleSql: Map[String, String] = merged(modules.map(_._2))
 }

@@ -13,13 +13,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Conf the `events` reader needs: its ts column is parquet TIMESTAMP(NANOS),
+    * which Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL) unless read as raw
+    * nanos. Our own entry points (Verify/Bench/tests) set this at session build;
+    * `ensureSessionConf` keeps driver-created sessions working too. The value is
+    * a constant, so the (idempotent) set is race-free even under concurrent
+    * query construction.
+    */
+  val nanosConf: (String, String) = ("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def ensureSessionConf(spark: SparkSession): Unit =
+    if (!spark.conf.getOption(nanosConf._1).contains(nanosConf._2))
+      spark.conf.set(nanosConf._1, nanosConf._2)
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-      // (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and floor to µs — the same
-      // truncation DuckDB applies when it coerces ns → its µs TIMESTAMP, so the
-      // oracle sees identical values.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Read ts as raw nanos and floor to µs — the same truncation DuckDB
+      // applies when it coerces ns → its µs TIMESTAMP, so the oracle sees
+      // identical values.
+      ensureSessionConf(spark)
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else {

@@ -52,12 +52,24 @@ object Analytics {
           dsum(col("value")).as("sum_v")),
       "event_type")
 
-  // Sketch aggregate — approximate, so rows-only (no DuckDB hash parity).
+  // Sketch aggregate with a real oracle gate: the HLL++ estimate itself is not
+  // reproducible in DuckDB (different sketch), but the estimate is deterministic
+  // on Spark (register merge is a commutative max — partitioning can't change
+  // it), so we emit the exact distinct count plus a boolean asserting the
+  // sketch landed within its documented 5% relative error. The oracle asserts
+  // the exact count and `true` — a sketch drifting out of tolerance fails the
+  // hash check.
   private val approxDistinct: Q = (s, dir) =>
     ord(
       Tables(s, dir, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users")),
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
+        .select(
+          col("event_type"), col("n_users"),
+          (abs(col("approx_users") - col("n_users")).cast("double") <=
+            col("n_users").cast("double") * 0.05).as("approx_ok")),
       "event_type")
 
   // Tumbling event-time window via Spark's native window() (streaming-identical
@@ -158,6 +170,9 @@ object Analytics {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""".stripMargin,
     "agg_stats" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  min(value) AS min_v, max(value) AS max_v,

@@ -32,8 +32,13 @@ object TextAnalysis {
       "doc_id")
 
   // Quality signals: alpha ratio, space ratio, mean token length, stopword ratio.
+  // Divisions are guarded: an empty document yields NULL ratios on both engines
+  // (Spark double x/0 would be NaN/Inf while DuckDB yields NULL — the guard
+  // keeps the degenerate case engine-agnostic).
   private val textQuality: Q = (s, dir) => {
     val toks = split(col("text"), " ")
+    def safeDiv(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den > 0, num.cast("double") / den.cast("double"))
     ord(
       Tables(s, dir, "documents")
         .withColumn("n_alpha", regexp_count(col("text"), lit("[a-z]")).cast("long"))
@@ -42,10 +47,10 @@ object TextAnalysis {
         .withColumn("n_stop", size(filter(toks, t => t.isin("the", "a", "of"))).cast("long"))
         .select(
           col("doc_id"), col("n_chars"),
-          (col("n_alpha").cast("double") / col("n_chars").cast("double")).as("alpha_ratio"),
-          (col("n_space").cast("double") / col("n_chars").cast("double")).as("space_ratio"),
-          ((col("n_chars") - col("n_space")).cast("double") / col("n_toks").cast("double")).as("mean_tok_len"),
-          (col("n_stop").cast("double") / col("n_toks").cast("double")).as("stopword_ratio")),
+          safeDiv(col("n_alpha"), col("n_chars")).as("alpha_ratio"),
+          safeDiv(col("n_space"), col("n_chars")).as("space_ratio"),
+          safeDiv(col("n_chars") - col("n_space"), col("n_toks")).as("mean_tok_len"),
+          safeDiv(col("n_stop"), col("n_toks")).as("stopword_ratio")),
       "doc_id")
   }
 
@@ -122,10 +127,10 @@ object TextAnalysis {
         |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of'))) AS BIGINT) AS n_stop
         |  FROM documents)
         |SELECT doc_id, n_chars,
-        |  CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) AS alpha_ratio,
-        |  CAST(n_space AS DOUBLE) / CAST(n_chars AS DOUBLE) AS space_ratio,
-        |  CAST(n_chars - n_space AS DOUBLE) / CAST(n_toks AS DOUBLE) AS mean_tok_len,
-        |  CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE) AS stopword_ratio
+        |  CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS alpha_ratio,
+        |  CASE WHEN n_chars > 0 THEN CAST(n_space AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS space_ratio,
+        |  CASE WHEN n_toks > 0 THEN CAST(n_chars - n_space AS DOUBLE) / CAST(n_toks AS DOUBLE) END AS mean_tok_len,
+        |  CASE WHEN n_toks > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE) END AS stopword_ratio
         |FROM c ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "text_langid" ->
       s"""WITH scored AS (

@@ -63,8 +63,10 @@ def main(sf_dir, out_dir):
         else:
             n_bad += 1
             print(f"FAIL {name}: spark {len(a)} rows vs oracle {len(b)} rows")
-            diff_a = [r for r in a if r not in set(b)][:3]
-            diff_b = [r for r in b if r not in set(a)][:3]
+            # list-membership (not set) so rows holding unhashable values
+            # (arrays/structs) can't make the failure report itself throw
+            diff_a = [r for r in a if r not in b][:3]
+            diff_b = [r for r in b if r not in a][:3]
             print(f"     spark-only: {diff_a}")
             print(f"     oracle-only: {diff_b}")
     print(f"== {n_ok} ok, {n_bad} fail ==")
