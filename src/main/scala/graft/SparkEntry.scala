@@ -22,12 +22,7 @@ object SparkEntry {
     (graft.functions.ScalarFuncs.queries, graft.functions.ScalarFuncs.oracle),
     (Pipeline.queries, Pipeline.oracle),
     (Analytics.queries, Analytics.oracle),
-    (TextAnalysis.queries, TextAnalysis.oracle),
-    (DedupText.queries, DedupText.oracle),
-    (Similarity.queries, Similarity.oracle),
-    (graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracle),
-    (graft.sources.XmlFeed.queries, graft.sources.XmlFeed.oracle),
-    (Multimodal.queries, Multimodal.oracle)
+    (TextAnalysis.queries, TextAnalysis.oracle)
   )
 
   /** A duplicate query key across modules would silently shadow one
