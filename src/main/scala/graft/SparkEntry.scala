@@ -22,7 +22,8 @@ object SparkEntry {
     (graft.functions.ScalarFuncs.queries, graft.functions.ScalarFuncs.oracle),
     (Pipeline.queries, Pipeline.oracle),
     (Analytics.queries, Analytics.oracle),
-    (TextAnalysis.queries, TextAnalysis.oracle)
+    (TextAnalysis.queries, TextAnalysis.oracle),
+    (Similarity.queries, Similarity.oracle)
   )
 
   /** A duplicate query key across modules would silently shadow one
