@@ -23,7 +23,8 @@ object SparkEntry {
     (Pipeline.queries, Pipeline.oracle),
     (Analytics.queries, Analytics.oracle),
     (TextAnalysis.queries, TextAnalysis.oracle),
-    (Similarity.queries, Similarity.oracle)
+    (Similarity.queries, Similarity.oracle),
+    (DedupText.queries, DedupText.oracle)
   )
 
   /** A duplicate query key across modules would silently shadow one

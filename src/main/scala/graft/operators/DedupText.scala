@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Near-duplicate text deduplication over the `documents` table — the
+  * MinHash+LSH / SimHash / exact-hash family from the builder brief
+  * (SURVEY §7 phase 5).
+  *
+  * Pipeline shape (the standard web-scale dedup recipe, e.g. Broder '97
+  * resemblance + banding as popularized by Mining of Massive Datasets ch.3):
+  *
+  *   normalize → word 3-shingles → k=8 MinHashes → 4 bands × 2 rows
+  *   → band-bucket equi-join (candidates) → exact-Jaccard verify → drop list
+  *
+  * Scale design (100 TB corpus): everything up to banding is per-row map work
+  * over the scan (no shuffle, codegen'd higher-order expressions). Candidate
+  * generation is an equi-join on (band, signature) — work is proportional to
+  * Σ bucket² within identical-signature buckets, never an all-pairs product.
+  * Exact verification touches only candidate pairs. The final drop-list is a
+  * distinct over the verified pairs. Skewed buckets (boilerplate) would be
+  * salted or capped in production; the plan shape is the same.
+  *
+  * Hash discipline: shingle/minhash values are the 60-bit integer form of a
+  * seed-prefixed md5, so the DuckDB oracle reproduces every value exactly —
+  * no engine-specific hash functions anywhere.
+  */
+object DedupText {
+
+  private val K = 8      // minhash permutations
+  private val BANDS = 4  // bands of r = K/BANDS = 2 rows each
+
+  /** 60-bit engine-agnostic hash: int(md5("<seed>:" + x)[0:15], 16). */
+  private def h60(seed: Int, x: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), x)), 1, 15), 16, 10).cast("long")
+
+  private def normText: Column = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+
+  /** doc_id + distinct word-3-shingle set (empty for docs under 3 tokens). */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(normText, " ")
+    Tables(s, dir, "documents")
+      .withColumn("t", toks)
+      .withColumn("s",
+        when(size(col("t")) >= 3,
+          array_distinct(transform(sequence(lit(1), size(col("t")) - 2), i =>
+            concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2)))))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), col("s"))
+  }
+
+  /** doc_id, shingle set, mh_0..mh_7 (NULL minhash for shingle-less docs). */
+  private def minhashed(s: SparkSession, dir: String): DataFrame =
+    (0 until K).foldLeft(shingled(s, dir)) { (df, j) =>
+      df.withColumn(s"mh_$j", array_min(transform(col("s"), x => h60(j, x))))
+    }
+
+  /** (doc_id, band, sig) — one md5 signature per band of 2 minhashes. */
+  private def banded(mh: DataFrame): DataFrame =
+    mh.select(col("doc_id"), explode(array((0 until BANDS).map { g =>
+      struct(lit(g).as("band"),
+        md5(concat_ws(",", col(s"mh_${2 * g}"), col(s"mh_${2 * g + 1}"))).as("sig"))
+    }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  /** Verified near-dup pairs: band-bucket candidates with exact Jaccard. */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val mh = minhashed(s, dir).cache()
+    val bands = banded(mh)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = mh.select(col("doc_id"), col("s"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("s_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("s_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
+          size(array_union(col("s_a"), col("s_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---- graded queries ----
+
+  private val dedupMinhashSig: Q = (s, dir) =>
+    minhashed(s, dir)
+      .select(col("doc_id") +: size(col("s")).as("n_shingles") +:
+        (0 until K).map(j => col(s"mh_$j")): _*)
+      .orderBy(col("doc_id").asc_nulls_first)
+
+  private val dedupLshPairs: Q = (s, dir) =>
+    verifiedPairs(s, dir)
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+
+  // Greedy keep-lowest-id survivor policy: any doc appearing as the higher id
+  // of a verified pair is dropped. Deterministic and one-pass (a full
+  // connected-components pass would iterate the same pair frame).
+  private val dedupDropList: Q = (s, dir) =>
+    verifiedPairs(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .orderBy(col("doc_id").asc_nulls_first)
+
+  private val dedupExact: Q = (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(md5(normText).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_distinct"))
+
+  // 16-bit SimHash over distinct whitespace tokens (unit weights): bit b is
+  // set iff tokens with H(t) bit b = 1 are at least half. Production note: a
+  // custom Expression would compute all 16 bits in one token pass; 16
+  // filter() passes keep this oracle-reproducible with zero custom code.
+  private val dedupSimhash: Q = (s, dir) => {
+    val hs = transform(array_distinct(split(normText, " ")), t => h60(0, t))
+    Tables(s, dir, "documents")
+      .withColumn("hs", hs)
+      .withColumn("simhash16",
+        (0 until 16).map { b =>
+          when(size(filter(col("hs"), h => pmod(shiftright(h, b), lit(2)) === 1)) * 2
+            >= size(col("hs")), lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _))
+      .select(col("doc_id"), col("simhash16"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_minhash_sig" -> dedupMinhashSig,
+    "dedup_lsh_pairs" -> dedupLshPairs,
+    "dedup_drop_list" -> dedupDropList,
+    "dedup_exact" -> dedupExact,
+    "dedup_simhash" -> dedupSimhash
+  )
+
+  // ---- DuckDB oracle ----
+
+  private val shSql =
+    """toks AS (
+      |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 3
+      |      THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))
+      |      ELSE [] END AS s
+      |  FROM toks)""".stripMargin
+
+  private def mhColsSql: String = (0 until K).map { j =>
+    s"list_min(list_transform(s, x -> CAST(('0x'||substr(md5('$j:'||x),1,15)) AS BIGINT))) AS mh_$j"
+  }.mkString(",\n    ")
+
+  private val mhSql = s"""mh AS (\n  SELECT doc_id, s,\n    $mhColsSql\n  FROM sh)"""
+
+  private val bandsSql = (0 until BANDS).map { g =>
+    s"SELECT doc_id, $g AS band, md5(mh_${2 * g}||','||mh_${2 * g + 1}) AS sig FROM mh"
+  }.mkString("bands AS (\n  ", " UNION ALL\n  ", ")")
+
+  private val pairsSql =
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |verified AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+      |  FROM cand c JOIN mh x ON c.doc_a = x.doc_id JOIN mh y ON c.doc_b = y.doc_id)""".stripMargin
+
+  private val simhashBitsSql = (0 until 16).map { b =>
+    s"CASE WHEN 2*len(list_filter(hs, h -> (h >> $b) % 2 = 1)) >= len(hs) THEN ${1L << b} ELSE 0 END"
+  }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_minhash_sig" ->
+      s"""WITH $shSql,\n$mhSql
+         |SELECT doc_id, len(s) AS n_shingles, ${(0 until K).map(j => s"mh_$j").mkString(", ")}
+         |FROM mh ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "dedup_lsh_pairs" ->
+      s"""WITH $shSql,\n$mhSql,\n$bandsSql,\n$pairsSql
+         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
+         |WHERE jaccard >= 0.5
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+    "dedup_drop_list" ->
+      s"""WITH $shSql,\n$mhSql,\n$bandsSql,\n$pairsSql
+         |SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jaccard >= 0.5
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "dedup_exact" ->
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct
+        |FROM documents""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id,
+         |    list_transform(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')),
+         |                   t -> CAST(('0x'||substr(md5('0:'||t),1,15)) AS BIGINT)) AS hs
+         |  FROM documents)
+         |SELECT doc_id, ($simhashBitsSql) AS simhash16
+         |FROM hs ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  )
+}
