@@ -24,7 +24,8 @@ object SparkEntry {
     (Analytics.queries, Analytics.oracle),
     (TextAnalysis.queries, TextAnalysis.oracle),
     (Similarity.queries, Similarity.oracle),
-    (DedupText.queries, DedupText.oracle)
+    (DedupText.queries, DedupText.oracle),
+    (graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracle)
   )
 
   /** A duplicate query key across modules would silently shadow one

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import graft.{Q, Tables}
+import graft.operators.MergeOps
+
+/** Structured Streaming layer (SURVEY §2.8 ST1–ST7).
+  *
+  * The reference IS a polling stream: an infinite loop with
+  * `sleep(resttime)` (run.py:98-121) issuing per-route incremental fetches
+  * `t=lastTime` (route.py:151-170), keeping a per-route offset dict
+  * (agency.py:282-300) and writing each poll's rows through dedup + conflict
+  * clauses so re-delivery is harmless (agency.py:316-322). The Spark-native
+  * form of each piece:
+  *
+  *   - poll cadence        → `Trigger.ProcessingTime` (ST1)
+  *   - offset dict         → the checkpointed offset log (ST2/ST3); offsets
+  *                           are also derivable from data as max(event-time)
+  *                           per partition — see `stream_offsets`
+  *   - event-time + dedup  → `withWatermark(...).dropDuplicates(...)` (ST4/ST5)
+  *   - ON CONFLICT sink    → `foreachBatch` + `MergeOps.upsert` (S7) — an
+  *                           idempotent merge, so at-least-once delivery
+  *                           yields exactly-once table state
+  *   - daily dim refresh   → stream-static join; the static side is re-read
+  *                           every micro-batch by `foreachBatch` (ST6)
+  *
+  * Scale design: the only stateful operator is the watermarked dedup, whose
+  * state is bounded by the watermark horizon and partitioned by the dedup
+  * key. The merge sink joins each (small) micro-batch against the target on
+  * the merge key — with a bucketed target this co-locates and never
+  * re-shuffles the target (see MergeOps scale note).
+  *
+  * Streaming queries can't be hash-compared against DuckDB directly, so the
+  * graded queries below express the layer's *semantics* in batch form
+  * (re-delivery idempotence; offset-log derivation), and the ScalaTest
+  * streaming spec drives the real `readStream`/`writeStream` path with
+  * `MemoryStream` + checkpoints.
+  */
+object StreamingOps {
+
+  /** ST4+ST5: event-time watermark + cross-batch dedup on the event key.
+    * Works on both batch and streaming frames (the streaming plan keeps a
+    * state store keyed by `keys`, expired by the watermark).
+    */
+  def dedupByKey(events: DataFrame, eventTimeCol: String, horizon: String,
+                 keys: Seq[String]): DataFrame =
+    events.withWatermark(eventTimeCol, horizon)
+      .dropDuplicates(keys :+ eventTimeCol)
+
+  /** ST6: stream-static dimension enrichment. `dims` is a plain batch frame;
+    * Spark re-resolves it each micro-batch, so a daily-refreshed parquet dim
+    * is picked up automatically — the reference's midnight re-snapshot
+    * (run.py:103-111) without any custom plumbing.
+    */
+  def enrich(stream: DataFrame, dims: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dims), Seq(key), "left")
+
+  /** ST1-ST3 + S7: start the micro-batch merge sink. Each batch is upserted
+    * into `sink` (idempotent — re-delivered rows merge to the same state),
+    * offsets live in `checkpointDir`.
+    */
+  def startMergeSink(src: DataFrame, sink: TableSink, checkpointDir: String,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    src.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], _: Long) => sink.merge(batch) }
+      .start()
+
+  /** The JDBC-table stand-in for tests: a named in-memory target maintained
+    * through MergeOps.upsert, exactly what a `foreachBatch` JDBC MERGE would
+    * hold. Thread-safe: foreachBatch calls arrive serially per query, but a
+    * test may also read `current` concurrently.
+    */
+  final class TableSink(spark: SparkSession, zero: DataFrame, keys: Seq[String]) {
+    @volatile private var state: DataFrame = zero.localCheckpoint()
+    def merge(batch: DataFrame): Unit = synchronized {
+      // Detach the micro-batch from its streaming lineage (otherwise merging
+      // two batches of the same source trips the ambiguous-self-join check),
+      // then materialize the merged state so the plan doesn't grow per batch
+      // — the in-memory analogue of the reference's committed INSERT. The
+      // rdd handoff stays distributed; nothing is collected to the driver.
+      val session = batch.sparkSession
+      val detached = session.createDataFrame(batch.rdd, batch.schema)
+      state = MergeOps.upsert(state, detached, keys).localCheckpoint()
+    }
+    def current: DataFrame = state
+  }
+
+  // ---- graded batch mirrors ----
+
+  /** ST3/ST5 semantics: offset loss re-delivers a window; key dedup restores
+    * exactly-once output. Union(events, re-delivered slice) must equal the
+    * single-delivery table after dedup.
+    */
+  private val streamDedupReplay: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val redelivered = ev.filter(
+      col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+    ev.union(redelivered)
+      .dropDuplicates("event_id")
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
+  /** ST2: the offset log derived from data — per-partition high-water mark
+    * (≙ per-route `lastTime`, agency.py:296-300) plus rows-per-partition.
+    */
+  private val streamOffsets: Q = (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy((col("user_id") % 8).as("route"))
+      .agg(max(col("ts")).as("last_time"), count(lit(1)).as("n_events"))
+      .orderBy(col("route").asc_nulls_first)
+
+  val queries: Map[String, Q] = Map(
+    "stream_dedup_replay" -> streamDedupReplay,
+    "stream_offsets" -> streamOffsets
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Re-delivered rows are exact copies, so dedup on the key restores the
+    // original table — the oracle is simply the single-delivery scan.
+    "stream_dedup_replay" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "stream_offsets" ->
+      """SELECT user_id % 8 AS route, max(ts) AS last_time, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY route ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all specs (one JVM-wide session — Spark's
+  * getOrCreate makes cross-suite reuse safe and fast).
+  */
+trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config(Tables.nanosConf._1, Tables.nanosConf._2)
+    .getOrCreate()
+
+  override def afterAll(): Unit = {
+    // Keep the session for sibling suites; Spark shuts it down with the JVM.
+    super.afterAll()
+  }
+}
