@@ -25,7 +25,8 @@ object SparkEntry {
     (TextAnalysis.queries, TextAnalysis.oracle),
     (Similarity.queries, Similarity.oracle),
     (DedupText.queries, DedupText.oracle),
-    (graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracle)
+    (graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracle),
+    (graft.sources.XmlFeed.queries, graft.sources.XmlFeed.oracle)
   )
 
   /** A duplicate query key across modules would silently shadow one

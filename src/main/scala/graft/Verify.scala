@@ -20,7 +20,8 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name failed: $e")
+        Option(e.getCause).foreach(c => System.err.println(s"[verify]   cause: $c"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
