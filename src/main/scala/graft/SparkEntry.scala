@@ -26,7 +26,8 @@ object SparkEntry {
     (Similarity.queries, Similarity.oracle),
     (DedupText.queries, DedupText.oracle),
     (graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracle),
-    (graft.sources.XmlFeed.queries, graft.sources.XmlFeed.oracle)
+    (graft.sources.XmlFeed.queries, graft.sources.XmlFeed.oracle),
+    (Multimodal.queries, Multimodal.oracle)
   )
 
   /** A duplicate query key across modules would silently shadow one

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Multimodal-column handling (builder brief: image/audio/video as opaque
+  * binary columns + typed metadata).
+  *
+  * The testdata has no real media, so payloads are *constructed*
+  * deterministically from `documents` (magic bytes + md5-derived body) and
+  * every downstream op treats them as genuine `BinaryType` columns:
+  * format-sniffing on magic bytes, metadata extraction, a decode stage, and
+  * per-frame sampling (one payload → N frame rows).
+  *
+  * The codec boundary: a real deployment decodes via a vectorized batch UDF
+  * (mapInPandas in PySpark; a typed `mapPartitions` with a pluggable decoder
+  * in Scala — see `decodeWith`, the one sanctioned mapPartitions in this
+  * codebase, unit-tested with a fake codec). The decoder in this container
+  * is a clearly-marked deterministic fake (`FakeCodec`): the brief asks for
+  * real plumbing — schema, batch shape, partition behavior — with the
+  * image/audio library itself stubbed.
+  *
+  * Scale design: everything is per-row map work over the scan — no shuffle,
+  * no driver collection; frame sampling fans out rows with `posexplode`
+  * (bounded fan-out per payload). Graded queries stay expression-only so the
+  * DuckDB oracle can mirror them in hex-string space (Spark `hex(unhex(x))`
+  * normalizes to uppercase; the oracle applies `upper(...)` to match).
+  */
+object Multimodal {
+
+  // Deterministic payload: magic prefix by doc_id%3 + md5 body + variable
+  // even-length tail, as a hex string; the binary column is its unhex.
+  private val magicCol: Column =
+    when(col("doc_id") % 3 === 0, lit("89504E47"))   // PNG  \x89PNG
+      .when(col("doc_id") % 3 === 1, lit("FFD8FFE0")) // JPEG SOI/APP0
+      .otherwise(lit("47494638"))                      // GIF  GIF8
+  private val payloadHex: Column = concat(
+    magicCol, md5(col("text")),
+    substring(md5(concat(col("text"), lit("!"))), lit(1), (col("doc_id") % 8).cast("int") * 2))
+
+  /** documents + payload BINARY + n_bytes + sniffed format. */
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("payload", unhex(payloadHex))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("format",
+        when(substring(hex(col("payload")), 1, 8) === "89504E47", "png")
+          .when(substring(hex(col("payload")), 1, 8) === "FFD8FFE0", "jpeg")
+          .when(substring(hex(col("payload")), 1, 8) === "47494638", "gif")
+          .otherwise("unknown"))
+
+  // ---- graded queries ----
+
+  /** Binary metadata extraction: size, magic-byte format sniff, head bytes. */
+  private val mmBinaryMeta: Q = (s, dir) =>
+    media(s, dir)
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        substring(hex(col("payload")), 1, 16).as("head_hex"))
+      .orderBy(col("doc_id").asc_nulls_first)
+
+  /** The decode stub as expressions: pseudo-dimensions derived from a hash of
+    * the payload — deterministic fake decode with the real metadata schema
+    * (width/height/channels/mean luma) a codec would emit. */
+  private val mmDecodeFeatures: Q = (s, dir) =>
+    media(s, dir)
+      .withColumn("h", md5(hex(col("payload"))))
+      .select(
+        col("doc_id"), col("format"),
+        (conv(substring(col("h"), 1, 4), 16, 10).cast("long") % 1024 + 1).as("width"),
+        (conv(substring(col("h"), 5, 4), 16, 10).cast("long") % 1024 + 1).as("height"),
+        (conv(substring(col("h"), 9, 1), 16, 10).cast("long") % 4 + 1).as("channels"),
+        round(conv(substring(col("h"), 10, 6), 16, 10).cast("double") / 16777215.0, 6)
+          .as("mean_luma"))
+      .orderBy(col("doc_id").asc_nulls_first)
+
+  /** Video-style frame sampling: one payload → N frame rows with byte
+    * ranges; N and the stride derive from the payload size. */
+  private val mmFrameSample: Q = (s, dir) =>
+    media(s, dir)
+      .withColumn("n_frames", (col("n_bytes") % 5 + 1).cast("int"))
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        posexplode(sequence(lit(0), col("n_frames") - 1)).as(Seq("pos", "frame_idx")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * (col("n_bytes").cast("long") / col("n_frames")).cast("long"))
+          .cast("long").as("byte_off"),
+        (col("n_bytes").cast("long") / col("n_frames")).cast("long").as("frame_len"))
+      .orderBy(col("doc_id").asc_nulls_first, col("frame_idx").asc_nulls_first)
+
+  val queries: Map[String, Q] = Map(
+    "mm_binary_meta" -> mmBinaryMeta,
+    "mm_decode_features" -> mmDecodeFeatures,
+    "mm_frame_sample" -> mmFrameSample
+  )
+
+  // NOTE: interpolated into stripMargin'd strings below — no line here may
+  // start with '|' (e.g. a leading '||' concat) or the outer stripMargin
+  // would eat it.
+  private val hexSql =
+    """SELECT doc_id,
+      |  upper(concat(
+      |    CASE WHEN doc_id % 3 = 0 THEN '89504E47'
+      |         WHEN doc_id % 3 = 1 THEN 'FFD8FFE0'
+      |         ELSE '47494638' END,
+      |    md5(text),
+      |    substr(md5(concat(text, '!')), 1, CAST(doc_id % 8 AS INT) * 2))) AS hx
+      |FROM documents""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      s"""WITH m AS ($hexSql)
+         |SELECT doc_id,
+         |  CASE substr(hx, 1, 8) WHEN '89504E47' THEN 'png' WHEN 'FFD8FFE0' THEN 'jpeg'
+         |       WHEN '47494638' THEN 'gif' ELSE 'unknown' END AS format,
+         |  CAST(len(hx) / 2 AS BIGINT) AS n_bytes,
+         |  substr(hx, 1, 16) AS head_hex
+         |FROM m ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "mm_decode_features" ->
+      s"""WITH m AS ($hexSql), h AS (SELECT doc_id, hx, md5(hx) AS h FROM m)
+         |SELECT doc_id,
+         |  CASE substr(hx, 1, 8) WHEN '89504E47' THEN 'png' WHEN 'FFD8FFE0' THEN 'jpeg'
+         |       WHEN '47494638' THEN 'gif' ELSE 'unknown' END AS format,
+         |  CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 1024 + 1 AS width,
+         |  CAST(('0x' || substr(h, 5, 4)) AS BIGINT) % 1024 + 1 AS height,
+         |  CAST(('0x' || substr(h, 9, 1)) AS BIGINT) % 4 + 1 AS channels,
+         |  round(CAST(('0x' || substr(h, 10, 6)) AS BIGINT) / 16777215.0, 6) AS mean_luma
+         |FROM h ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "mm_frame_sample" ->
+      s"""WITH m AS ($hexSql),
+         |f AS (SELECT doc_id, CAST(len(hx) / 2 AS BIGINT) AS n_bytes,
+         |             CAST(len(hx) / 2 AS BIGINT) % 5 + 1 AS n_frames FROM m)
+         |SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx,
+         |  unnest(range(0, n_frames)) * (n_bytes // n_frames) AS byte_off,
+         |  n_bytes // n_frames AS frame_len
+         |FROM f ORDER BY doc_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST""".stripMargin
+  )
+
+  // ---- the pluggable decode seam (unit-tested; not oracle-gradable) ----
+
+  /** One decoded media row: the schema a real codec stage emits. */
+  case class Decoded(doc_id: Long, format: String, width: Int, height: Int,
+                     channels: Int, pixels: Array[Byte])
+
+  /** A decoder turns one payload into decoded metadata + pixel bytes. */
+  type Codec = (Long, String, Array[Byte]) => Decoded
+
+  /** STUB — deterministic fake standing in for libjpeg/libpng/ffmpeg (not in
+    * this container): derives dimensions from payload bytes and "decodes" the
+    * payload as its own pixels. The plumbing around it is real.
+    */
+  val FakeCodec: Codec = (id, fmt, bytes) => {
+    val w = 1 + (math.abs(bytes.map(_.toInt).sum) % 64)
+    Decoded(id, fmt, w, 1 + bytes.length % 64, 3, bytes)
+  }
+
+  /** The batch-decode stage: typed mapPartitions over (id, format, payload)
+    * — the Scala analogue of mapInPandas. One codec instance per partition
+    * (real codecs carry per-thread native state); rows stream through
+    * without materializing the partition.
+    */
+  def decodeWith(media: DataFrame, codec: Codec): Dataset[Decoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("format"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, fmt, bytes) => codec(id, fmt, bytes) })
+  }
+}
