@@ -11,22 +11,35 @@ import graft.{Q, Tables}
   * (`agency.py:221-232`) and bare appends (`agency.py:303-322`) to Postgres.
   * Spark has no native upsert, so the same semantics are expressed as joins:
   * upsert = full-outer join on the key with source-wins resolution;
-  * insert-if-absent = left-anti join + union. Both are reused by the
-  * streaming `foreachBatch` sink (graft.streaming) — idempotent re-delivery
-  * is exactly what the reference's conflict clauses buy it.
+  * insert-if-absent = left-anti join + union. `upsert` is what
+  * `graft.streaming.StreamingOps.TableSink` applies per micro-batch —
+  * idempotent re-delivery is exactly what the reference's conflict clauses
+  * buy it.
   *
-  * Scale note: the source side of a micro-batch merge is small relative to the
-  * target; at cluster scale the target should be bucketed/partitioned by the
-  * merge key so the join co-locates (no target re-shuffle per batch).
+  * Scale note: the source side of a micro-batch merge is small relative to
+  * the target; at cluster scale the target must be bucketed/partitioned by
+  * the merge key so the join co-locates. BucketedMergeSpec proves the plan:
+  * a bucketed target merges with NO Exchange on the target side — only the
+  * small source shuffles per batch.
   */
 object MergeOps {
 
   /** S7: insert-or-update. Source rows win wholesale (including NULLs they
     * carry — matching `ON CONFLICT DO UPDATE SET col = EXCLUDED.col`).
+    *
+    * `nullSafeKeys=true` joins with `<=>` so NULL key components compare
+    * equal (the reference's COALESCE-key indexes). For a non-null primary
+    * key pass `false`: plain `=` keys let a bucketed target's existing
+    * HashPartitioning satisfy the join's distribution, so the merge
+    * co-locates and only the (small) source side shuffles — see
+    * BucketedMergeSpec for the plan-shape proof.
     */
-  def upsert(target: DataFrame, src: DataFrame, keys: Seq[String]): DataFrame = {
+  def upsert(target: DataFrame, src: DataFrame, keys: Seq[String],
+             nullSafeKeys: Boolean = true): DataFrame = {
     val flagged = src.withColumn("_src_present", lit(1))
-    val cond = keys.map(k => target(k) <=> flagged(k)).reduce(_ && _)
+    val cond = keys.map { k =>
+      if (nullSafeKeys) target(k) <=> flagged(k) else target(k) === flagged(k)
+    }.reduce(_ && _)
     val joined = target.join(flagged, cond, "full_outer")
     val cols = target.columns.map { c =>
       when(flagged("_src_present").isNotNull, flagged(c)).otherwise(target(c)).as(c)
