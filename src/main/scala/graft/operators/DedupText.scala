@@ -51,11 +51,19 @@ object DedupText {
       .select(col("doc_id"), col("s"))
   }
 
+  /** XOR-permutation seeds (golden-ratio multiples masked to 60 bits): one
+    * md5 per shingle, then K cheap permutations h ⊕ seed_j — the standard
+    * single-hash MinHash variant, 8× less hashing than per-seed md5. */
+  private[operators] def seed(j: Int): Long =
+    (0x9E3779B97F4A7C15L * (j + 1)) & ((1L << 60) - 1)
+
   /** doc_id, shingle set, mh_0..mh_7 (NULL minhash for shingle-less docs). */
-  private def minhashed(s: SparkSession, dir: String): DataFrame =
-    (0 until K).foldLeft(shingled(s, dir)) { (df, j) =>
-      df.withColumn(s"mh_$j", array_min(transform(col("s"), x => h60(j, x))))
+  private def minhashed(s: SparkSession, dir: String): DataFrame = {
+    val hashed = shingled(s, dir).withColumn("hs", transform(col("s"), x => h60(0, x)))
+    (0 until K).foldLeft(hashed) { (df, j) =>
+      df.withColumn(s"mh_$j", array_min(transform(col("hs"), h => h.bitwiseXOR(lit(seed(j))))))
     }
+  }
 
   /** (doc_id, band, sig) — one md5 signature per band of 2 minhashes. */
   private def banded(mh: DataFrame): DataFrame =
@@ -150,10 +158,15 @@ object DedupText {
       |  FROM toks)""".stripMargin
 
   private def mhColsSql: String = (0 until K).map { j =>
-    s"list_min(list_transform(s, x -> CAST(('0x'||substr(md5('$j:'||x),1,15)) AS BIGINT))) AS mh_$j"
+    s"list_min(list_transform(hs, h -> xor(h, ${seed(j)}))) AS mh_$j"
   }.mkString(",\n    ")
 
-  private val mhSql = s"""mh AS (\n  SELECT doc_id, s,\n    $mhColsSql\n  FROM sh)"""
+  private val mhSql =
+    s"""hsd AS (
+       |  SELECT doc_id, s,
+       |    list_transform(s, x -> CAST(('0x'||substr(md5('0:'||x),1,15)) AS BIGINT)) AS hs
+       |  FROM sh),
+       |mh AS (\n  SELECT doc_id, s,\n    $mhColsSql\n  FROM hsd)""".stripMargin
 
   private val bandsSql = (0 until BANDS).map { g =>
     s"SELECT doc_id, $g AS band, md5(mh_${2 * g}||','||mh_${2 * g + 1}) AS sig FROM mh"
