@@ -202,7 +202,46 @@ object CoreRelational {
         .agg(array_join(sort_array(collect_list(col("l_linenumber"))), ",").as("line_numbers")),
       "l_orderkey")
 
+  // S9: VALUES inline relation (reference: literal row batches fed to SQL,
+  // agency.py:185-187). A literal frame is a first-class relation: joinable,
+  // broadcastable, oracle-checkable.
+  private val valuesInline: Q = (s, dir) => {
+    val session = s
+    import session.implicits._
+    val codes = Seq((0, "AFR"), (1, "AMR"), (2, "ASI"), (3, "EUR"), (4, "MEA"))
+      .toDF("r_regionkey", "code")
+    ord(
+      t(s, dir, "region").join(broadcast(codes), Seq("r_regionkey"), "inner")
+        .select("r_regionkey", "r_name", "code"),
+      "r_regionkey")
+  }
+
+  // G3: deterministic surrogate key — the engine's replacement for the
+  // reference's uuid4 mint (agency.py:52, route.py:28): sha256 over the
+  // natural key, reproducible on both engines and across retries.
+  private val surrogateKey: Q = (s, dir) =>
+    ord(
+      t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          sha2(concat_ws("|", col("n_nationkey"), col("n_name")), 256).as("nation_sk")),
+      "n_nationkey")
+
+  // A5: count-gated write (reference: only INSERT when ≥1 row, agency.py:301-303)
+  // — the gate is a broadcast scalar, not a driver-side collect.
+  private val countGate: Q = (s, dir) => {
+    val src = t(s, dir, "events").filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+    val gate = src.agg(count(lit(1)).as("n_src"))
+    ord(
+      src.crossJoin(broadcast(gate)).filter(col("n_src") > 0)
+        .select("event_id", "user_id", "value"),
+      "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "values_inline" -> valuesInline,
+    "surrogate_key" -> surrogateKey,
+    "count_gate" -> countGate,
     "scan_source" -> scanSource,
     "filter_scan" -> filterScan,
     "incremental_scan" -> incrementalScan,
@@ -226,6 +265,21 @@ object CoreRelational {
   )
 
   val oracle: Map[String, String] = Map(
+    "values_inline" ->
+      """SELECT r.r_regionkey, r.r_name, v.code
+        |FROM region r
+        |JOIN (VALUES (0,'AFR'),(1,'AMR'),(2,'ASI'),(3,'EUR'),(4,'MEA')) AS v(r_regionkey, code)
+        |  ON r.r_regionkey = v.r_regionkey
+        |ORDER BY r.r_regionkey ASC NULLS FIRST""".stripMargin,
+    "surrogate_key" ->
+      """SELECT n_nationkey, sha256(concat_ws('|', n_nationkey, n_name)) AS nation_sk
+        |FROM nation ORDER BY n_nationkey ASC NULLS FIRST""".stripMargin,
+    "count_gate" ->
+      """WITH src AS (
+        |  SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'),
+        |gate AS (SELECT count(*) AS n_src FROM src)
+        |SELECT event_id, user_id, value FROM src CROSS JOIN gate WHERE n_src > 0
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     "scan_source" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey ASC NULLS FIRST",
     "filter_scan" ->
