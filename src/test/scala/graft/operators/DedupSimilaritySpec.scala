@@ -1,0 +1,90 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+/** Controlled-fixture tests for the near-dup and ANN pipelines: plant known
+  * duplicates/neighbors in temp parquet tables shaped like the driver
+  * testdata and assert the pipelines find exactly them.
+  */
+class DedupSimilaritySpec extends SparkTestBase {
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val session = spark
+    import session.implicits._
+    val dir = Files.createTempDirectory("graft-docs").toString
+    rows.map { case (id, text) => (id, text, "en", "test", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def writeVecs(rows: Seq[(Long, Array[Float], Int)]): String = {
+    val session = spark
+    import session.implicits._
+    val dir = Files.createTempDirectory("graft-vecs").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "on the warm mat near the old oak door and the clock ticks softly"
+
+  test("MinHash LSH finds the planted near-dup pair and only it") {
+    val session = spark
+    import session.implicits._
+    val dir = writeDocs(Seq(
+      1L -> base,
+      2L -> base.replace("clock", "bell"), // near-dup of 1
+      3L -> "completely unrelated content about spark catalyst optimizer rules and physical plans"))
+    val pairs = DedupText.queries("dedup_lsh_pairs")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(pairs.head._3 > 0.7 && pairs.head._3 < 1.0)
+
+    val dropped = DedupText.queries("dedup_drop_list")(spark, dir)
+      .as[Long].collect().toSeq
+    assert(dropped == Seq(2L), "keep-lowest-id policy drops doc 2")
+  }
+
+  test("identical documents reach Jaccard 1.0; exact dedup counts them once") {
+    val session = spark
+    import session.implicits._
+    val dir = writeDocs(Seq(1L -> base, 2L -> base))
+    val pairs = DedupText.queries("dedup_lsh_pairs")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1.0)))
+    val (nDocs, nDistinct) = DedupText.queries("dedup_exact")(spark, dir)
+      .as[(Long, Long)].collect().head
+    assert(nDocs == 2L && nDistinct == 1L)
+  }
+
+  test("brute-force cosine top-k ranks the colinear vector first") {
+    val session = spark
+    import session.implicits._
+    // vec 0 is a probe (vec_id % 100 == 0); vec 1 is colinear (cos = 1),
+    // vec 2 orthogonal (cos = 0), vec 3 opposite (cos = -1)
+    val dir = writeVecs(Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(2f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 3f, 0f, 0f), 1),
+      (3L, Array(-1f, 0f, 0f, 0f), 2)))
+    val got = Similarity.queries("sim_topk_brute")(spark, dir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 1, 1L, 1.0), (0L, 2, 2L, 0.0), (0L, 3, 3L, -1.0)))
+  }
+
+  test("simhash of identical docs is identical; different docs differ") {
+    val session = spark
+    import session.implicits._
+    val dir = writeDocs(Seq(1L -> base, 2L -> base,
+      3L -> "alpha beta gamma delta epsilon zeta eta theta"))
+    val hs = DedupText.queries("dedup_simhash")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(hs(1L) == hs(2L))
+    assert(hs(1L) != hs(3L))
+  }
+}
