@@ -51,19 +51,34 @@ object DedupText {
       .select(col("doc_id"), col("s"))
   }
 
+  /** doc_id + distinct character-4-gram set (the n-gram-Jaccard variant:
+    * robust to tokenization differences, standard for CJK-ish corpora). */
+  private def shingledChars(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("nt", normText)
+      .withColumn("s",
+        when(length(col("nt")) >= 4,
+          array_distinct(transform(sequence(lit(1), length(col("nt")) - 3), i =>
+            substring(col("nt"), i, lit(4)))))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), col("s"))
+
   /** XOR-permutation seeds (golden-ratio multiples masked to 60 bits): one
     * md5 per shingle, then K cheap permutations h ⊕ seed_j — the standard
     * single-hash MinHash variant, 8× less hashing than per-seed md5. */
   private[operators] def seed(j: Int): Long =
     (0x9E3779B97F4A7C15L * (j + 1)) & ((1L << 60) - 1)
 
-  /** doc_id, shingle set, mh_0..mh_7 (NULL minhash for shingle-less docs). */
-  private def minhashed(s: SparkSession, dir: String): DataFrame = {
-    val hashed = shingled(s, dir).withColumn("hs", transform(col("s"), x => h60(0, x)))
+  /** shingle-set frame → + mh_0..mh_7 (NULL minhash for shingle-less docs). */
+  private def minhashedFrom(sets: DataFrame): DataFrame = {
+    val hashed = sets.withColumn("hs", transform(col("s"), x => h60(0, x)))
     (0 until K).foldLeft(hashed) { (df, j) =>
       df.withColumn(s"mh_$j", array_min(transform(col("hs"), h => h.bitwiseXOR(lit(seed(j))))))
     }
   }
+
+  private def minhashed(s: SparkSession, dir: String): DataFrame =
+    minhashedFrom(shingled(s, dir))
 
   /** (doc_id, band, sig) — one md5 signature per band of 2 minhashes. */
   private def banded(mh: DataFrame): DataFrame =
@@ -74,8 +89,8 @@ object DedupText {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
   /** Verified near-dup pairs: band-bucket candidates with exact Jaccard. */
-  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val mh = minhashed(s, dir).cache()
+  private def verifiedPairsFrom(sets: DataFrame, threshold: Double): DataFrame = {
+    val mh = minhashedFrom(sets).cache()
     val bands = banded(mh)
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -83,16 +98,19 @@ object DedupText {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = mh.select(col("doc_id"), col("s"))
+    val shingleSets = mh.select(col("doc_id"), col("s"))
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("s_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("s_b")), Seq("doc_b"))
+      .join(shingleSets.select(col("doc_id").as("doc_a"), col("s").as("s_a")), Seq("doc_a"))
+      .join(shingleSets.select(col("doc_id").as("doc_b"), col("s").as("s_b")), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
           size(array_union(col("s_a"), col("s_b"))))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    verifiedPairsFrom(shingled(s, dir), 0.5)
 
   // ---- graded queries ----
 
@@ -104,6 +122,13 @@ object DedupText {
 
   private val dedupLshPairs: Q = (s, dir) =>
     verifiedPairs(s, dir)
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+
+  // n-gram-Jaccard variant: char 4-grams through the same MinHash+banding
+  // machinery; near-dups sit at J≈0.99 vs ≈0.27 for unrelated docs here, so
+  // the 0.6 verify threshold separates cleanly.
+  private val dedupNgram: Q = (s, dir) =>
+    verifiedPairsFrom(shingledChars(s, dir), 0.6)
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
 
   // Greedy keep-lowest-id survivor policy: any doc appearing as the higher id
@@ -139,6 +164,7 @@ object DedupText {
   val queries: Map[String, Q] = Map(
     "dedup_minhash_sig" -> dedupMinhashSig,
     "dedup_lsh_pairs" -> dedupLshPairs,
+    "dedup_ngram" -> dedupNgram,
     "dedup_drop_list" -> dedupDropList,
     "dedup_exact" -> dedupExact,
     "dedup_simhash" -> dedupSimhash
@@ -156,6 +182,17 @@ object DedupText {
       |      THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))
       |      ELSE [] END AS s
       |  FROM toks)""".stripMargin
+
+  private val chShSql =
+    """nrm AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(nt) >= 4
+      |      THEN list_distinct(list_transform(range(1, len(nt)-2), i -> substr(nt, i, 4)))
+      |      ELSE [] END AS s
+      |  FROM nrm)""".stripMargin
 
   private def mhColsSql: String = (0 until K).map { j =>
     s"list_min(list_transform(hs, h -> xor(h, ${seed(j)}))) AS mh_$j"
@@ -194,6 +231,11 @@ object DedupText {
       s"""WITH $shSql,\n$mhSql,\n$bandsSql,\n$pairsSql
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
          |WHERE jaccard >= 0.5
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+    "dedup_ngram" ->
+      s"""WITH $chShSql,\n$mhSql,\n$bandsSql,\n$pairsSql
+         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
+         |WHERE jaccard >= 0.6
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
     "dedup_drop_list" ->
       s"""WITH $shSql,\n$mhSql,\n$bandsSql,\n$pairsSql
