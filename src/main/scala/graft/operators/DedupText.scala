@@ -51,15 +51,18 @@ object DedupText {
       .select(col("doc_id"), col("s"))
   }
 
-  /** doc_id + distinct character-4-gram set (the n-gram-Jaccard variant:
-    * robust to tokenization differences, standard for CJK-ish corpora). */
+  /** doc_id + distinct character-6-gram set (the n-gram-Jaccard variant:
+    * robust to tokenization differences, standard for CJK-ish corpora).
+    * 6 chosen over 4 to push background Jaccard down (0.26 → 0.10 here) so
+    * banding can discriminate — see dedupNgram's banding note. */
+  private val CHAR_GRAM = 6
   private def shingledChars(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .withColumn("nt", normText)
       .withColumn("s",
-        when(length(col("nt")) >= 4,
-          array_distinct(transform(sequence(lit(1), length(col("nt")) - 3), i =>
-            substring(col("nt"), i, lit(4)))))
+        when(length(col("nt")) >= CHAR_GRAM,
+          array_distinct(transform(sequence(lit(1), length(col("nt")) - (CHAR_GRAM - 1)), i =>
+            substring(col("nt"), i, lit(CHAR_GRAM)))))
           .otherwise(array().cast("array<string>")))
       .select(col("doc_id"), col("s"))
 
@@ -80,18 +83,24 @@ object DedupText {
   private def minhashed(s: SparkSession, dir: String): DataFrame =
     minhashedFrom(shingled(s, dir))
 
-  /** (doc_id, band, sig) — one md5 signature per band of 2 minhashes. */
-  private def banded(mh: DataFrame): DataFrame =
-    mh.select(col("doc_id"), explode(array((0 until BANDS).map { g =>
+  /** (doc_id, band, sig) — one md5 signature per band of K/nBands minhashes.
+    * Band geometry is the recall/candidate-cost dial: collision probability
+    * is 1-(1-J^r)^b with r = K/nBands rows — more rows per band suppresses
+    * low-J background pairs exponentially. */
+  private def banded(mh: DataFrame, nBands: Int): DataFrame = {
+    val r = K / nBands
+    mh.select(col("doc_id"), explode(array((0 until nBands).map { g =>
       struct(lit(g).as("band"),
-        md5(concat_ws(",", col(s"mh_${2 * g}"), col(s"mh_${2 * g + 1}"))).as("sig"))
+        md5(concat_ws(",", (0 until r).map(k => col(s"mh_${r * g + k}")): _*)).as("sig"))
     }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
 
   /** Verified near-dup pairs: band-bucket candidates with exact Jaccard. */
-  private def verifiedPairsFrom(sets: DataFrame, threshold: Double): DataFrame = {
+  private def verifiedPairsFrom(sets: DataFrame, threshold: Double,
+                                nBands: Int = BANDS): DataFrame = {
     val mh = minhashedFrom(sets).cache()
-    val bands = banded(mh)
+    val bands = banded(mh, nBands)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -124,11 +133,14 @@ object DedupText {
     verifiedPairs(s, dir)
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
 
-  // n-gram-Jaccard variant: char 4-grams through the same MinHash+banding
-  // machinery; near-dups sit at J≈0.99 vs ≈0.27 for unrelated docs here, so
-  // the 0.6 verify threshold separates cleanly.
+  // n-gram-Jaccard variant: char 6-grams through the same MinHash machinery
+  // but banded 2×4 instead of 4×2 — char-gram background J (~0.10 here) is
+  // far above word-gram background, so candidate probability must fall as
+  // J^4 (≈1e-4) rather than J^2 (≈1e-2) or verification work explodes
+  // quadratically with corpus size. Near-dups (J≈0.98) still collide with
+  // p≈0.999.
   private val dedupNgram: Q = (s, dir) =>
-    verifiedPairsFrom(shingledChars(s, dir), 0.6)
+    verifiedPairsFrom(shingledChars(s, dir), 0.6, nBands = 2)
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
 
   // Greedy keep-lowest-id survivor policy: any doc appearing as the higher id
@@ -184,15 +196,15 @@ object DedupText {
       |  FROM toks)""".stripMargin
 
   private val chShSql =
-    """nrm AS (
-      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(nt) >= 4
-      |      THEN list_distinct(list_transform(range(1, len(nt)-2), i -> substr(nt, i, 4)))
-      |      ELSE [] END AS s
-      |  FROM nrm)""".stripMargin
+    s"""nrm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(nt) >= $CHAR_GRAM
+       |      THEN list_distinct(list_transform(range(1, len(nt)-${CHAR_GRAM - 2}), i -> substr(nt, i, $CHAR_GRAM)))
+       |      ELSE [] END AS s
+       |  FROM nrm)""".stripMargin
 
   private def mhColsSql: String = (0 until K).map { j =>
     s"list_min(list_transform(hs, h -> xor(h, ${seed(j)}))) AS mh_$j"
@@ -205,9 +217,14 @@ object DedupText {
        |  FROM sh),
        |mh AS (\n  SELECT doc_id, s,\n    $mhColsSql\n  FROM hsd)""".stripMargin
 
-  private val bandsSql = (0 until BANDS).map { g =>
-    s"SELECT doc_id, $g AS band, md5(mh_${2 * g}||','||mh_${2 * g + 1}) AS sig FROM mh"
-  }.mkString("bands AS (\n  ", " UNION ALL\n  ", ")")
+  private def bandsSqlFor(nBands: Int): String = {
+    val r = K / nBands
+    (0 until nBands).map { g =>
+      val sig = (0 until r).map(k => s"mh_${r * g + k}").mkString("||','||")
+      s"SELECT doc_id, $g AS band, md5($sig) AS sig FROM mh"
+    }.mkString("bands AS (\n  ", " UNION ALL\n  ", ")")
+  }
+  private val bandsSql = bandsSqlFor(BANDS)
 
   private val pairsSql =
     """cand AS (
@@ -233,7 +250,7 @@ object DedupText {
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
     "dedup_ngram" ->
-      s"""WITH $chShSql,\n$mhSql,\n$bandsSql,\n$pairsSql
+      s"""WITH $chShSql,\n$mhSql,\n${bandsSqlFor(2)},\n$pairsSql
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
          |WHERE jaccard >= 0.6
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
