@@ -38,6 +38,10 @@ import graft.operators.MergeOps
   * streaming spec drives the real `readStream`/`writeStream` path with
   * `MemoryStream` + checkpoints.
   */
+/** Per-key session accumulator for `StreamingOps.sessionize` — top-level so
+  * Spark's encoder codegen can instantiate it. */
+case class SessionBuf(start: Long, last: Long, n: Long)
+
 object StreamingOps {
 
   /** ST4+ST5: event-time watermark + cross-batch dedup on the event key.
@@ -88,6 +92,67 @@ object StreamingOps {
       state = MergeOps.upsert(state, detached, keys).localCheckpoint()
     }
     def current: DataFrame = state
+  }
+
+  // ---- stateful processing (ST8 extension surface) ----
+
+  /** One per-user event on the stream (the vehicle-report shape). */
+  case class SEvent(user_id: Long, ts: java.sql.Timestamp)
+
+  /** A closed session: emitted when the gap elapses (event-time timeout). */
+  case class Session(user_id: Long, start: java.sql.Timestamp,
+                     end: java.sql.Timestamp, n_events: Long)
+
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the shape
+    * `session_window` can't express when per-session logic is needed
+    * (counters, custom close conditions). State is one small buffer per
+    * active key, expired by event-time timeout against the watermark, so
+    * state size is bounded by the number of concurrently-active keys —
+    * the 100 TB-safe property.
+    *
+    * Sessions close two ways: a same-key event lands beyond the gap (closed
+    * inline), or the watermark passes last+gap (timeout fires with no new
+    * event). Both emit exactly one Session row.
+    */
+  def sessionize(events: Dataset[SEvent], gapMillis: Long,
+                 watermarkDelay: String): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[SEvent], state: GroupState[SessionBuf]) =>
+          if (state.hasTimedOut) {
+            val b = state.get
+            state.remove()
+            Iterator.single(Session(uid, new java.sql.Timestamp(b.start),
+              new java.sql.Timestamp(b.last), b.n))
+          } else {
+            val times = evs.map(_.ts.getTime).toSeq.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur = cur match {
+                case Some(b) if t - b.last <= gapMillis =>
+                  Some(b.copy(last = math.max(b.last, t), n = b.n + 1))
+                case Some(b) =>
+                  closed ::= Session(uid, new java.sql.Timestamp(b.start),
+                    new java.sql.Timestamp(b.last), b.n)
+                  Some(SessionBuf(t, t, 1))
+                case None => Some(SessionBuf(t, t, 1))
+              }
+            }
+            cur.foreach { b =>
+              state.update(b)
+              state.setTimeoutTimestamp(b.last + gapMillis)
+            }
+            closed.reverseIterator
+          }
+      }
   }
 
   // ---- graded batch mirrors ----
