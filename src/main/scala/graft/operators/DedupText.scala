@@ -100,7 +100,10 @@ object DedupText {
   private def verifiedPairsFrom(sets: DataFrame, threshold: Double,
                                 nBands: Int = BANDS): DataFrame = {
     val mh = minhashedFrom(sets).cache()
-    val bands = banded(mh, nBands)
+    // Shingle-less docs have NULL minhashes: concat_ws drops NULLs, so they
+    // would all share one band signature, pair quadratically, and divide by
+    // a zero-sized union (ANSI error). They can't be near-dups — exclude.
+    val bands = banded(mh.filter(size(col("s")) > 0), nBands)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -221,7 +224,7 @@ object DedupText {
     val r = K / nBands
     (0 until nBands).map { g =>
       val sig = (0 until r).map(k => s"mh_${r * g + k}").mkString("||','||")
-      s"SELECT doc_id, $g AS band, md5($sig) AS sig FROM mh"
+      s"SELECT doc_id, $g AS band, md5($sig) AS sig FROM mh WHERE len(s) > 0"
     }.mkString("bands AS (\n  ", " UNION ALL\n  ", ")")
   }
   private val bandsSql = bandsSqlFor(BANDS)
