@@ -27,7 +27,8 @@ object SparkEntry {
     (DedupText.queries, DedupText.oracle),
     (graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracle),
     (graft.sources.XmlFeed.queries, graft.sources.XmlFeed.oracle),
-    (Multimodal.queries, Multimodal.oracle)
+    (Multimodal.queries, Multimodal.oracle),
+    (Skew.queries, Skew.oracle)
   )
 
   /** A duplicate query key across modules would silently shadow one
