@@ -146,7 +146,33 @@ object Analytics {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")),
       "l_returnflag", "l_linestatus")
 
+  // Cube: all grouping-set combinations (rollup's sibling; same Expand-based
+  // plan — one scan, one shuffle, rows ×4 through the Expand).
+  private val aggCube: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price")),
+      "o_orderstatus", "o_orderpriority")
+
+  // TF-style top terms per language: explode tokens → count per (lang, term)
+  // → deterministic top-5 per lang. One shuffle for the count, one bounded
+  // window per group — the corpus-statistics shape of a training pipeline.
+  private val textTopTerms: Q = (s, dir) => {
+    val toks = Tables(s, dir, "documents")
+      .select(col("lang"), explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("term"))
+    val counts = toks.groupBy("lang", "term").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("n").desc, col("term").asc)
+    ord(
+      counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select("lang", "rank", "term", "n"),
+      "lang", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_cube" -> aggCube,
+    "text_top_terms" -> textTopTerms,
     "q1_agg" -> q1Agg,
     "agg_stats" -> aggStats,
     "approx_distinct" -> approxDistinct,
@@ -160,6 +186,21 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "text_top_terms" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |counts AS (SELECT lang, term, count(*) AS n FROM toks GROUP BY lang, term)
+        |SELECT lang, rank, term, n FROM (
+        |  SELECT lang, term, n,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS INT) AS rank
+        |  FROM counts) WHERE rank <= 5
+        |ORDER BY lang ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
