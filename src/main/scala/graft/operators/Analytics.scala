@@ -170,7 +170,47 @@ object Analytics {
       "lang", "rank")
   }
 
+  // Exact percentiles (percentile_cont semantics match DuckDB quantile_cont:
+  // sort + linear interpolation over doubles — bit-reproducible, unlike the
+  // approx sketch). At scale prefer approx_percentile and gate with a
+  // tolerance like approx_distinct does; the exact form is the oracle-able
+  // baseline.
+  private val aggPercentiles: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95")),
+      "event_type")
+
+  // lead/lag: per-user time delta between consecutive events — the
+  // sessionization precursor and a pure single-Exchange window.
+  private val windowLagDelta: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    ord(
+      Tables(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("micros_since_prev")),
+      "user_id", "event_id")
+  }
+
+  // Set intersection (extension; §2.6 has union/except only): users who both
+  // clicked and purchased.
+  private val setIntersect: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    ord(
+      ev.filter(col("event_type") === "click").select("user_id")
+        .intersect(ev.filter(col("event_type") === "purchase").select("user_id")),
+      "user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_percentiles" -> aggPercentiles,
+    "window_lag_delta" -> windowLagDelta,
+    "set_intersect" -> setIntersect,
     "agg_cube" -> aggCube,
     "text_top_terms" -> textTopTerms,
     "q1_agg" -> q1Agg,
@@ -186,6 +226,22 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+    "window_lag_delta" ->
+      """SELECT user_id, event_id,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |    AS micros_since_prev
+        |FROM events
+        |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
+    "set_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
