@@ -207,7 +207,41 @@ object Analytics {
       "user_id")
   }
 
+  // The sketch-based percentile scale path, gated like approx_distinct: the
+  // oracle checks the exact value plus a boolean asserting the sketch landed
+  // within tolerance — the sketch itself is not oracle-reproducible.
+  private val approxPercentiles: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          expr("approx_percentile(value, 0.5, 1000)").as("ap50"))
+        .select(col("event_type"), col("p50"),
+          (abs(col("ap50") - col("p50")) <= abs(col("p50")) * 0.05).as("approx_ok")),
+      "event_type")
+
+  // TPC-H Q18 shape: HAVING on an aggregate, then join the survivors back to
+  // dims and top-k — aggregation-before-join ordering Catalyst can't derive
+  // on its own.
+  private val q18TopCustomers: Q = (s, dir) => {
+    val bigOrders = Tables(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    bigOrders
+      .join(Tables(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables(s, dir, "customer").select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+      .orderBy(col("total_qty").desc_nulls_last, col("o_orderkey").asc_nulls_first)
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "approx_percentiles" -> approxPercentiles,
+    "q18_top_customers" -> q18TopCustomers,
     "agg_percentiles" -> aggPercentiles,
     "window_lag_delta" -> windowLagDelta,
     "set_intersect" -> setIntersect,
@@ -226,6 +260,17 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "approx_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+    "q18_top_customers" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 250)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC NULLS LAST, o_orderkey ASC NULLS FIRST LIMIT 20""".stripMargin,
     "agg_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,
