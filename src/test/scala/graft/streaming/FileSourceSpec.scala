@@ -1,0 +1,44 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+
+/** The production-shaped source path (ST2): a checkpointed file-source
+  * stream over parquet drops, throttled by maxFilesPerTrigger — the real
+  * offset log, not MemoryStream's in-memory one. The reference analogue is
+  * the per-route `t=lastTime` incremental fetch (route.py:151-170).
+  */
+class FileSourceSpec extends SparkTestBase {
+
+  test("parquet file-source stream delivers each drop exactly once through the merge sink") {
+    val session = spark
+    import session.implicits._
+
+    val src = Files.createTempDirectory("graft-drops").toString
+    val events = Tables(session, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "value")
+    // two "polls" land as two parquet drops
+    events.filter(col("event_id") < 300).write.parquet(s"$src/d1")
+    events.filter(col("event_id") >= 300 && col("event_id") < 600).write.parquet(s"$src/d2")
+
+    val stream = session.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*")
+
+    val zero = events.limit(0)
+    val sink = new StreamingOps.TableSink(session, zero, Seq("event_id"))
+    val q = StreamingOps.startMergeSink(
+      StreamingOps.dedupByKey(stream, "ts", "10 minutes", Seq("event_id")),
+      sink, Files.createTempDirectory("graft-fs-ckpt").toString,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+
+    val expected = events.filter(col("event_id") < 600)
+    assert(sink.current.count() == expected.count())
+    assert(sink.current.select("event_id").as[Long].collect().sorted.toSeq ==
+      expected.select("event_id").as[Long].collect().sorted.toSeq)
+  }
+}
