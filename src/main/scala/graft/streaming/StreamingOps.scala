@@ -81,6 +81,10 @@ object StreamingOps {
     */
   final class TableSink(spark: SparkSession, zero: DataFrame, keys: Seq[String]) {
     @volatile private var state: DataFrame = zero.localCheckpoint()
+    @volatile private var merged: Long = 0L
+    /** Rows that have arrived through merge() — lets tests distinguish
+      * "offsets skipped re-processing" from "dedup absorbed re-delivery". */
+    def rowsMerged: Long = merged
     def merge(batch: DataFrame): Unit = synchronized {
       // Detach the micro-batch from its streaming lineage (otherwise merging
       // two batches of the same source trips the ambiguous-self-join check),
@@ -88,7 +92,8 @@ object StreamingOps {
       // — the in-memory analogue of the reference's committed INSERT. The
       // rdd handoff stays distributed; nothing is collected to the driver.
       val session = batch.sparkSession
-      val detached = session.createDataFrame(batch.rdd, batch.schema)
+      val detached = session.createDataFrame(batch.rdd, batch.schema).localCheckpoint()
+      merged += detached.count()
       state = MergeOps.upsert(state, detached, keys).localCheckpoint()
     }
     def current: DataFrame = state

@@ -41,4 +41,38 @@ class FileSourceSpec extends SparkTestBase {
     assert(sink.current.select("event_id").as[Long].collect().sorted.toSeq ==
       expected.select("event_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("restart from the same checkpoint skips already-processed drops (real offset log)") {
+    val session = spark
+    import session.implicits._
+
+    val src = Files.createTempDirectory("graft-drops2").toString
+    val ckpt = Files.createTempDirectory("graft-fs-ckpt2").toString
+    val events = Tables(session, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "value")
+    val zero = events.limit(0)
+    val sink = new StreamingOps.TableSink(session, zero, Seq("event_id"))
+
+    def run(): Unit = {
+      val stream = session.readStream.schema(events.schema).parquet(s"$src/*")
+      val q = StreamingOps.startMergeSink(
+        StreamingOps.dedupByKey(stream, "ts", "10 minutes", Seq("event_id")),
+        sink, ckpt, org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+
+    events.filter(col("event_id") < 300).write.parquet(s"$src/d1")
+    run()
+    val afterFirst = sink.rowsMerged
+
+    // second run, SAME checkpoint: d1 must not re-enter the sink — the
+    // offset log, not the idempotent merge, is what skips it
+    events.filter(col("event_id") >= 300 && col("event_id") < 500).write.parquet(s"$src/d2")
+    run()
+
+    val expected = events.filter(col("event_id") < 500)
+    assert(sink.current.count() == expected.count())
+    assert(sink.rowsMerged == expected.count(),
+      s"rowsMerged=${sink.rowsMerged}: drop d1 (first $afterFirst rows) was re-delivered despite the checkpoint")
+  }
 }
