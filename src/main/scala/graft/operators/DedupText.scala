@@ -154,6 +154,36 @@ object DedupText {
       .select(col("doc_b").as("doc_id")).distinct()
       .orderBy(col("doc_id").asc_nulls_first)
 
+  // Connected components over the verified near-dup pairs: cluster id = min
+  // doc_id reachable. Pregel-style min-label propagation — one shuffle join
+  // per iteration, O(component diameter) iterations (near-dup components
+  // are short chains), lineage cut per step with localCheckpoint. The
+  // driver loop runs only actions (no data collected); this is the standard
+  // Spark iterative-graph shape and the one place a loop is semantically
+  // required.
+  private val dedupClusters: Q = (s, dir) => {
+    val pairs = verifiedPairs(s, dir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")).localCheckpoint()
+    var changed = true
+    var iter = 0
+    while (changed && iter < 20) {
+      val viaNeighbor = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("cluster"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("doc_id").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      changed = !next.join(labels.withColumnRenamed("cluster", "prev"), Seq("doc_id"))
+        .filter(col("cluster") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.orderBy(col("doc_id").asc_nulls_first)
+  }
+
   private val dedupExact: Q = (s, dir) =>
     Tables(s, dir, "documents")
       .select(md5(normText).as("fp"))
@@ -180,6 +210,7 @@ object DedupText {
     "dedup_minhash_sig" -> dedupMinhashSig,
     "dedup_lsh_pairs" -> dedupLshPairs,
     "dedup_ngram" -> dedupNgram,
+    "dedup_clusters" -> dedupClusters,
     "dedup_drop_list" -> dedupDropList,
     "dedup_exact" -> dedupExact,
     "dedup_simhash" -> dedupSimhash
@@ -257,6 +288,16 @@ object DedupText {
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
          |WHERE jaccard >= 0.6
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shSql,\n$mhSql,\n$bandsSql,\n$pairsSql,
+         |p AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+         |walk(doc_id, cluster) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT e.src, w.cluster FROM e JOIN walk w ON e.dst = w.doc_id)
+         |SELECT doc_id, min(cluster) AS cluster FROM walk GROUP BY doc_id
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "dedup_drop_list" ->
       s"""WITH $shSql,\n$mhSql,\n$bandsSql,\n$pairsSql
          |SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jaccard >= 0.5

@@ -90,7 +90,42 @@ object TextAnalysis {
       "doc_id")
   }
 
+  // Overlapping token-window chunking — the standard long-document prep for
+  // a context-bounded trainer: size-64 windows every 48 tokens (16 overlap).
+  // Pure per-row fan-out (posexplode), no shuffle; chunk text is emitted as
+  // md5 so the compare stays cheap.
+  private val CHUNK = 64
+  private val STRIDE = 48
+  private val textChunks: Q = (s, dir) => {
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    ord(
+      Tables(s, dir, "documents")
+        .withColumn("t", toks)
+        .select(col("doc_id"), col("t"),
+          posexplode(sequence(lit(0), floor((size(col("t")) - 1) / STRIDE).cast("int")))
+            .as(Seq("pos", "i")))
+        .withColumn("chunk", slice(col("t"), col("i") * STRIDE + 1, lit(CHUNK)))
+        .select(col("doc_id"), col("i").cast("long").as("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5")),
+      "doc_id", "chunk_idx")
+  }
+
+  // Deterministic train/val/test assignment: hash-bucket the stable key so
+  // the split is reproducible across runs and engines (never random()).
+  private val textSplitAssign: Q = (s, dir) => {
+    val bucket = conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 15), 16, 10)
+      .cast("long") % 100
+    ord(
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), bucket.as("bucket"),
+          when(bucket < 80, "train").when(bucket < 95, "val").otherwise("test").as("split")),
+      "doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_chunks" -> textChunks,
+    "text_split_assign" -> textSplitAssign,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -113,6 +148,24 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, unnest(range(0, (len(t)-1)//$STRIDE + 1)) AS i, t FROM t)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |  CAST(len(list_slice(t, i*$STRIDE + 1, i*$STRIDE + $CHUNK)) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(list_slice(t, i*$STRIDE + 1, i*$STRIDE + $CHUNK), ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST""".stripMargin,
+    "text_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('split:' || doc_id), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
