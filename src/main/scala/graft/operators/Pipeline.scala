@@ -44,11 +44,72 @@ object Pipeline {
         col("event_ts").asc_nulls_first)
   }
 
+  /** Entry point C (SURVEY §3.3, `update_stops`) end-to-end: the most
+    * relationally complex reference pipeline. Over testdata, `p_brand` plays
+    * the stop tag: brands present in the "body" (p_size ≥ 25) keep their
+    * rows; brands only referenced elsewhere are "missing" (left-anti) and
+    * backfill name/price from the deterministically-best small-part row
+    * (sort + first, agency.py:145-159); union then key-dedup on
+    * (tag, COALESCE(name,'')) — the null-safe conflict key of
+    * sql/create_tables.sql:86.
+    *
+    * Scale shape: one anti-join and one backfill join (both on the tag key),
+    * two bounded window dedups. No broadcast assumptions on the fact side.
+    */
+  def stopsRefresh(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables(s, dir, "part")
+    val body = part.filter(col("p_size") >= 25)
+      .select(col("p_brand").as("tag"), col("p_name").as("name"),
+        col("p_retailprice").as("price"))
+    val allTags = part.select(col("p_brand").as("tag")).distinct()
+    val missing = allTags.join(body.select("tag").distinct(), Seq("tag"), "left_anti")
+    val wBest = Window.partitionBy("tag")
+      .orderBy(col("price").asc_nulls_first, col("name").asc_nulls_first)
+    val best = part.filter(col("p_size") < 25)
+      .select(col("p_brand").as("tag"), col("p_name").as("name"),
+        col("p_retailprice").as("price"))
+      .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1).drop("rn")
+    val backfilled = missing.join(best, Seq("tag"), "left")
+      .select(col("tag"), col("name"), col("price"), lit(true).as("was_backfilled"))
+    val unioned = body.withColumn("was_backfilled", lit(false)).unionByName(backfilled)
+    val wDedup = Window.partitionBy(col("tag"), coalesce(col("name"), lit("")))
+      .orderBy(col("price").asc_nulls_first, col("was_backfilled").asc_nulls_first)
+    unioned.withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1).drop("rn")
+      .orderBy(col("tag").asc_nulls_first, col("name").asc_nulls_first,
+        col("price").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
-    "pipeline_hotpath" -> (vehicleHotPath(_, _))
+    "pipeline_hotpath" -> (vehicleHotPath(_, _)),
+    "pipeline_stops_refresh" -> (stopsRefresh(_, _))
   )
 
   val oracle: Map[String, String] = Map(
+    "pipeline_stops_refresh" ->
+      """WITH body AS (
+        |  SELECT p_brand AS tag, p_name AS name, p_retailprice AS price
+        |  FROM part WHERE p_size >= 25),
+        |all_tags AS (SELECT DISTINCT p_brand AS tag FROM part),
+        |missing AS (
+        |  SELECT tag FROM all_tags
+        |  WHERE NOT EXISTS (SELECT 1 FROM body WHERE body.tag = all_tags.tag)),
+        |best AS (
+        |  SELECT tag, name, price FROM (
+        |    SELECT p_brand AS tag, p_name AS name, p_retailprice AS price,
+        |      row_number() OVER (PARTITION BY p_brand
+        |        ORDER BY p_retailprice ASC NULLS FIRST, p_name ASC NULLS FIRST) AS rn
+        |    FROM part WHERE p_size < 25) WHERE rn = 1),
+        |unioned AS (
+        |  SELECT tag, name, price, false AS was_backfilled FROM body
+        |  UNION ALL
+        |  SELECT m.tag, b.name, b.price, true AS was_backfilled
+        |  FROM missing m LEFT JOIN best b ON m.tag = b.tag),
+        |deduped AS (
+        |  SELECT *, row_number() OVER (PARTITION BY tag, COALESCE(name, '')
+        |    ORDER BY price ASC NULLS FIRST, was_backfilled ASC NULLS FIRST) AS rn
+        |  FROM unioned)
+        |SELECT tag, name, price, was_backfilled FROM deduped WHERE rn = 1
+        |ORDER BY tag ASC NULLS FIRST, name ASC NULLS FIRST, price ASC NULLS FIRST""".stripMargin,
     "pipeline_hotpath" ->
       """WITH resolved AS (
         |  SELECT e.event_id, e.user_id, e.value,
