@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import graft.SparkTestBase
+
+/** PLANS.md made executable: the scale-critical plan shapes asserted so a
+  * future edit that drops a broadcast hint, adds a shuffle, or degrades a
+  * bucket join to a cartesian product fails here instead of at 100 TB.
+  * AQE is disabled per-assertion so the static plan shows exactly what
+  * Catalyst required.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def staticPlan(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(nodes)
+
+  private def withStaticPlans[T](body: => T): T = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("pipeline_hotpath: both lookups broadcast; shuffles only for dedup + final order") {
+    withStaticPlans {
+      val ns = nodes(staticPlan(SparkEntry.queries("pipeline_hotpath")(spark, sf)))
+      assert(ns.count(_.isInstanceOf[BroadcastHashJoinExec]) == 2,
+        "both lookup levels must be broadcast hash joins")
+      val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles <= 2, s"fact side must shuffle only for window dedup (+ oracle orderBy), got $shuffles")
+    }
+  }
+
+  test("LSH candidate generation is an equi-join, never cartesian") {
+    withStaticPlans {
+      Seq("sim_lsh_bucket", "dedup_lsh_pairs", "dedup_ngram").foreach { q =>
+        val ns = nodes(staticPlan(SparkEntry.queries(q)(spark, sf)))
+        assert(!ns.exists(_.isInstanceOf[CartesianProductExec]) &&
+          !ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+          s"$q must join on the bucket/signature key, not all-pairs")
+      }
+    }
+  }
+
+  test("sim_topk_brute broadcasts the probe side (corpus streams once)") {
+    withStaticPlans {
+      val ns = nodes(staticPlan(SparkEntry.queries("sim_topk_brute")(spark, sf)))
+      assert(ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        "bounded probe set must be the broadcast side of a nested-loop join")
+    }
+  }
+
+  test("filter_scan pushes its predicate into the parquet scan") {
+    val plan = staticPlan(SparkEntry.queries("filter_scan")(spark, sf)).toString
+    assert(plan.contains("PushedFilters") && plan.contains("c_nationkey"),
+      s"predicate must reach the scan:\n$plan")
+  }
+
+  test("q5_region_revenue aggregates partially before its single group-key shuffle") {
+    withStaticPlans {
+      val ns = nodes(staticPlan(SparkEntry.queries("q5_region_revenue")(spark, sf)))
+      val hashAggs = ns.count(_.getClass.getSimpleName == "HashAggregateExec")
+      assert(hashAggs >= 2, "expect partial + final HashAggregate (map-side combine)")
+    }
+  }
+}
