@@ -27,6 +27,7 @@ object SparkEntry {
     (DedupText.queries, DedupText.oracle),
     (graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracle),
     (graft.sources.XmlFeed.queries, graft.sources.XmlFeed.oracle),
+    (graft.sources.TextFormats.queries, graft.sources.TextFormats.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (Skew.queries, Skew.oracle)
   )
