@@ -72,12 +72,18 @@ object DedupText {
   private[operators] def seed(j: Int): Long =
     (0x9E3779B97F4A7C15L * (j + 1)) & ((1L << 60) - 1)
 
-  /** shingle-set frame → + mh_0..mh_7 (NULL minhash for shingle-less docs). */
+  /** shingle-set frame → + mh_0..mh_7 (NULL minhash for shingle-less docs).
+    * The K minima come from the fused native MinHashSignature expression —
+    * one pass over the hash array instead of K transform+array_min passes;
+    * bit-identical to the composition the DuckDB oracle runs.
+    */
   private def minhashedFrom(sets: DataFrame): DataFrame = {
     val hashed = sets.withColumn("hs", transform(col("s"), x => h60(0, x)))
+      .withColumn("_sig", graft.functions.MinHashExpression.minhash(
+        col("hs"), (0 until K).map(seed)))
     (0 until K).foldLeft(hashed) { (df, j) =>
-      df.withColumn(s"mh_$j", array_min(transform(col("hs"), h => h.bitwiseXOR(lit(seed(j))))))
-    }
+      df.withColumn(s"mh_$j", element_at(col("_sig"), j + 1))
+    }.drop("_sig")
   }
 
   private def minhashed(s: SparkSession, dir: String): DataFrame =
