@@ -61,11 +61,23 @@ object ScalarFuncs {
           to_json(col("point")).as("point_json")),
       "event_id")
 
+  // F3: the wall-clock snapshot (utcnow truncated to seconds + tz-local
+  // date, route.py:170 / run.py:103-111). Inherently non-oracle — no
+  // `oracle` entry, so the driver applies its rows-only check; the row
+  // asserts its own internal consistency instead (truncation and tz shift
+  // both derived from the same instant).
+  private val nowSnapshot: Q = (s, dir) =>
+    s.range(1).select(
+      date_trunc("second", current_timestamp()).as("utc_now"),
+      to_date(from_utc_timestamp(current_timestamp(), "America/Los_Angeles")).as("local_date"),
+      (unix_micros(date_trunc("second", current_timestamp())) % 1000000 === 0).as("truncated_ok"))
+
   val queries: Map[String, Q] = Map(
     "ts_from_epoch" -> tsFromEpoch,
     "ts_arith" -> tsArith,
     "tz_date" -> tzDate,
-    "geo_point" -> geoPoint
+    "geo_point" -> geoPoint,
+    "now_snapshot" -> nowSnapshot
   )
 
   val oracle: Map[String, String] = Map(
