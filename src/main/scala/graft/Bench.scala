@@ -16,8 +16,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: JIT/codegen/session init and parquet-reader paths,
     // so the first timed query measures itself rather than JVM start.
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    Tables.names.foreach(n => Tables(spark, sfDir, n).limit(1).count())
+    // Best-effort: a warm-up failure (e.g. missing table) must not abort the
+    // bench — the affected queries will report -1 below as before.
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      Tables.names.foreach(n => Tables(spark, sfDir, n).limit(1).count())
+    } catch { case e: Throwable => System.err.println(s"[bench] warm-up skipped: $e") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -218,7 +218,10 @@ object Analytics {
           round(expr("percentile(value, 0.5)"), 6).as("p50"),
           expr("approx_percentile(value, 0.5, 1000)").as("ap50"))
         .select(col("event_type"), col("p50"),
-          (abs(col("ap50") - col("p50")) <= abs(col("p50")) * 0.05).as("approx_ok")),
+          // absolute-epsilon floor: a group with p50 = 0 would otherwise
+          // demand bit-equality from the sketch
+          (abs(col("ap50") - col("p50")) <= greatest(abs(col("p50")) * 0.05, lit(0.001)))
+            .as("approx_ok")),
       "event_type")
 
   // TPC-H Q18 shape: HAVING on an aggregate, then join the survivors back to

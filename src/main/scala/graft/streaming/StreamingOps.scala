@@ -143,7 +143,9 @@ object StreamingOps {
             times.foreach { t =>
               cur = cur match {
                 case Some(b) if t - b.last <= gapMillis =>
-                  Some(b.copy(last = math.max(b.last, t), n = b.n + 1))
+                  // a late in-gap event may precede the buffered start —
+                  // extend the session backwards too
+                  Some(SessionBuf(math.min(b.start, t), math.max(b.last, t), b.n + 1))
                 case Some(b) =>
                   closed ::= Session(uid, new java.sql.Timestamp(b.start),
                     new java.sql.Timestamp(b.last), b.n)
@@ -153,7 +155,12 @@ object StreamingOps {
             }
             cur.foreach { b =>
               state.update(b)
-              state.setTimeoutTimestamp(b.last + gapMillis)
+              // A late event can put last+gap behind the current watermark;
+              // Spark rejects a timeout at-or-before the watermark, so clamp
+              // forward (the session then closes at the next watermark tick
+              // instead of crashing the query).
+              state.setTimeoutTimestamp(
+                math.max(b.last + gapMillis, state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }

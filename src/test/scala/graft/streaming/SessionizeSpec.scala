@@ -52,4 +52,34 @@ class SessionizeSpec extends SparkTestBase {
         s"timeout-closed session B missing from $got")
     } finally q.stop()
   }
+
+  test("a late in-gap event extends the session start backwards") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+
+    val source = MemoryStream[SEvent]
+    // generous watermark delay so the out-of-order event is still accepted
+    val sessions = StreamingOps.sessionize(source.toDS(), GAP_MS, "1 hour")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("graft_sessions_late").start()
+    try {
+      source.addData(SEvent(1L, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      // late event 5 min EARLIER, still within the gap of the buffer
+      source.addData(SEvent(1L, ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      // far-future other-key events advance the watermark past the timeout
+      source.addData(SEvent(2L, ts("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+      source.addData(SEvent(2L, ts("2024-01-01 06:01:00")))
+      q.processAllAvailable()
+
+      val got = session.sql("SELECT * FROM graft_sessions_late")
+        .as[Session].collect().filter(_.user_id == 1L).toSeq
+      assert(got.exists(s => s.start == ts("2024-01-01 00:05:00") &&
+        s.end == ts("2024-01-01 00:10:00") && s.n_events == 2L),
+        s"backward-extended session missing from $got")
+    } finally q.stop()
+  }
 }
