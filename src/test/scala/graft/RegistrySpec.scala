@@ -1,0 +1,30 @@
+package graft
+
+import graft.SparkTestBase
+
+/** Driver-contract mirror: the t1 smoke (flagship entry returns rows) and
+  * registry invariants (every query key keeps its oracle; a silently dropped
+  * oracle would downgrade that key to the weaker rows-only check).
+  */
+class RegistrySpec extends SparkTestBase {
+
+  test("flagship entry returns rows at sf0.001 (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query key has an oracle except the declared rows-only set") {
+    val rowsOnly = Set("now_snapshot") // F3 wall clock — inherently non-oracle
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == rowsOnly,
+      s"keys silently missing an oracle: ${missing -- rowsOnly}")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracles without a query: $orphaned")
+  }
+
+  test("every graded query constructs against sf0.001 (no phantom tables/columns)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").schema
+      catch { case e: Throwable => fail(s"$name failed to construct: $e") }
+    }
+  }
+}
