@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
 import graft.SparkTestBase
 
 /** PLANS.md made executable: the scale-critical plan shapes asserted so a
@@ -51,6 +52,34 @@ class PlanShapeSpec extends SparkTestBase {
       val ns = nodes(staticPlan(SparkEntry.queries("sim_topk_brute")(spark, sf)))
       assert(ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
         "bounded probe set must be the broadcast side of a nested-loop join")
+    }
+  }
+
+  test("ANN broadcast sides are bounded id lists, never a corpus-proportional rate") {
+    withStaticPlans {
+      Seq("sim_topk_brute", "sim_knn_label", "sim_ivf_topk").foreach { q =>
+        val ns = nodes(staticPlan(SparkEntry.queries(q)(spark, sf)))
+        val bx = ns.collect { case b: BroadcastExchangeExec => b }
+        assert(bx.nonEmpty, s"$q must broadcast its probe/codebook side")
+        bx.foreach { b =>
+          val sub = b.toString
+          assert(sub.contains("6400") || sub.contains("1600"),
+            s"$q: every broadcast side must derive from the constant id cap " +
+              s"(PROBE_CAP/CENT_CAP), got:\n$sub")
+        }
+      }
+    }
+  }
+
+  test("sim_ivf_topk assignment aggregates map-side; no window over n×k scored rows") {
+    withStaticPlans {
+      val ns = nodes(staticPlan(graft.operators.Similarity.ivfAssigned(spark, sf)))
+      assert(!ns.exists(_.isInstanceOf[WindowExec]),
+        "nearest-centroid argmax must be an aggregate, not a window sort of every scored row")
+      val aggs = ns.count(_.getClass.getSimpleName.contains("AggregateExec"))
+      assert(aggs >= 2, s"expect partial + final aggregate (n×k collapses map-side), got $aggs")
+      val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles <= 1, s"assignment moves n pre-reduced rows through ≤1 exchange, got $shuffles")
     }
   }
 
