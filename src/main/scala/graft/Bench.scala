@@ -22,15 +22,45 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       Tables.names.foreach(n => Tables(spark, sfDir, n).limit(1).count())
     } catch { case e: Throwable => System.err.println(s"[bench] warm-up skipped: $e") }
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def loadAvg: Double =
+      try java.nio.file.Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadAvg
+    // A failing query must be VISIBLE, not a normal-looking wall time: keep
+    // the elapsed seconds but record the error per-query (stderr + "errors"
+    // object in the JSON) so a broken plan can't hide in the perf artifact.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(300)}"
+          System.err.println(s"[bench] $name FAILED: $msg")
+          Some(msg)
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // release the session-scoped cache entries dedup queries parked (library
+    // hygiene: a bench/verify session must end with an empty CacheManager)
+    spark.sharedState.cacheManager.clearCache()
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => s"${jq(k)}:${jq(m)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // run-condition note: 1-min loadavg before/after — a contaminated run
+    // (concurrent load, cf. the r3/r4 2x bench swing) is visible in the artifact
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
+      s""""n_err":${results.count(_._3.isDefined)},"load_before":$loadBefore,"load_after":$loadAvg,""" +
+      s""""cpus":"$cpus","sf":"$sfDir"}"""
     println(json)
     // Also persist to a file so the harness can parse it without scraping
     // sbt [info]-prefixed stdout (BENCH_r01.json had "parsed": null).

@@ -25,6 +25,11 @@ object Verify {
         Option(e.getCause).foreach(c => System.err.println(s"[verify]   cause: $c"))
       }
     }
+    // release the session-scoped cache entries dedup queries parked — a full
+    // Verify run must end with an empty CacheManager (library hygiene; at
+    // scale parked MEMORY_AND_DISK entries squeeze every later query)
+    spark.sharedState.cacheManager.clearCache()
+    assert(spark.sharedState.cacheManager.isEmpty, "cache entries leaked past clearCache")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

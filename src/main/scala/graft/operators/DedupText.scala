@@ -109,7 +109,9 @@ object DedupText {
     // both sides of the verification join). Identical plans share one
     // CacheManager entry across the graded dedup queries (the word-gram
     // pipeline is plan-equal in all three), so a full Verify session holds
-    // two entries (word + char), LRU-evictable under pressure.
+    // two entries (word + char). Session owners (Verify/Bench) release them
+    // with cacheManager.clearCache() once the query batch completes — a
+    // library query must not park cache entries for the life of the session.
     val mh = minhashedFrom(sets).cache()
     // Shingle-less docs have NULL minhashes: concat_ws drops NULLs, so they
     // would all share one band signature, pair quadratically, and divide by
@@ -190,12 +192,19 @@ object DedupText {
       val viaLabel = labels.as("l1")
         .join(labels.as("l2"), col("l1.cluster") === col("l2.doc_id"))
         .select(col("l1.doc_id").as("doc_id"), col("l2.cluster").as("cluster"))
-      val next = labels.union(viaNeighbor).union(viaLabel)
-        .groupBy("doc_id").agg(min("cluster").as("cluster"))
+      // carry the previous label through the SAME aggregation that computes
+      // the new one (`labels` contributes exactly one row per doc_id, so
+      // min(prev) is the old label): the convergence check then reads the
+      // just-checkpointed blocks instead of running a second join job per
+      // iteration — one shuffle job + one cheap local probe per step.
+      val nullPrev = lit(null).cast(labels.schema("cluster").dataType)
+      val next = labels.withColumn("prev", col("cluster"))
+        .unionByName(viaNeighbor.withColumn("prev", nullPrev))
+        .unionByName(viaLabel.withColumn("prev", nullPrev))
+        .groupBy("doc_id").agg(min("cluster").as("cluster"), min("prev").as("prev"))
         .localCheckpoint()
-      changed = !next.join(labels.withColumnRenamed("cluster", "prev"), Seq("doc_id"))
-        .filter(col("cluster") =!= col("prev")).isEmpty
-      labels = next
+      changed = next.filter(col("cluster") =!= col("prev")).limit(1).count() > 0
+      labels = next.select("doc_id", "cluster")
       iter += 1
     }
     // fail loud rather than silently emit unconverged labels (the oracle's
