@@ -25,6 +25,11 @@ import graft.operators.MergeOps
   *                           yields exactly-once table state
   *   - daily dim refresh   → stream-static join; the static side is re-read
   *                           every micro-batch by `foreachBatch` (ST6)
+  *   - retry envelope      → `withRetries`: bounded re-start from the
+  *                           checkpoint (ST7; run.py:69-77,114-121)
+  *   - durable table       → `ParquetTableSink`: versioned-parquet merge
+  *                           target with an atomic version-pointer commit
+  *                           (the Postgres boundary, connect.py:8-14)
   *
   * Scale design: the only stateful operator is the watermarked dedup, whose
   * state is bounded by the watermark horizon and partitioned by the dedup
@@ -73,6 +78,50 @@ object StreamingOps {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], _: Long) => sink.merge(batch) }
       .start()
+
+  /** Persistent variant of the merge sink: each micro-batch is upserted into
+    * a parquet-directory table that survives process restart (the durable
+    * half the reference gets from Postgres — see ParquetTableSink).
+    */
+  def startPersistentMergeSink(src: DataFrame, sink: ParquetTableSink,
+                               checkpointDir: String,
+                               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    src.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], id: Long) => sink.merge(batch, id) }
+      .start()
+
+  /** ST7: the bounded restart/retry envelope around a streaming pipeline —
+    * the reference's swallow-and-retry poll loop (`run.py:114-121`) and its
+    * ≤10-attempt config-refresh loop (`run.py:69-77`), Spark-shaped: on a
+    * transient failure the query is RE-STARTED FROM ITS CHECKPOINT (offsets
+    * + idempotent merge make the re-run exactly-once), at most `maxAttempts`
+    * times; the last failure propagates so a persistent fault is loud, not
+    * swallowed forever.
+    *
+    * Returns the number of attempts used (for tests/telemetry).
+    */
+  def withRetries(maxAttempts: Int)(start: () => StreamingQuery): Int = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      try {
+        start().awaitTermination()
+        done = true
+      } catch {
+        case e: Throwable if attempt < maxAttempts =>
+          System.err.println(
+            s"[graft.retry] attempt $attempt/$maxAttempts failed " +
+              s"(${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}); " +
+              "restarting from checkpoint")
+      }
+    }
+    attempt
+  }
 
   /** The JDBC-table stand-in for tests: a named in-memory target maintained
     * through MergeOps.upsert, exactly what a `foreachBatch` JDBC MERGE would

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.{Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.{SparkTestBase, Tables}
+
+/** The durable half of the sink story (reference: committed Postgres merges,
+  * agency.py:311-322) plus the ST7 retry envelope (run.py:69-77,114-121):
+  *
+  *   - ParquetTableSink survives "process death" — only the on-disk
+  *     directory carries state between runs; a fresh sink object over the
+  *     same directory resumes exactly where the previous one committed.
+  *   - withRetries restarts a failed pipeline from its checkpoint within a
+  *     bounded attempt budget and the final table is exactly-once.
+  */
+class PersistentSinkSpec extends SparkTestBase {
+
+  private def events = Tables(spark, "/root/testdata/sf0.001", "events")
+    .select("event_id", "ts", "user_id", "value")
+
+  private def sortedIds(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+    val session = spark
+    import session.implicits._
+    df.select("event_id").as[Long].collect().sorted.toSeq
+  }
+
+  test("on-disk table survives restart: fresh sink object resumes from the committed version") {
+    val src = Files.createTempDirectory("graft-psink-drops").toString
+    val ckpt = Files.createTempDirectory("graft-psink-ckpt").toString
+    val table = Files.createTempDirectory("graft-psink-table").toString
+    val zero = events.limit(0)
+
+    def run(): Unit = {
+      // a NEW sink object each run: state must come from the directory alone
+      val sink = new ParquetTableSink(spark, table, zero, Seq("event_id"))
+      val stream = spark.readStream.schema(events.schema).parquet(s"$src/*")
+      StreamingOps.startPersistentMergeSink(
+        StreamingOps.dedupByKey(stream, "ts", "10 minutes", Seq("event_id")),
+        sink, ckpt, Trigger.AvailableNow()
+      ).awaitTermination()
+    }
+
+    events.filter(col("event_id") < 300).write.parquet(s"$src/d1")
+    run() // first "process"
+
+    events.filter(col("event_id") >= 300 && col("event_id") < 500).write.parquet(s"$src/d2")
+    run() // second "process", same table dir + checkpoint
+
+    val expected = events.filter(col("event_id") < 500)
+    val onDisk = new ParquetTableSink(spark, table, zero, Seq("event_id")).current
+    assert(onDisk.count() == expected.count())
+    assert(sortedIds(onDisk) == sortedIds(expected),
+      "on-disk table after restart must equal the single-delivery result")
+  }
+
+  test("batchId guard: a replayed already-committed batch does not rewrite the table") {
+    val table = Files.createTempDirectory("graft-psink-guard").toString
+    val zero = events.limit(0)
+    val sink = new ParquetTableSink(spark, table, zero, Seq("event_id"))
+    val batch = events.filter(col("event_id") < 100)
+
+    sink.merge(batch, batchId = 0L)
+    val afterFirst = sink.lastCommittedBatchId
+    sink.merge(batch, batchId = 0L) // replay of a committed batch: no-op
+    assert(sink.lastCommittedBatchId == afterFirst)
+    assert(sink.current.count() == batch.count())
+
+    sink.merge(batch, batchId = 1L) // idempotent upsert: same state, new version
+    assert(sink.current.count() == batch.count())
+  }
+
+  test("ST7: transient first-attempt failure, pipeline completes on retry, table exactly-once") {
+    val src = Files.createTempDirectory("graft-retry-drops").toString
+    val ckpt = Files.createTempDirectory("graft-retry-ckpt").toString
+    val table = Files.createTempDirectory("graft-retry-table").toString
+    val zero = events.limit(0)
+    val sink = new ParquetTableSink(spark, table, zero, Seq("event_id"))
+
+    events.filter(col("event_id") < 400).write.parquet(s"$src/d1")
+    val injected = new AtomicBoolean(false)
+
+    val attempts = StreamingOps.withRetries(3) { () =>
+      spark.readStream.schema(events.schema).parquet(s"$src/*")
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          if (injected.compareAndSet(false, true))
+            throw new RuntimeException("injected transient sink failure")
+          sink.merge(b, id)
+        }
+        .start()
+    }
+
+    assert(attempts == 2, s"expected exactly one retry, used $attempts attempts")
+    val expected = events.filter(col("event_id") < 400)
+    assert(sink.current.count() == expected.count())
+    assert(sortedIds(sink.current) == sortedIds(expected),
+      "table after retry must be exactly-once")
+  }
+
+  test("withRetries propagates a persistent failure after the attempt budget") {
+    val src = Files.createTempDirectory("graft-retry2-drops").toString
+    events.filter(col("event_id") < 50).write.parquet(s"$src/d1")
+    var calls = 0
+    val e = intercept[Throwable] {
+      StreamingOps.withRetries(2) { () =>
+        calls += 1
+        spark.readStream.schema(events.schema).parquet(s"$src/*")
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", Files.createTempDirectory("graft-retry2-ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (_: Dataset[Row], _: Long) =>
+            throw new RuntimeException("permanent failure")
+          }
+          .start()
+      }
+    }
+    assert(calls == 2, s"must stop at the attempt budget, made $calls attempts")
+    assert(e.getMessage != null)
+  }
+}
