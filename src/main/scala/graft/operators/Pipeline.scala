@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
@@ -79,12 +79,80 @@ object Pipeline {
         col("price").asc_nulls_first)
   }
 
+  /** Entry point D (`update_service_stop_orders`, agency.py:197-232 +
+    * route.py:88-137) end-to-end: routeConfig XML documents → per-direction
+    * stop_order enumeration in document order (W1, the posexplode contract)
+    * → versioned insert-if-absent against the already-loaded table (S8 —
+    * `ON CONFLICT DO NOTHING`, so the earlier version's ordering survives a
+    * re-crawl that shifted positions).
+    *
+    * Over testdata: one routeConfig doc per user (route_tag = user_id),
+    * one direction per event_type, stops = that group's events in (ts,
+    * event_id) order. The "existing" table is the parse of an earlier,
+    * smaller crawl (event_id < 800) whose conflicting keys must win.
+    *
+    * Scale shape: doc synthesis is two grouped aggregations; parsing is
+    * per-row expression work over the doc scan; the merge is one left-anti
+    * join on the conflict key. No broadcast assumptions, no driver loops.
+    */
+  def stopOrdersRefresh(s: SparkSession, dir: String): DataFrame = {
+    def docsFor(maxId: Long): DataFrame = {
+      val stopFrag = (e: Column) =>
+        concat(lit("<stop tag=\""), e.getField("event_id"), lit("\"/>"))
+      val dirDocs = Tables(s, dir, "events")
+        .filter(col("event_id") < maxId)
+        .groupBy("user_id", "event_type")
+        .agg(concat(lit("<direction tag=\""), col("event_type"), lit("\">"),
+          concat_ws("", transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id")))), stopFrag)),
+          lit("</direction>")).as("dir_xml"))
+      dirDocs.groupBy("user_id")
+        .agg(concat(lit("<body><route tag=\""), col("user_id"), lit("\">"),
+          concat_ws("", transform(
+            array_sort(collect_list(struct(col("event_type"), col("dir_xml")))),
+            d => d.getField("dir_xml"))),
+          lit("</route></body>")).as("xml"))
+    }
+    val existing = graft.sources.XmlFeed.parseStopOrders(docsFor(800))
+      .withColumn("version", lit(1))
+    val incoming = graft.sources.XmlFeed.parseStopOrders(docsFor(2000))
+      .withColumn("version", lit(2))
+    MergeOps.insertIfAbsent(existing, incoming,
+        Seq("route_tag", "direction_tag", "stop_tag"))
+      .orderBy(col("route_tag").asc_nulls_first, col("direction_tag").asc_nulls_first,
+        col("stop_tag").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_hotpath" -> (vehicleHotPath(_, _)),
-    "pipeline_stops_refresh" -> (stopsRefresh(_, _))
+    "pipeline_stops_refresh" -> (stopsRefresh(_, _)),
+    "pipeline_stop_orders" -> (stopOrdersRefresh(_, _))
   )
 
   val oracle: Map[String, String] = Map(
+    "pipeline_stop_orders" ->
+      """WITH ex AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS route_tag, event_type AS direction_tag,
+        |    CAST(event_id AS VARCHAR) AS stop_tag,
+        |    CAST(row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts ASC, event_id ASC) AS INT) AS stop_order,
+        |    1 AS version
+        |  FROM events WHERE event_id < 800),
+        |inc AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS route_tag, event_type AS direction_tag,
+        |    CAST(event_id AS VARCHAR) AS stop_tag,
+        |    CAST(row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts ASC, event_id ASC) AS INT) AS stop_order,
+        |    2 AS version
+        |  FROM events WHERE event_id < 2000)
+        |SELECT * FROM ex
+        |UNION ALL
+        |SELECT i.* FROM inc i
+        |WHERE NOT EXISTS (SELECT 1 FROM ex
+        |  WHERE ex.route_tag = i.route_tag AND ex.direction_tag = i.direction_tag
+        |    AND ex.stop_tag = i.stop_tag)
+        |ORDER BY route_tag ASC NULLS FIRST, direction_tag ASC NULLS FIRST,
+        |  stop_tag ASC NULLS FIRST""".stripMargin,
     "pipeline_stops_refresh" ->
       """WITH body AS (
         |  SELECT p_brand AS tag, p_name AS name, p_retailprice AS price
