@@ -153,6 +153,23 @@ object Multimodal {
     Decoded(id, fmt, w, 1 + bytes.length % 64, 3, bytes)
   }
 
+  /** REAL decode for the formats the JDK ships codecs for (PNG, GIF, JPEG,
+    * BMP via `javax.imageio` — in-JVM, zero native deps): genuine pixel
+    * decode through the same seam the fake plugs into, so the plumbing is
+    * proven against actual image bytes, not only the stub. Emits raster
+    * samples row-major, one byte per channel sample. A payload that is not
+    * a decodable image fails loudly — a production pipeline would route
+    * those rows to a quarantine sink instead.
+    */
+  val ImageIOCodec: Codec = (id, fmt, bytes) => {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"doc $id: payload is not an image ImageIO can decode")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val ch = img.getRaster.getNumBands
+    val samples = img.getRaster.getPixels(0, 0, w, h, new Array[Int](w * h * ch))
+    Decoded(id, fmt, w, h, ch, samples.map(_.toByte))
+  }
+
   /** The batch-decode stage: typed mapPartitions over (id, format, payload)
     * — the Scala analogue of mapInPandas. One codec instance per partition
     * (real codecs carry per-thread native state); rows stream through

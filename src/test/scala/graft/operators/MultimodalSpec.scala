@@ -26,6 +26,48 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.filter(col("doc_id") === 1).collect().head.pixels.toSeq == Seq[Byte](1, 2, 3))
   }
 
+  test("ImageIOCodec decodes real PNG bytes: true dimensions, channels, and pixel values") {
+    val session = spark
+    import session.implicits._
+
+    // tiny REAL PNGs generated in-JVM: known dims + a known corner pixel
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos), "JDK PNG writer missing")
+      bos.toByteArray
+    }
+
+    val media = Seq(
+      (1L, "png", png(5, 3, 0xFF0000)),  // red
+      (2L, "png", png(2, 7, 0x00FF00)),  // green
+      (3L, "png", png(1, 1, 0x1080C0))
+    ).toDF("doc_id", "format", "payload").repartition(2)
+
+    val out = Multimodal.decodeWith(media, Multimodal.ImageIOCodec)
+      .collect().map(d => d.doc_id -> d).toMap
+
+    assert((out(1L).width, out(1L).height, out(1L).channels) == (5, 3, 3))
+    assert((out(2L).width, out(2L).height, out(2L).channels) == (2, 7, 3))
+    assert((out(3L).width, out(3L).height, out(3L).channels) == (1, 1, 3))
+    // raster samples are RGB row-major: the 1x1 image is exactly one pixel
+    assert(out(3L).pixels.toSeq == Seq(0x10.toByte, 0x80.toByte, 0xC0.toByte))
+    assert(out(1L).pixels.length == 5 * 3 * 3)
+    assert(out(1L).pixels.take(3).toSeq == Seq(0xFF.toByte, 0x00.toByte, 0x00.toByte))
+  }
+
+  test("ImageIOCodec rejects a non-image payload loudly") {
+    val session = spark
+    import session.implicits._
+    val media = Seq((9L, "png", Array[Byte](1, 2, 3, 4))).toDF("doc_id", "format", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWith(media, Multimodal.ImageIOCodec).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("decode stage is deterministic across repeated runs") {
     val session = spark
     import session.implicits._
