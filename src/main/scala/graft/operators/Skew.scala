@@ -21,17 +21,25 @@ object Skew {
 
   /** Inner salted equi-join; result is row-identical to the unsalted join.
     *
-    * The salt mixes the row content with its physical position
-    * (partition id + row index) so exact duplicate rows — the typical skew
-    * source: retries, log replays — still spread across salts. The salt is
-    * dropped before output, so position-dependence never reaches results.
+    * Default salt: a pure content hash of the full row — deterministic
+    * across task retries and speculative attempts, so a row always lands on
+    * the same (key, salt) replica no matter how the stage is re-executed.
+    * Its blind spot: byte-identical duplicate rows (retries, log replays)
+    * share a salt and stay in one task. For that duplicate-heavy shape pass
+    * `positionMix = true`, which mixes in the row's physical position
+    * (partition id + row index) — spreads exact duplicates, at the cost of
+    * task-level placement that is NOT reproducible across retries (outputs
+    * stay identical either way: the salt is dropped and the dim side
+    * carries every salt replica).
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
-                 salts: Int): DataFrame = {
+                 salts: Int, positionMix: Boolean = false): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
-    val f = fact.withColumn("_salt",
-      pmod(hash(fact.columns.map(col) :+ spark_partition_id() :+ monotonically_increasing_id(): _*),
-        lit(salts)))
+    val content = fact.columns.map(col).toSeq
+    val saltSrc =
+      if (positionMix) content :+ spark_partition_id() :+ monotonically_increasing_id()
+      else content
+    val f = fact.withColumn("_salt", pmod(hash(saltSrc: _*), lit(salts)))
     val d = dim.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
     f.join(d, keys :+ "_salt", "inner").drop("_salt")
   }
