@@ -29,7 +29,8 @@ object SparkEntry {
     (graft.sources.XmlFeed.queries, graft.sources.XmlFeed.oracle),
     (graft.sources.TextFormats.queries, graft.sources.TextFormats.oracle),
     (Multimodal.queries, Multimodal.oracle),
-    (Skew.queries, Skew.oracle)
+    (Skew.queries, Skew.oracle),
+    (TemporalJoins.queries, TemporalJoins.oracle)
   )
 
   /** A duplicate query key across modules would silently shadow one

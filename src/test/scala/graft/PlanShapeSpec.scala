@@ -83,6 +83,26 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("range_join is a bucketed equi-join, never cartesian/BNLJ") {
+    withStaticPlans {
+      val ns = nodes(staticPlan(SparkEntry.queries("range_join")(spark, sf)))
+      assert(!ns.exists(_.isInstanceOf[CartesianProductExec]) &&
+        !ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        "the interval predicate must ride a (key, bucket) equi-join as a residual filter")
+    }
+  }
+
+  test("asof_join shuffles once on the key (union + ordered window, no row blowup)") {
+    withStaticPlans {
+      val ns = nodes(staticPlan(SparkEntry.queries("asof_join")(spark, sf)))
+      assert(!ns.exists(_.isInstanceOf[CartesianProductExec]) &&
+        !ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        "as-of must not be a non-equi join")
+      val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles <= 2, s"expect key-window shuffle (+ oracle orderBy), got $shuffles")
+    }
+  }
+
   test("filter_scan pushes its predicate into the parquet scan") {
     val plan = staticPlan(SparkEntry.queries("filter_scan")(spark, sf)).toString
     assert(plan.contains("PushedFilters") && plan.contains("c_nationkey"),
