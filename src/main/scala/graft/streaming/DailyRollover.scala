@@ -64,7 +64,8 @@ final class DailyRollover(clock: () => LocalDate,
       attempt += 1
       try { step(); done = true }
       catch {
-        case e: Throwable if attempt < maxAttemptsPerStep =>
+        // NonFatal only — fatal errors (OOM, interrupts) propagate
+        case scala.util.control.NonFatal(e) if attempt < maxAttemptsPerStep =>
           System.err.println(s"[graft.rollover] $name attempt $attempt/$maxAttemptsPerStep " +
             s"failed (${e.getClass.getSimpleName}); retrying")
       }

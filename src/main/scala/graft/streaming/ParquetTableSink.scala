@@ -3,7 +3,10 @@ package graft.streaming
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, hash, pmod, lit}
 import graft.operators.MergeOps
 
 /** A persistent merge sink behind `foreachBatch` — the durable counterpart
@@ -11,42 +14,69 @@ import graft.operators.MergeOps
   * Postgres boundary (psycopg2 connection `connect.py:8-14`; committed
   * `INSERT … ON CONFLICT` merges `agency.py:311-322`).
   *
-  * The table lives as a versioned parquet directory:
+  * The table is hash-bucketed by the merge key and versioned through a
+  * manifest, the same shape a copy-on-write table format uses (immutable
+  * data files + an atomically-swapped pointer):
   *
   * {{{
-  *   dir/v{n}/        the committed table state (parquet)
-  *   dir/_CURRENT     "{n},{batchId}" — pointer to the live version and the
-  *                    last committed micro-batch id
+  *   dir/data/b{bucket}-v{version}/   immutable parquet, one dir per bucket
+  *   dir/manifest/v{n}                "{bucket} {relative data dir}" lines
+  *   dir/_CURRENT                     "{n},{batchId}" — live manifest version
+  *                                    and last committed micro-batch id
+  *   dir/_BUCKETS                     bucket count, pinned at first commit
   * }}}
   *
-  * Each `merge(batch, batchId)` reads the current version, upserts the
-  * batch (S7 semantics), writes `v{n+1}` under a dot-prefixed temp name and
-  * promotes it with an atomic rename, then swaps `_CURRENT` with a second
-  * atomic rename. A crash between the two renames leaves `_CURRENT` on the
-  * old version — the half-written new version is invisible and the batch
-  * replays on restart. Exactly-once table state follows from two layers:
+  * `merge(batch, batchId)` rewrites ONLY the buckets the batch touches:
   *
-  *   - batches the checkpoint knows about never re-enter `foreachBatch`
-  *     (the offset log, proven in FileSourceSpec);
-  *   - a batch that DID re-enter (crash after commit, before the
-  *     checkpoint advanced) is skipped by the `batchId <= committed` guard
-  *     — the standard foreachBatch idempotence recipe. Even without the
-  *     guard the upsert itself is idempotent; the guard also spares the
-  *     rewrite.
+  *   1. stage the batch partitioned by `_bucket = pmod(hash(keys), B)` —
+  *      one materialization that both detaches the streaming lineage and
+  *      yields the touched-bucket set from a directory listing (no collect);
+  *   2. read the CURRENT data of the touched buckets only, upsert the staged
+  *      batch into it (S7 semantics), write the result partitioned by bucket;
+  *   3. promote each output bucket dir to `data/b{X}-v{next}` with an atomic
+  *      rename, write `manifest/v{next}` = untouched entries carried over +
+  *      the promoted dirs, and swap `_CURRENT` atomically.
   *
-  * Scale note: read-merge-rewrite per micro-batch is how a table format
-  * does copy-on-write MERGE; at cluster scale the target would be
-  * partitioned/bucketed by the merge key so each batch rewrites only the
-  * touched files (MergeOps' bucketed-merge plan, BucketedMergeSpec). The
-  * version-pointer commit protocol here is the same shape those formats
-  * use (an atomic pointer swap over immutable data files).
+  * Untouched buckets are never read or written — their data dirs stay
+  * byte-identical (PersistentSinkSpec asserts paths+sizes), so per-batch I/O
+  * is O(touched buckets), not O(table). A crash anywhere before the pointer
+  * swap leaves `_CURRENT` on the old version; replay first deletes any
+  * `*-v{next}` data dirs and staging output (garbage by construction — a
+  * committed manifest never references a version above the pointer), so a
+  * crashed attempt can never wedge the retry. A batch that re-enters after
+  * its commit (crash before the checkpoint advanced) is skipped by the
+  * `batchId <= committed` guard — the standard foreachBatch idempotence
+  * recipe. Even without the guard the upsert itself is idempotent.
+  *
+  * GC keeps the last TWO manifest versions and every data dir they
+  * reference, so a reader that resolved `current` just before a merge can
+  * still finish its (lazy) scan of the previous version. Readers that hold a
+  * frame across MORE than one subsequent merge must materialize it.
   */
 final class ParquetTableSink(spark: SparkSession, dir: String,
-                             zero: DataFrame, keys: Seq[String]) {
+                             zero: DataFrame, keys: Seq[String],
+                             buckets: Int = 16) {
+  require(buckets >= 1, s"buckets must be >= 1, got $buckets")
 
   private val root: Path = Paths.get(dir)
   Files.createDirectories(root)
+  private val dataDir = root.resolve("data")
+  private val manifestDir = root.resolve("manifest")
+  private val stagingDir = root.resolve("_staging")
   private val pointer = root.resolve("_CURRENT")
+  private val bucketsFile = root.resolve("_BUCKETS")
+  Files.createDirectories(dataDir)
+  Files.createDirectories(manifestDir)
+
+  // The bucket count is part of the on-disk layout: a sink re-opened over an
+  // existing table must agree with the count the table was written with.
+  if (Files.exists(bucketsFile)) {
+    val persisted = Files.readString(bucketsFile).trim.toInt
+    require(persisted == buckets,
+      s"table at $dir was bucketed with B=$persisted, sink configured with B=$buckets")
+  }
+
+  private def bucketCol = pmod(hash(keys.map(col): _*), lit(buckets))
 
   /** (version, lastCommittedBatchId), or None before the first commit. */
   private def readPointer(): Option[(Long, Long)] =
@@ -56,10 +86,22 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
       case other => sys.error(s"corrupt _CURRENT pointer: ${other.mkString(",")}")
     }
 
+  /** bucket → data dir name, as committed by manifest version `v`. */
+  private def readManifest(v: Long): Map[Int, String] =
+    Files.readAllLines(manifestDir.resolve(s"v$v")).asScala
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(b, d) = line.split(" ", 2)
+        b.toInt -> d
+      }.toMap
+
   /** The committed table state (the zero frame before the first commit). */
   def current: DataFrame = readPointer() match {
-    case Some((v, _)) => spark.read.schema(zero.schema).parquet(root.resolve(s"v$v").toString)
-    case None         => zero
+    case Some((v, _)) =>
+      val paths = readManifest(v).values.map(d => dataDir.resolve(d).toString).toSeq
+      if (paths.isEmpty) zero
+      else spark.read.schema(zero.schema).parquet(paths: _*)
+    case None => zero
   }
 
   def lastCommittedBatchId: Long = readPointer().map(_._2).getOrElse(-1L)
@@ -71,20 +113,98 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
   def merge(batch: DataFrame, batchId: Long): Unit = synchronized {
     val (ver, committed) = readPointer().getOrElse((-1L, -1L))
     if (batchId <= committed) return // replay of an already-committed batch
-    // detach from streaming lineage (self-join guard) before merging
-    val detached = batch.sparkSession.createDataFrame(batch.rdd, batch.schema)
-    val merged = MergeOps.upsert(current, detached, keys, nullSafeKeys = false)
     val next = ver + 1
-    val tmp = root.resolve(s".v$next.tmp")
-    deleteRecursively(tmp) // stale temp from a crashed attempt
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    Files.move(tmp, root.resolve(s"v$next"), StandardCopyOption.ATOMIC_MOVE)
+    val manifest: Map[Int, String] = if (ver >= 0) readManifest(ver) else Map.empty
+
+    // Clean garbage from any crashed previous attempt at this version:
+    // staging output plus data dirs of a version the pointer never reached.
+    // Without this, a crash between data promotion and the pointer swap
+    // would wedge every replay on the existing target dir.
+    deleteRecursively(stagingDir)
+    listDirs(dataDir).filter(_.getFileName.toString.endsWith(s"-v$next"))
+      .foreach(deleteRecursively)
+
+    // 1. Stage the batch partitioned by bucket. This is the one
+    // materialization of the batch: it detaches the streaming lineage (the
+    // read-back is a plain parquet scan) and the directory listing IS the
+    // touched-bucket set — no row ever crosses to the driver.
+    val stagedBatch = stagingDir.resolve("batch")
+    batch.withColumn("_bucket", bucketCol)
+      .write.partitionBy("_bucket").parquet(stagedBatch.toString)
+    val touched: Seq[Int] = listDirs(stagedBatch)
+      .map(_.getFileName.toString).filter(_.startsWith("_bucket="))
+      .map(_.stripPrefix("_bucket=").toInt).sorted
+
+    val newEntries: Map[Int, String] =
+      if (touched.isEmpty) Map.empty // empty batch: commit the batchId only
+      else {
+        // 2. Upsert into the CURRENT contents of the touched buckets only.
+        val existingPaths = touched.flatMap(manifest.get)
+          .map(d => dataDir.resolve(d).toString)
+        val target =
+          if (existingPaths.isEmpty) zero
+          else spark.read.schema(zero.schema).parquet(existingPaths: _*)
+        val staged = spark.read.schema(zero.schema).parquet(stagedBatch.toString)
+        val merged = MergeOps.upsert(target, staged, keys, nullSafeKeys = false)
+        val out = stagingDir.resolve("out")
+        merged.withColumn("_bucket", bucketCol)
+          .write.partitionBy("_bucket").parquet(out.toString)
+
+        // 3. Promote each rewritten bucket dir to its versioned location.
+        listDirs(out).filter(_.getFileName.toString.startsWith("_bucket="))
+          .map { bDir =>
+            val b = bDir.getFileName.toString.stripPrefix("_bucket=").toInt
+            val name = s"b$b-v$next"
+            Files.move(bDir, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+            b -> name
+          }.toMap
+      }
+
+    val nextManifest = manifest ++ newEntries
+    val mTmp = manifestDir.resolve(s".v$next.tmp")
+    Files.writeString(mTmp,
+      nextManifest.toSeq.sortBy(_._1).map { case (b, d) => s"$b $d" }.mkString("\n"))
+    Files.move(mTmp, manifestDir.resolve(s"v$next"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    if (!Files.exists(bucketsFile)) Files.writeString(bucketsFile, buckets.toString)
+
+    // THE commit: everything before this line is invisible to readers.
     val ptrTmp = root.resolve("._CURRENT.tmp")
     Files.writeString(ptrTmp, s"$next,$batchId")
     Files.move(ptrTmp, pointer, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
-    if (ver >= 0) deleteRecursively(root.resolve(s"v$ver")) // best-effort GC
+
+    gc(next)
+    deleteRecursively(stagingDir)
   }
+
+  /** Keep the last two manifest versions and every data dir they reference
+    * (a reader holding `current` from just before this merge can still scan
+    * the previous version); delete everything older.
+    */
+  private def gc(latest: Long): Unit = {
+    val keepVersions = Set(latest, latest - 1).filter(_ >= 0)
+    val keepDirs: Set[String] = keepVersions
+      .filter(v => Files.exists(manifestDir.resolve(s"v$v")))
+      .flatMap(v => readManifest(v).values)
+    listDirs(manifestDir)
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("v") && n.drop(1).forall(_.isDigit) && !keepVersions.contains(n.drop(1).toLong)
+      }
+      .foreach(deleteRecursively)
+    listDirs(dataDir)
+      .filter(p => !keepDirs.contains(p.getFileName.toString))
+      .foreach(deleteRecursively)
+  }
+
+  /** Immediate children of `p` (files and dirs), empty if `p` is missing. */
+  private def listDirs(p: Path): Seq[Path] =
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

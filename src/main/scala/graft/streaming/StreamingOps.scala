@@ -113,7 +113,10 @@ object StreamingOps {
         start().awaitTermination()
         done = true
       } catch {
-        case e: Throwable if attempt < maxAttempts =>
+        // NonFatal only: an OutOfMemoryError / InterruptedException must
+        // propagate, not trigger a checkpoint restart with the JVM already
+        // compromised.
+        case scala.util.control.NonFatal(e) if attempt < maxAttempts =>
           System.err.println(
             s"[graft.retry] attempt $attempt/$maxAttempts failed " +
               s"(${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}); " +

@@ -3,6 +3,8 @@ package graft.streaming
 import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicBoolean
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -71,6 +73,46 @@ class PersistentSinkSpec extends SparkTestBase {
 
     sink.merge(batch, batchId = 1L) // idempotent upsert: same state, new version
     assert(sink.current.count() == batch.count())
+  }
+
+  test("bucket pruning: a batch touching one bucket leaves the other buckets byte-identical") {
+    val table = Files.createTempDirectory("graft-psink-bucket").toString
+    val zero = events.limit(0)
+    val sink = new ParquetTableSink(spark, table, zero, Seq("event_id"))
+
+    sink.merge(events.filter(col("event_id") < 300), batchId = 0L)
+
+    // every data file of the committed v0 layout: path -> size
+    def dataFiles(): Map[String, Long] = {
+      val data = java.nio.file.Paths.get(table, "data")
+      val s = java.nio.file.Files.walk(data)
+      try s.iterator().asScala.toSeq
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+      finally s.close()
+    }
+    val before = dataFiles()
+    assert(before.keys.map(_.replaceAll(".*/data/", "").takeWhile(_ != '/')).toSet.size > 1,
+      "fixture must populate more than one bucket for pruning to be observable")
+
+    // one single-key batch: exactly one bucket is touched
+    val session = spark
+    import session.implicits._
+    val touchedBucket = events.filter(col("event_id") === 301)
+      .select(pmod(hash(col("event_id")), lit(16))).as[Int].head()
+    sink.merge(events.filter(col("event_id") === 301), batchId = 1L)
+    val after = dataFiles()
+
+    val untouchedBefore = before.filterNot(_._1.contains(s"/b$touchedBucket-v"))
+    untouchedBefore.foreach { case (path, size) =>
+      assert(after.get(path).contains(size),
+        s"untouched bucket file must survive the merge byte-identical: $path")
+    }
+    assert(after.keys.exists(_.contains(s"/b$touchedBucket-v1")),
+      "the touched bucket must be rewritten under the new version")
+    assert(sortedIds(sink.current) ==
+      sortedIds(events.filter(col("event_id") < 300 || col("event_id") === 301)),
+      "pruned rewrite must still produce the correct merged table")
   }
 
   test("ST7: transient first-attempt failure, pipeline completes on retry, table exactly-once") {
