@@ -1,0 +1,190 @@
+package graft.streaming
+
+import java.sql.{Connection, DriverManager, PreparedStatement, SQLException, Timestamp}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** A real JDBC merge sink behind `foreachBatch` — bytes cross an actual JDBC
+  * driver, closing the reference's defining boundary (psycopg2 connection
+  * `connect.py:8-14` executing `INSERT … ON CONFLICT` server-side,
+  * `agency.py:26-37,311-322`). The in-JVM Derby engine (shipped with Spark
+  * for the Hive metastore) stands in for the warehouse — the SQL and the
+  * commit protocol are the same ones a Postgres/warehouse URL would get.
+  *
+  * Exactly-once table state uses the transactional-sink recipe:
+  *
+  *   1. the micro-batch is loaded into a staging table by parallel
+  *      per-partition INSERT batches (executor-side connections — the
+  *      cluster-scale write path; nothing funnels through the driver);
+  *   2. ONE driver-side transaction then runs `MERGE INTO target USING
+  *      staging` (upsert on the key) AND records the batch id in
+  *      `graft_commits`, committing both atomically.
+  *
+  * A crash before the commit leaves the target and the recorded batch id
+  * unchanged — the staging load is repeatable, and the batch replays from
+  * the checkpoint. A crash after the commit but before the checkpoint
+  * advanced re-enters `merge`, which the `batchId <= committed` guard skips.
+  * Either way the target sees the batch exactly once. (Even unguarded, the
+  * MERGE upsert is idempotent for identical re-delivery.)
+  *
+  * Scale notes: the staging INSERT is per-partition batched (executeBatch
+  * every [[JdbcUpsertSink.InsertBatch]] rows); the MERGE joins staging
+  * against the target inside the database on the indexed key — O(batch)
+  * work, not O(table). Batches must carry at most one row per key (dedup
+  * upstream — `StreamingOps.dedupByKey`), the same contract every MERGE
+  * engine imposes.
+  */
+final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
+                           schema: StructType) extends Serializable {
+  require(keys.nonEmpty && keys.forall(schema.fieldNames.contains),
+    s"keys ${keys.mkString(",")} must be columns of the schema")
+
+  private val cols = schema.fields.map(_.name).toSeq
+  private val nonKeyCols = cols.filterNot(keys.contains)
+  private val stage = s"${table}_stage"
+
+  private def sqlType(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType => "SMALLINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case TimestampType => "TIMESTAMP"
+    case DateType => "DATE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case StringType => "VARCHAR(4000)"
+    case other => sys.error(s"JdbcUpsertSink: unsupported column type $other")
+  }
+
+  private def withConn[T](body: Connection => T): T = {
+    JdbcUpsertSink.ensureDriver(url)
+    val c = DriverManager.getConnection(url)
+    try body(c) finally c.close()
+  }
+
+  /** Idempotent DDL: Derby has no IF NOT EXISTS — swallow "already exists". */
+  private def ensure(c: Connection, ddl: String): Unit = {
+    val st = c.createStatement()
+    try st.executeUpdate(ddl)
+    catch { case e: SQLException if e.getSQLState == "X0Y32" => () }
+    finally st.close()
+  }
+
+  /** Create target/staging/commit-log tables if absent. */
+  def ensureTables(): Unit = withConn { c =>
+    val colDefs = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+    ensure(c, s"CREATE TABLE $table ($colDefs, PRIMARY KEY (${keys.mkString(", ")}))")
+    ensure(c, s"CREATE TABLE $stage ($colDefs)")
+    ensure(c, "CREATE TABLE graft_commits (sink_name VARCHAR(128) PRIMARY KEY, batch_id BIGINT)")
+  }
+
+  def lastCommittedBatchId: Long = withConn { c =>
+    ensureTables()
+    val ps = c.prepareStatement("SELECT batch_id FROM graft_commits WHERE sink_name = ?")
+    ps.setString(1, table)
+    val rs = ps.executeQuery()
+    try { if (rs.next()) rs.getLong(1) else -1L } finally { rs.close(); ps.close() }
+  }
+
+  private def bind(ps: PreparedStatement, row: Row): Unit =
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (row.isNullAt(i)) ps.setNull(i + 1, java.sql.Types.NULL)
+      else f.dataType match {
+        case LongType => ps.setLong(i + 1, row.getLong(i))
+        case IntegerType => ps.setInt(i + 1, row.getInt(i))
+        case ShortType => ps.setShort(i + 1, row.getShort(i))
+        case DoubleType => ps.setDouble(i + 1, row.getDouble(i))
+        case FloatType => ps.setFloat(i + 1, row.getFloat(i))
+        case BooleanType => ps.setBoolean(i + 1, row.getBoolean(i))
+        case TimestampType => ps.setTimestamp(i + 1, row.getAs[Timestamp](i))
+        case DateType => ps.setDate(i + 1, row.getAs[java.sql.Date](i))
+        case _: DecimalType => ps.setBigDecimal(i + 1, row.getAs[java.math.BigDecimal](i))
+        case StringType => ps.setString(i + 1, row.getString(i))
+        case other => sys.error(s"JdbcUpsertSink: unsupported column type $other")
+      }
+    }
+
+  /** Micro-batch upsert with the exactly-once batchId guard. */
+  def merge(batch: DataFrame, batchId: Long): Unit = {
+    ensureTables()
+    if (batchId <= lastCommittedBatchId) return // replay of a committed batch
+
+    // repeatable staging load: clear, then per-partition batched inserts
+    withConn { c =>
+      val st = c.createStatement()
+      try st.executeUpdate(s"DELETE FROM $stage") finally st.close()
+    }
+    val insertSql =
+      s"INSERT INTO $stage (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val connUrl = url // the closure captures `this` (Serializable) + this string
+    batch.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        JdbcUpsertSink.ensureDriver(connUrl)
+        val c = DriverManager.getConnection(connUrl)
+        try {
+          c.setAutoCommit(false)
+          val ps = c.prepareStatement(insertSql)
+          var n = 0
+          rows.foreach { r =>
+            bind(ps, r)
+            ps.addBatch()
+            n += 1
+            if (n % JdbcUpsertSink.InsertBatch == 0) ps.executeBatch()
+          }
+          ps.executeBatch()
+          ps.close()
+          c.commit()
+        } finally c.close()
+      }
+    }
+
+    // ONE transaction: merge + batch-id commit — the atomic boundary
+    withConn { c =>
+      c.setAutoCommit(false)
+      try {
+        val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
+        val matched =
+          if (nonKeyCols.isEmpty) ""
+          else "WHEN MATCHED THEN UPDATE SET " +
+            nonKeyCols.map(cn => s"$cn = s.$cn").mkString(", ") + " "
+        val mergeSql =
+          s"""MERGE INTO $table t USING $stage s ON $on
+             |$matched
+             |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+             |  VALUES (${cols.map(cn => s"s.$cn").mkString(", ")})""".stripMargin
+        val st = c.createStatement()
+        try st.executeUpdate(mergeSql) finally st.close()
+
+        val upd = c.prepareStatement(
+          "UPDATE graft_commits SET batch_id = ? WHERE sink_name = ?")
+        upd.setLong(1, batchId); upd.setString(2, table)
+        val touched = upd.executeUpdate()
+        upd.close()
+        if (touched == 0) {
+          val ins = c.prepareStatement(
+            "INSERT INTO graft_commits (sink_name, batch_id) VALUES (?, ?)")
+          ins.setString(1, table); ins.setLong(2, batchId)
+          ins.executeUpdate(); ins.close()
+        }
+        c.commit()
+      } catch { case e: Throwable => c.rollback(); throw e }
+    }
+  }
+}
+
+object JdbcUpsertSink {
+  /** JDBC executeBatch flush interval for the staging load. */
+  val InsertBatch = 500
+
+  /** Belt-and-braces driver registration: JDBC 4 service loading normally
+    * finds the embedded Derby driver on the classpath, but an isolating
+    * classloader (sbt fork, executor side) can miss it.
+    */
+  private[streaming] def ensureDriver(url: String): Unit =
+    if (url.startsWith("jdbc:derby:")) {
+      try Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+      catch { case _: ClassNotFoundException => () } // fall back to ServiceLoader
+    }
+}

@@ -93,6 +93,20 @@ object StreamingOps {
       .foreachBatch { (batch: Dataset[Row], id: Long) => sink.merge(batch, id) }
       .start()
 
+  /** JDBC variant of the merge sink: each micro-batch crosses a real JDBC
+    * driver into a database table (staging load + transactional MERGE —
+    * see JdbcUpsertSink). The reference's actual boundary shape.
+    */
+  def startJdbcMergeSink(src: DataFrame, sink: JdbcUpsertSink,
+                         checkpointDir: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    src.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], id: Long) => sink.merge(batch, id) }
+      .start()
+
   /** ST7: the bounded restart/retry envelope around a streaming pipeline —
     * the reference's swallow-and-retry poll loop (`run.py:114-121`) and its
     * ≤10-attempt config-refresh loop (`run.py:69-77`), Spark-shaped: on a
