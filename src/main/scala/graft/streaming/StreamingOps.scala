@@ -258,9 +258,39 @@ object StreamingOps {
       .agg(max(col("ts")).as("last_time"), count(lit(1)).as("n_events"))
       .orderBy(col("route").asc_nulls_first)
 
+  /** The REAL streaming path, graded: two overlapping file drops (an
+    * at-least-once re-delivery) drain through `readStream` → watermark dedup
+    * → the bucket-pruned persistent merge sink (AvailableNow ≙ one poll
+    * pass), and the query returns the COMMITTED on-disk table. Deterministic
+    * because each drop's unique rows are newer than the watermark any
+    * earlier batch can set, and the merge is idempotent on the key — so the
+    * table always equals the distinct single-delivery union, whatever the
+    * micro-batch split. The oracle is that union.
+    */
+  private val streamSinkTable: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val t0 = lit("2024-01-10 00:00:00").cast("timestamp")
+    val t1 = lit("2024-01-20 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-28 00:00:00").cast("timestamp")
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    val src = work.resolve("drops")
+    ev.filter(col("ts") < t1).write.parquet(s"$src/d1")
+    ev.filter(col("ts") >= t0 && col("ts") < t2).write.parquet(s"$src/d2")
+    val sink = new ParquetTableSink(s, work.resolve("table").toString,
+      ev.limit(0), Seq("event_id"))
+    val stream = s.readStream.schema(ev.schema).parquet(s"$src/*")
+    startPersistentMergeSink(
+      dedupByKey(stream, "ts", "10 minutes", Seq("event_id")),
+      sink, work.resolve("ckpt").toString, Trigger.AvailableNow()
+    ).awaitTermination()
+    sink.current.orderBy(col("event_id").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_dedup_replay" -> streamDedupReplay,
-    "stream_offsets" -> streamOffsets
+    "stream_offsets" -> streamOffsets,
+    "stream_sink_table" -> streamSinkTable
   )
 
   val oracle: Map[String, String] = Map(
@@ -271,6 +301,12 @@ object StreamingOps {
         |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     "stream_offsets" ->
       """SELECT user_id % 8 AS route, max(ts) AS last_time, count(*) AS n_events
-        |FROM events GROUP BY 1 ORDER BY route ASC NULLS FIRST""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY route ASC NULLS FIRST""".stripMargin,
+    // the two drops cover ts < t1 and [t0, t2) with t0 < t1 < t2: their
+    // distinct union is simply ts < t2
+    "stream_sink_table" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events WHERE ts < TIMESTAMP '2024-01-28 00:00:00'
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin
   )
 }
