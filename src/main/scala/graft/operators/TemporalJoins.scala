@@ -42,6 +42,12 @@ object TemporalJoins {
   def joinAsOf(probes: DataFrame, versions: DataFrame, key: String,
                pTs: String, vTs: String, vSeq: String, vVal: String,
                asofCol: String): DataFrame = {
+    val reserved = Seq("_ts", "_side", "_seq", "_vval")
+    val clash = (probes.columns ++ versions.columns).distinct
+      .filter(c => reserved.contains(c) || c == asofCol)
+    require(clash.isEmpty,
+      s"joinAsOf: input/output column name(s) ${clash.mkString(", ")} collide " +
+        s"with the operator's internal columns (${reserved.mkString(", ")}) or asofCol")
     val pCols = probes.columns
     // side 0 = version, side 1 = probe: at equal timestamps the version
     // sorts first, so a same-instant version IS visible to the probe (≤).
@@ -68,15 +74,36 @@ object TemporalJoins {
     * `windows` row on the same `key` whose [wStart, wEnd) interval contains
     * the probe's `pTs`. `bucketMicros` is the bucketing granularity — keep
     * it ≥ the typical window length so fan-out stays ~O(1) per window.
+    *
+    * Guards (both data-driven, evaluated inside the plan, fail loud):
+    *   - empty/negative windows (`wEnd <= wStart`) are dropped before the
+    *     explode — they can match nothing, and Spark's `sequence` would
+    *     otherwise generate a DESCENDING bucket list for them;
+    *   - a window spanning more than `maxFanoutBuckets` buckets raises at
+    *     execution rather than silently exploding ×(span/bucket) rows (a
+    *     year-long window at day buckets is ×365 per row) — raise
+    *     `bucketMicros` toward the window-length scale instead.
     */
   def joinRange(probes: DataFrame, windows: DataFrame, key: String,
                 pTs: String, wStart: String, wEnd: String,
-                bucketMicros: Long = DayMicros): DataFrame = {
-    val wBucketed = windows.withColumn("_bucket",
-      explode(sequence(
-        floor(unix_micros(col(wStart)) / bucketMicros),
-        // end is exclusive: the last covered bucket holds wEnd − 1µs
-        floor((unix_micros(col(wEnd)) - 1) / bucketMicros))))
+                bucketMicros: Long = DayMicros,
+                maxFanoutBuckets: Int = 64): DataFrame = {
+    require(bucketMicros > 0 && maxFanoutBuckets >= 1)
+    val firstBucket = floor(unix_micros(col(wStart)) / bucketMicros)
+    // end is exclusive: the last covered bucket holds wEnd − 1µs
+    val lastBucket = floor((unix_micros(col(wEnd)) - 1) / bucketMicros)
+    val span = lastBucket - firstBucket + 1
+    // the guard lives INSIDE the sequence bound (adds 0 or raises), so
+    // column pruning can never optimize it away
+    val guardedLast = lastBucket +
+      when(span <= maxFanoutBuckets, lit(0L)).otherwise(
+        raise_error(concat(
+          lit(s"joinRange: window spans more than $maxFanoutBuckets buckets ("),
+          span, lit(s") — raise bucketMicros (=$bucketMicros) toward the window length")
+        ).cast("string")).cast("bigint"))
+    val wBucketed = windows
+      .filter(col(wEnd) > col(wStart))
+      .withColumn("_bucket", explode(sequence(firstBucket, guardedLast)))
     val pBucketed = probes.withColumn("_bucket",
       floor(unix_micros(col(pTs)) / bucketMicros))
     pBucketed.join(wBucketed, Seq(key, "_bucket"))

@@ -57,15 +57,21 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("ANN broadcast sides are bounded id lists, never a corpus-proportional rate") {
     withStaticPlans {
+      // anchored on the pushed cap PREDICATE over vec_id (not a bare digit
+      // string), with the caps interpolated from Similarity — renumbering a
+      // cap or dropping its filter fails here, an unrelated constant cannot
+      // satisfy it
+      val capPredicate =
+        s"vec_id#\\d+L?\\s*<\\s*(${graft.operators.Similarity.PROBE_CAP}|${graft.operators.Similarity.CENT_CAP})".r
       Seq("sim_topk_brute", "sim_knn_label", "sim_ivf_topk").foreach { q =>
         val ns = nodes(staticPlan(SparkEntry.queries(q)(spark, sf)))
         val bx = ns.collect { case b: BroadcastExchangeExec => b }
         assert(bx.nonEmpty, s"$q must broadcast its probe/codebook side")
         bx.foreach { b =>
           val sub = b.toString
-          assert(sub.contains("6400") || sub.contains("1600"),
-            s"$q: every broadcast side must derive from the constant id cap " +
-              s"(PROBE_CAP/CENT_CAP), got:\n$sub")
+          assert(capPredicate.findFirstIn(sub).isDefined,
+            s"$q: every broadcast side must be bounded by the constant id-cap " +
+              s"predicate (vec_id < PROBE_CAP/CENT_CAP), got:\n$sub")
         }
       }
     }
