@@ -1,0 +1,64 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import graft.SparkTestBase
+
+/** Retrieval QUALITY of the ANN family, measured — not argued — against the
+  * brute-force ground truth on a planted fixture: 10 clusters of one probe +
+  * 5 tight siblings (cos ≈ 0.998) inside 100 random background vectors.
+  * The brute-force top-5 of each probe is exactly its siblings, so LSH
+  * candidate recall@5 is directly observable.
+  *
+  * Expected from the geometry: a sibling pair survives one 6-plane table
+  * with p = (1 − θ/π)^6 ≈ 0.88 at θ ≈ 3.6°; three OR'd tables compound to
+  * ≈ 0.998. The asserted floor (0.8) sits safely under the compound rate
+  * and well above a single table's noise band.
+  */
+class AnnRecallSpec extends SparkTestBase {
+
+  private val DIM = 64
+
+  test("multi-probe LSH recall@5 vs brute force: >= 0.8, and never below single-table") {
+    val session = spark
+    import session.implicits._
+
+    val rnd = new Random(42)
+    def vec(): Array[Float] = Array.fill(DIM)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 10).flatMap { g =>
+      val base = vec()
+      val probe = (g * 100L, base, g)
+      val siblings = (1 to 5).map { j =>
+        (g * 100L + j, base.map(x => x + 0.05f * rnd.nextGaussian().toFloat), g)
+      }
+      probe +: siblings
+    } ++ (0 until 100).map(i => (5001L + 2 * i, vec(), 99)) // background, never probes
+
+    val dir = Files.createTempDirectory("graft-ann-recall").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // ground truth: brute-force top-5 per probe (== the planted siblings)
+    val ground = Similarity.queries("sim_topk_brute")(spark, dir)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(ground.size == 50, s"10 probes x top-5 expected, got ${ground.size}")
+    assert(ground.forall { case (p, n) => n / 100 == p / 100 && n % 100 != 0 },
+      "planted siblings must dominate the brute-force top-5")
+
+    def recall(tables: Int): Double = {
+      val cands = Similarity.multiProbePairs(spark, dir, tables, threshold = 0.15)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect()
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+      ground.count(cands.contains).toDouble / ground.size
+    }
+
+    val r1 = recall(1)
+    val r3 = recall(3)
+    info(f"recall@5: single-table $r1%.3f, 3-table multi-probe $r3%.3f")
+    assert(r3 >= r1, "multi-probe candidates are a superset of table 0's")
+    assert(r3 >= 0.8, f"3-table recall@5 floor is 0.8, measured $r3%.3f")
+  }
+}
