@@ -38,19 +38,35 @@ object Bench {
     // A failing query must be VISIBLE, not a normal-looking wall time: keep
     // the elapsed seconds but record the error per-query (stderr + "errors"
     // object in the JSON) so a broken plan can't hide in the perf artifact.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(300)}"
-          System.err.println(s"[bench] $name FAILED: $msg")
-          Some(msg)
-      }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+    //
+    // Median-of-N sweeps (default 3): sub-second per-query regressions were
+    // not attributable on a loaded machine (r3→r5 bench swings); the median
+    // absorbs scheduling noise and one-off JIT/IO stalls. Each sweep runs
+    // the whole suite in order with the cache cleared between sweeps, so
+    // intra-sweep cache sharing (the dedup family) matches earlier rounds'
+    // single-sweep semantics.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sweeps: Seq[Map[String, (Double, Option[String])]] = (1 to runs).map { sweep =>
+      val m = names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable =>
+            val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(300)}"
+            System.err.println(s"[bench] $name FAILED (sweep $sweep): $msg")
+            Some(msg)
+        }
+        name -> ((System.nanoTime() - t0) / 1e9, err)
+      }.toMap
+      // release the session-scoped cache entries dedup queries parked
+      // (library hygiene: each sweep and the session end cache-empty)
+      spark.sharedState.cacheManager.clearCache()
+      m
     }
-    // release the session-scoped cache entries dedup queries parked (library
-    // hygiene: a bench/verify session must end with an empty CacheManager)
-    spark.sharedState.cacheManager.clearCache()
+    val results = names.map { case (name, _) =>
+      val times = sweeps.map(_(name)._1).sorted
+      (name, times(times.size / 2), sweeps.flatMap(_(name)._2).headOption)
+    }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => s"${jq(k)}:${jq(m)}" }
@@ -59,7 +75,7 @@ object Bench {
     // run-condition note: 1-min loadavg before/after — a contaminated run
     // (concurrent load, cf. the r3/r4 2x bench swing) is visible in the artifact
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
-      s""""n_err":${results.count(_._3.isDefined)},"load_before":$loadBefore,"load_after":$loadAvg,""" +
+      s""""n_err":${results.count(_._3.isDefined)},"runs":$runs,"load_before":$loadBefore,"load_after":$loadAvg,""" +
       s""""cpus":"$cpus","sf":"$sfDir"}"""
     println(json)
     // Also persist to a file so the harness can parse it without scraping

@@ -167,50 +167,79 @@ object DedupText {
       .select(col("doc_b").as("doc_id")).distinct()
       .orderBy(col("doc_id").asc_nulls_first)
 
+  /** One large-star round: every node connects its strictly-larger
+    * neighbors to the minimum of its closed neighborhood. Edges are kept
+    * directed (a, b) with b < a; neighborhoods are computed symmetrized. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    // no distinct here: duplicate edges don't change neighborhood minima,
+    // and the small-star that always follows dedups — saves a shuffle/round
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .filter(col("a") =!= col("b"))
+  }
+
+  /** One small-star round: every node connects its smaller neighbors AND
+    * itself to the minimum of its smaller neighborhood. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    val down = sym.filter(col("v") < col("u"))
+    val mins = down.groupBy("u").agg(min("v").as("m"))
+    down.join(mins, "u").select(col("v").as("a"), col("m").as("b"))
+      .union(mins.select(col("u").as("a"), col("m").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
   // Connected components over the verified near-dup pairs: cluster id = min
-  // doc_id reachable. Pregel-style min-label propagation — one shuffle join
-  // per iteration, O(component diameter) iterations (near-dup components
-  // are short chains), lineage cut per step with localCheckpoint. The
-  // driver loop runs only actions (no data collected); this is the standard
-  // Spark iterative-graph shape and the one place a loop is semantically
-  // required.
+  // doc_id reachable. Alternating large-star/small-star (Kiveris et al.,
+  // "Connected Components in MapReduce and Beyond"): each round contracts
+  // chains toward the component minimum from BOTH ends, converging in
+  // O(log n) rounds vs O(diameter) for plain label propagation — a 3-chain
+  // is a star after ONE round. Per round: one materialization
+  // (localCheckpoint cuts lineage) and one O(1)-row convergence probe
+  // (count + order-free xxhash64 sum — stable metric ⇒ stable edge set,
+  // with the round bound as the collision-paranoia backstop). The driver
+  // loop runs only actions; no row ever crosses to the driver.
   private val dedupClusters: Q = (s, dir) => {
     val pairs = verifiedPairs(s, dir).select("doc_a", "doc_b")
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // bit_xor: order-free AND overflow-free under ANSI (a sum of full-range
+    // hashes would overflow); xor-cancellation needs duplicate rows, which
+    // the distinct() in each round rules out
+    def metricOf(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // doc_a < doc_b by construction → canonical (a, b) = (larger, smaller);
+    // verified pairs are already distinct, no dedup shuffle needed
+    var edges = pairs.select(col("doc_b").as("a"), col("doc_a").as("b"))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id")).localCheckpoint()
-    var changed = true
-    var iter = 0
-    val MaxIter = 20
-    while (changed && iter < MaxIter) {
-      val viaNeighbor = edges.join(labels, edges("dst") === labels("doc_id"))
-        .select(col("src").as("doc_id"), col("cluster"))
-      // pointer jumping (label(x) := min(label(x), label(label(x)))) gives
-      // O(log diameter) convergence, so MaxIter=20 covers diameters ~2^20
-      val viaLabel = labels.as("l1")
-        .join(labels.as("l2"), col("l1.cluster") === col("l2.doc_id"))
-        .select(col("l1.doc_id").as("doc_id"), col("l2.cluster").as("cluster"))
-      // carry the previous label through the SAME aggregation that computes
-      // the new one (`labels` contributes exactly one row per doc_id, so
-      // min(prev) is the old label): the convergence check then reads the
-      // just-checkpointed blocks instead of running a second join job per
-      // iteration — one shuffle job + one cheap local probe per step.
-      val nullPrev = lit(null).cast(labels.schema("cluster").dataType)
-      val next = labels.withColumn("prev", col("cluster"))
-        .unionByName(viaNeighbor.withColumn("prev", nullPrev))
-        .unionByName(viaLabel.withColumn("prev", nullPrev))
-        .groupBy("doc_id").agg(min("cluster").as("cluster"), min("prev").as("prev"))
-        .localCheckpoint()
-      changed = next.filter(col("cluster") =!= col("prev")).limit(1).count() > 0
-      labels = next.select("doc_id", "cluster")
-      iter += 1
+    var metric = metricOf(edges)
+    var converged = false
+    var round = 0
+    val MaxRounds = 12 // covers components of ~2^12 nodes
+    while (!converged && round < MaxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val m2 = metricOf(next)
+      converged = m2 == metric // a star set is a fixed point of LS∘SS
+      edges = next
+      metric = m2
+      round += 1
     }
     // fail loud rather than silently emit unconverged labels (the oracle's
     // recursive CTE always converges)
-    require(!changed, s"dedup_clusters did not converge within $MaxIter iterations")
-    labels.orderBy(col("doc_id").asc_nulls_first)
+    require(converged, s"dedup_clusters did not converge within $MaxRounds rounds")
+    // at the fixed point every edge is (node, component-min); roots label
+    // themselves
+    edges.select(col("a").as("doc_id"), col("b").as("cluster"))
+      .unionByName(edges.select(col("b").as("doc_id"), col("b").as("cluster")))
+      .distinct()
+      .orderBy(col("doc_id").asc_nulls_first)
   }
 
   private val dedupExact: Q = (s, dir) =>
