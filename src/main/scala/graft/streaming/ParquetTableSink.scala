@@ -147,7 +147,11 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
         val staged = spark.read.schema(zero.schema).parquet(stagedBatch.toString)
         val merged = MergeOps.upsert(target, staged, keys, nullSafeKeys = false)
         val out = stagingDir.resolve("out")
+        // repartition on the bucket before the partitioned write: each task
+        // then holds whole buckets, so a version is O(touched buckets) files
+        // instead of tasks × buckets small files
         merged.withColumn("_bucket", bucketCol)
+          .repartition(buckets, col("_bucket"))
           .write.partitionBy("_bucket").parquet(out.toString)
 
         // 3. Promote each rewritten bucket dir to its versioned location.
