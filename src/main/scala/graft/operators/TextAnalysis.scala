@@ -123,13 +123,63 @@ object TextAnalysis {
       "doc_id")
   }
 
+  // Per-domain quota sampling (the data-mixing primitive: cap any one
+  // source's contribution). Preference is a stable content hash, so the
+  // sample is "random" yet reproducible across runs and engines; the window
+  // shuffles on `source` — with a pathologically dominant domain one would
+  // pre-filter by hash threshold before the exact rank, same as any top-N.
+  private val DOMAIN_CAP = 15
+  private val textDomainCap: Q = (s, dir) => {
+    val pref = conv(substring(md5(concat(lit("mix:"), col("doc_id"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("pref").asc, col("doc_id").asc)
+    ord(
+      Tables(s, dir, "documents")
+        .withColumn("pref", pref)
+        .withColumn("sample_rank", row_number().over(w).cast("long"))
+        .filter(col("sample_rank") <= DOMAIN_CAP)
+        .select("source", "doc_id", "sample_rank"),
+      "source", "doc_id")
+  }
+
+  // Repetition / boilerplate scoring (Gopher-style filters): duplicate-token
+  // ratio, duplicate-bigram ratio, most-frequent-token dominance. Pure
+  // per-row array expressions (the per-doc mode is O(tokens · distinct) in a
+  // single codegen'd row pass — no shuffle anywhere).
+  private val textRepetition: Q = (s, dir) => {
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    def safeDiv(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den > 0, num.cast("double") / den.cast("double"))
+    ord(
+      Tables(s, dir, "documents")
+        .withColumn("t", toks)
+        .withColumn("n", size(col("t")).cast("long"))
+        .withColumn("bg",
+          when(size(col("t")) >= 2,
+            transform(sequence(lit(1), size(col("t")) - 1), i =>
+              concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1))))
+            .otherwise(array().cast("array<string>")))
+        .withColumn("top_n",
+          array_max(transform(array_distinct(col("t")), x =>
+            size(filter(col("t"), y => y === x)))).cast("long"))
+        .select(
+          col("doc_id"), col("n").as("n_tokens"),
+          safeDiv(col("n") - size(array_distinct(col("t"))), col("n")).as("dup_token_ratio"),
+          safeDiv(size(col("bg")) - size(array_distinct(col("bg"))), size(col("bg"))).as("dup_bigram_ratio"),
+          safeDiv(col("top_n"), col("n")).as("top_token_ratio")),
+      "doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_chunks" -> textChunks,
     "text_split_assign" -> textSplitAssign,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
-    "text_fingerprint" -> textFingerprint
+    "text_fingerprint" -> textFingerprint,
+    "text_domain_cap" -> textDomainCap,
+    "text_repetition" -> textRepetition
   )
 
   private val langidScoreCols: String =
@@ -193,6 +243,34 @@ object TextAnalysis {
          |SELECT doc_id, ${langMarkers.map(m => "s_" + m._1).mkString(", ")},
          |  $langidPred AS pred_lang, lang AS actual_lang
          |FROM scored ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "text_domain_cap" ->
+      s"""WITH p AS (
+         |  SELECT source, doc_id,
+         |    CAST(('0x' || substr(md5('mix:' || doc_id), 1, 15)) AS BIGINT) AS pref
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY pref ASC, doc_id ASC) AS BIGINT) AS sample_rank
+         |  FROM p)
+         |SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= $DOMAIN_CAP
+         |ORDER BY source ASC NULLS FIRST, doc_id ASC NULLS FIRST""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t,
+        |    CAST(len(t) AS BIGINT) AS n,
+        |    CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |      ELSE [] END AS bg,
+        |    CAST(list_max(list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x)))) AS BIGINT) AS top_n
+        |  FROM t)
+        |SELECT doc_id, n AS n_tokens,
+        |  CASE WHEN n > 0 THEN CAST(n - len(list_distinct(t)) AS DOUBLE) / CAST(n AS DOUBLE) END AS dup_token_ratio,
+        |  CASE WHEN len(bg) > 0 THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE) END AS dup_bigram_ratio,
+        |  CASE WHEN n > 0 THEN CAST(top_n AS DOUBLE) / CAST(n AS DOUBLE) END AS top_token_ratio
+        |FROM c ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,

@@ -275,10 +275,12 @@ object StreamingOps {
     val t2 = lit("2024-01-28 00:00:00").cast("timestamp")
     val work = java.nio.file.Files.createTempDirectory("graft-stream-sink")
     val src = work.resolve("drops")
-    ev.filter(col("ts") < t1).write.parquet(s"$src/d1")
-    ev.filter(col("ts") >= t0 && col("ts") < t2).write.parquet(s"$src/d2")
+    // coalesce(1): each drop is one file — harness input shaping, the same
+    // single-file poll payload the reference's fetcher would hand over
+    ev.filter(col("ts") < t1).coalesce(1).write.parquet(s"$src/d1")
+    ev.filter(col("ts") >= t0 && col("ts") < t2).coalesce(1).write.parquet(s"$src/d2")
     val sink = new ParquetTableSink(s, work.resolve("table").toString,
-      ev.limit(0), Seq("event_id"))
+      ev.limit(0), Seq("event_id"), buckets = 8)
     val stream = s.readStream.schema(ev.schema).parquet(s"$src/*")
     startPersistentMergeSink(
       dedupByKey(stream, "ts", "10 minutes", Seq("event_id")),
