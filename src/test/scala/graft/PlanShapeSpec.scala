@@ -47,6 +47,21 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("LSH bucket-cap window rides the candidate join's (band, sig) partitioning") {
+    withStaticPlans {
+      // the MAX_BUCKET guard must not buy its per-bucket count with an extra
+      // exchange: the window partitions by the same keys the self-join hashes
+      // on, so each band frame shuffles once for both
+      val ns = nodes(staticPlan(SparkEntry.queries("dedup_lsh_pairs")(spark, sf)))
+      val windows = ns.count(_.isInstanceOf[WindowExec])
+      assert(windows >= 1, "the bucket-size guard window must be present")
+      val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles <= 5,
+        s"cap window must reuse the join partitioning (band-join sides + candidate " +
+          s"dedup + verify joins + orderBy budget), got $shuffles exchanges")
+    }
+  }
+
   test("sim_topk_brute broadcasts the probe side (corpus streams once)") {
     withStaticPlans {
       val ns = nodes(staticPlan(SparkEntry.queries("sim_topk_brute")(spark, sf)))

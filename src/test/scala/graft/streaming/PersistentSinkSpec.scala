@@ -115,6 +115,28 @@ class PersistentSinkSpec extends SparkTestBase {
       "pruned rewrite must still produce the correct merged table")
   }
 
+  test("a crashed attempt's garbage (orphan v{next} dirs, stale staging) cannot wedge the next merge") {
+    val table = Files.createTempDirectory("graft-psink-crash").toString
+    val zero = events.limit(0)
+    val sink = new ParquetTableSink(spark, table, zero, Seq("event_id"))
+    sink.merge(events.filter(col("event_id") < 200), batchId = 0L)
+
+    // simulate a crash AFTER data promotion but BEFORE the pointer swap:
+    // an orphaned next-version bucket dir plus staging residue on disk
+    val data = java.nio.file.Paths.get(table, "data")
+    val orphan = data.resolve("b3-v1")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-junk.parquet"), "not parquet at all")
+    val staging = java.nio.file.Paths.get(table, "_staging", "batch")
+    Files.createDirectories(staging)
+    Files.writeString(staging.resolve("leftover"), "stale")
+
+    // the replayed batch must commit cleanly over the garbage
+    sink.merge(events.filter(col("event_id") >= 200 && col("event_id") < 300), batchId = 1L)
+    assert(sortedIds(sink.current) == sortedIds(events.filter(col("event_id") < 300)),
+      "recovery merge must produce the correct table despite crash garbage")
+  }
+
   test("ST7: transient first-attempt failure, pipeline completes on retry, table exactly-once") {
     val src = Files.createTempDirectory("graft-retry-drops").toString
     val ckpt = Files.createTempDirectory("graft-retry-ckpt").toString
