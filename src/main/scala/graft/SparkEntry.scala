@@ -28,6 +28,7 @@ object SparkEntry {
     (graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracle),
     (graft.sources.XmlFeed.queries, graft.sources.XmlFeed.oracle),
     (graft.sources.TextFormats.queries, graft.sources.TextFormats.oracle),
+    (graft.sources.JdbcSource.queries, graft.sources.JdbcSource.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (Skew.queries, Skew.oracle),
     (TemporalJoins.queries, TemporalJoins.oracle)
