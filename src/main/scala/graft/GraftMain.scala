@@ -42,6 +42,10 @@ final class GraftApp(spark: SparkSession, sfDir: String, incomingDir: String,
                      workDir: String, clock: () => LocalDate,
                      maxAttempts: Int = 3) {
 
+  // the poll stream globs incomingDir/* — the dir must exist before the
+  // first drop lands
+  java.nio.file.Files.createDirectories(java.nio.file.Paths.get(incomingDir))
+
   private def dimZero(table: String) = Tables(spark, sfDir, table).limit(0)
 
   // FK-ordered dimension targets (region ← nation ← customer)

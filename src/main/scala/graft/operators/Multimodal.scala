@@ -182,4 +182,40 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, fmt, bytes) => codec(id, fmt, bytes) })
   }
+
+  // ---- the audio half of the seam (same pattern, javax.sound in-JVM) ----
+
+  /** One decoded audio row: rate/layout metadata + raw PCM. */
+  case class DecodedAudio(doc_id: Long, sample_rate: Int, channels: Int,
+                          bits: Int, n_frames: Long, pcm: Array[Byte])
+
+  type AudioCodec = (Long, Array[Byte]) => DecodedAudio
+
+  /** REAL audio decode for the formats the JDK ships codecs for (WAV/AIFF/AU
+    * via `javax.sound.sampled` — in-JVM, zero native deps): container parse
+    * + PCM extraction through the same pluggable seam as the image codec.
+    * Non-audio payloads fail loudly (quarantine-sink routing in production).
+    */
+  val WavCodec: AudioCodec = (id, bytes) => {
+    val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    catch {
+      case e: javax.sound.sampled.UnsupportedAudioFileException =>
+        throw new IllegalArgumentException(
+          s"doc $id: payload is not audio javax.sound can decode", e)
+    }
+    val f = in.getFormat
+    DecodedAudio(id, f.getSampleRate.toInt, f.getChannels,
+      f.getSampleSizeInBits, in.getFrameLength, in.readAllBytes())
+  }
+
+  /** Batch audio decode — mapPartitions for the same reason as `decodeWith`
+    * (per-partition codec instance, streaming rows). */
+  def decodeAudioWith(media: DataFrame, codec: AudioCodec): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => codec(id, bytes) })
+  }
 }

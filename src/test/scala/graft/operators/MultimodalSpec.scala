@@ -68,6 +68,53 @@ class MultimodalSpec extends SparkTestBase {
     assert(e.getMessage != null)
   }
 
+  test("WavCodec decodes real WAV bytes: rate, layout, frame count, PCM round-trip") {
+    val session = spark
+    import session.implicits._
+
+    // REAL in-JVM WAV: 16-bit little-endian mono PCM sine, written through
+    // the JDK's own RIFF encoder — the decode must recover rate/frames/bytes
+    def wav(freq: Double, rate: Int, nFrames: Int): Array[Byte] = {
+      val pcm = new Array[Byte](nFrames * 2)
+      for (i <- 0 until nFrames) {
+        val s = (math.sin(2 * math.Pi * freq * i / rate) * 32000).toInt.toShort
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    val media = Seq(
+      (1L, wav(440.0, 8000, 800)),
+      (2L, wav(220.0, 16000, 320))
+    ).toDF("doc_id", "payload").repartition(2)
+
+    val out = Multimodal.decodeAudioWith(media, Multimodal.WavCodec)
+      .collect().map(d => d.doc_id -> d).toMap
+    assert((out(1L).sample_rate, out(1L).channels, out(1L).bits, out(1L).n_frames) ==
+      (8000, 1, 16, 800L))
+    assert((out(2L).sample_rate, out(2L).n_frames) == (16000, 320L))
+    assert(out(1L).pcm.length == 800 * 2, "decoded PCM must be every frame's bytes")
+    // frame 0 of a sine is silence; a quarter period in is near peak
+    assert(out(1L).pcm(0) == 0 && out(1L).pcm(1) == 0)
+  }
+
+  test("WavCodec rejects a non-audio payload loudly") {
+    val session = spark
+    import session.implicits._
+    val media = Seq((9L, Array[Byte](1, 2, 3, 4))).toDF("doc_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudioWith(media, Multimodal.WavCodec).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("decode stage is deterministic across repeated runs") {
     val session = spark
     import session.implicits._
