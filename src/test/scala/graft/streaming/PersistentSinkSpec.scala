@@ -115,6 +115,26 @@ class PersistentSinkSpec extends SparkTestBase {
       "pruned rewrite must still produce the correct merged table")
   }
 
+  test("bucket-count mismatch with an existing table is rejected; GC keeps exactly two manifests") {
+    val table = Files.createTempDirectory("graft-psink-cfg").toString
+    val zero = events.limit(0)
+    val sink = new ParquetTableSink(spark, table, zero, Seq("event_id"), buckets = 16)
+    sink.merge(events.filter(col("event_id") < 100), 0L)
+
+    val e = intercept[IllegalArgumentException] {
+      new ParquetTableSink(spark, table, zero, Seq("event_id"), buckets = 8)
+    }
+    assert(e.getMessage.contains("B=16"))
+
+    sink.merge(events.filter(col("event_id") === 150), 1L)
+    sink.merge(events.filter(col("event_id") === 151), 2L)
+    val manifests = java.nio.file.Files.list(java.nio.file.Paths.get(table, "manifest"))
+    val kept = try manifests.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+      finally manifests.close()
+    assert(kept == Seq("v1", "v2"),
+      s"GC must keep the last two manifest versions only, got $kept")
+  }
+
   test("a crashed attempt's garbage (orphan v{next} dirs, stale staging) cannot wedge the next merge") {
     val table = Files.createTempDirectory("graft-psink-crash").toString
     val zero = events.limit(0)
