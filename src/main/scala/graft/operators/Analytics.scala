@@ -242,7 +242,34 @@ object Analytics {
       .limit(20)
   }
 
+  // Pivot with FIXED pivot values: no values-discovery job (an unpinned
+  // pivot runs a distinct scan first — a silent extra pass at 100 TB) and a
+  // deterministic output schema. Spark leaves absent cells NULL where a
+  // FILTER'd count yields 0 — coalesce pins the engine-agnostic semantics.
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val aggPivot: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)))
+        .select(col("cohort") +: eventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*),
+      "cohort")
+
+  // Unpivot/melt — the inverse reshape (long-form metrics from wide columns);
+  // value columns are cast to one type up front, as the operator requires.
+  private val unpivotMelt: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("c_nationkey").cast("double").as("c_nationkey"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("c_acctbal"), col("c_nationkey")), "metric", "value"),
+      "c_custkey", "metric")
+
   val queries: Map[String, Q] = Map(
+    "agg_pivot" -> aggPivot,
+    "unpivot_melt" -> unpivotMelt,
     "approx_percentiles" -> approxPercentiles,
     "q18_top_customers" -> q18TopCustomers,
     "agg_percentiles" -> aggPercentiles,
@@ -263,6 +290,18 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_pivot" -> {
+      val cols = eventTypes.map(t =>
+        s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(",\n  ")
+      s"""SELECT user_id % 10 AS cohort,
+         |  $cols
+         |FROM events GROUP BY 1 ORDER BY cohort ASC NULLS FIRST""".stripMargin
+    },
+    "unpivot_melt" ->
+      """SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+        |ORDER BY c_custkey ASC NULLS FIRST, metric ASC NULLS FIRST""".stripMargin,
     "approx_percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, true AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""".stripMargin,
