@@ -34,6 +34,14 @@ import org.apache.spark.sql.types._
   * work, not O(table). Batches must carry at most one row per key (dedup
   * upstream — `StreamingOps.dedupByKey`), the same contract every MERGE
   * engine imposes.
+  *
+  * Task-retry safety: each staging partition commits its own INSERT
+  * transaction, so a Spark task that commits and is then re-run (retry or
+  * speculative duplicate) re-inserts its rows whole — exact duplicates,
+  * since a partition's content is deterministic within a batch. The merge
+  * transaction therefore first materializes a SELECT DISTINCT copy of
+  * staging and MERGEs from that, restoring the one-row-per-key contract for
+  * every such duplicate (Derby's MERGE source must be a base table).
   */
 final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
                            schema: StructType) extends Serializable {
@@ -43,6 +51,10 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
   private val cols = schema.fields.map(_.name).toSeq
   private val nonKeyCols = cols.filterNot(keys.contains)
   private val stage = s"${table}_stage"
+  // Derby's MERGE source must be a BASE TABLE (no derived tables, no views),
+  // so the retry-dedup SELECT DISTINCT materializes into a second staging
+  // table inside the merge transaction.
+  private val stageDedup = s"${stage}_dedup"
 
   private def sqlType(dt: DataType): String = dt match {
     case LongType => "BIGINT"
@@ -55,6 +67,23 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
     case DateType => "DATE"
     case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
     case StringType => "VARCHAR(4000)"
+    case other => sys.error(s"JdbcUpsertSink: unsupported column type $other")
+  }
+
+  /** The java.sql.Types code for setNull: embedded Derby rejects
+    * Types.NULL ("data type 0 is not supported"), so NULLs must carry the
+    * column's declared JDBC type. */
+  private def jdbcTypeCode(dt: DataType): Int = dt match {
+    case LongType => java.sql.Types.BIGINT
+    case IntegerType => java.sql.Types.INTEGER
+    case ShortType => java.sql.Types.SMALLINT
+    case DoubleType => java.sql.Types.DOUBLE
+    case FloatType => java.sql.Types.REAL
+    case BooleanType => java.sql.Types.BOOLEAN
+    case TimestampType => java.sql.Types.TIMESTAMP
+    case DateType => java.sql.Types.DATE
+    case _: DecimalType => java.sql.Types.DECIMAL
+    case StringType => java.sql.Types.VARCHAR
     case other => sys.error(s"JdbcUpsertSink: unsupported column type $other")
   }
 
@@ -72,11 +101,13 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
     finally st.close()
   }
 
-  /** Create target/staging/commit-log tables if absent. */
+  /** Create target/staging/commit-log tables (and the retry-dedup view) if
+    * absent. */
   def ensureTables(): Unit = withConn { c =>
     val colDefs = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
     ensure(c, s"CREATE TABLE $table ($colDefs, PRIMARY KEY (${keys.mkString(", ")}))")
     ensure(c, s"CREATE TABLE $stage ($colDefs)")
+    ensure(c, s"CREATE TABLE $stageDedup ($colDefs)")
     ensure(c, "CREATE TABLE graft_commits (sink_name VARCHAR(128) PRIMARY KEY, batch_id BIGINT)")
   }
 
@@ -90,7 +121,7 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
 
   private def bind(ps: PreparedStatement, row: Row): Unit =
     schema.fields.zipWithIndex.foreach { case (f, i) =>
-      if (row.isNullAt(i)) ps.setNull(i + 1, java.sql.Types.NULL)
+      if (row.isNullAt(i)) ps.setNull(i + 1, jdbcTypeCode(f.dataType))
       else f.dataType match {
         case LongType => ps.setLong(i + 1, row.getLong(i))
         case IntegerType => ps.setInt(i + 1, row.getInt(i))
@@ -106,20 +137,35 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
       }
     }
 
-  /** Micro-batch upsert with the exactly-once batchId guard. */
-  def merge(batch: DataFrame, batchId: Long): Unit = {
-    ensureTables()
-    if (batchId <= lastCommittedBatchId) return // replay of a committed batch
-
-    // repeatable staging load: clear, then per-partition batched inserts
-    withConn { c =>
-      val st = c.createStatement()
-      try st.executeUpdate(s"DELETE FROM $stage") finally st.close()
+  /** Bind-order safety: binding is positional by the DECLARED schema, so the
+    * batch is re-projected into declared order first (a caller with the same
+    * columns in another order would otherwise write values into the wrong
+    * columns). Types must agree exactly — fail loud, not coerce. */
+  private def aligned(batch: DataFrame): DataFrame = {
+    val byName = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+    schema.fields.foreach { f =>
+      val dt = byName.getOrElse(f.name,
+        sys.error(s"JdbcUpsertSink($table): batch is missing column ${f.name}"))
+      require(dt == f.dataType,
+        s"JdbcUpsertSink($table): column ${f.name} is $dt in the batch but ${f.dataType} in the sink schema")
     }
+    batch.select(cols.map(batch.col): _*)
+  }
+
+  private[streaming] def clearStaging(): Unit = withConn { c =>
+    val st = c.createStatement()
+    try st.executeUpdate(s"DELETE FROM $stage") finally st.close()
+  }
+
+  /** The executor-parallel staging load. Each partition commits its own
+    * INSERT transaction, so a task retry/speculative duplicate re-inserts
+    * its rows whole — `mergeCommit` first collapses staging through SELECT
+    * DISTINCT, restoring single delivery for those exact duplicates. */
+  private[streaming] def loadStaging(batch: DataFrame): Unit = {
     val insertSql =
       s"INSERT INTO $stage (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
     val connUrl = url // the closure captures `this` (Serializable) + this string
-    batch.foreachPartition { (rows: Iterator[Row]) =>
+    aligned(batch).foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         JdbcUpsertSink.ensureDriver(connUrl)
         val c = DriverManager.getConnection(connUrl)
@@ -139,18 +185,27 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
         } finally c.close()
       }
     }
+  }
 
-    // ONE transaction: merge + batch-id commit — the atomic boundary
+  /** ONE transaction: staging dedup + merge + batch-id commit — the atomic
+    * boundary. */
+  private[streaming] def mergeCommit(batchId: Long): Unit =
     withConn { c =>
       c.setAutoCommit(false)
       try {
+        val st0 = c.createStatement()
+        try {
+          st0.executeUpdate(s"DELETE FROM $stageDedup")
+          st0.executeUpdate(s"INSERT INTO $stageDedup (${cols.mkString(", ")}) " +
+            s"SELECT DISTINCT ${cols.mkString(", ")} FROM $stage")
+        } finally st0.close()
         val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
         val matched =
           if (nonKeyCols.isEmpty) ""
           else "WHEN MATCHED THEN UPDATE SET " +
             nonKeyCols.map(cn => s"$cn = s.$cn").mkString(", ") + " "
         val mergeSql =
-          s"""MERGE INTO $table t USING $stage s ON $on
+          s"""MERGE INTO $table t USING $stageDedup s ON $on
              |$matched
              |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
              |  VALUES (${cols.map(cn => s"s.$cn").mkString(", ")})""".stripMargin
@@ -171,6 +226,14 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
         c.commit()
       } catch { case e: Throwable => c.rollback(); throw e }
     }
+
+  /** Micro-batch upsert with the exactly-once batchId guard. */
+  def merge(batch: DataFrame, batchId: Long): Unit = {
+    ensureTables()
+    if (batchId <= lastCommittedBatchId) return // replay of a committed batch
+    clearStaging() // repeatable: a replayed batch re-stages from scratch
+    loadStaging(batch)
+    mergeCommit(batchId)
   }
 }
 

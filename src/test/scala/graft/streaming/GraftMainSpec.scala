@@ -83,5 +83,22 @@ class GraftMainSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(got.size == 900 && got == expected,
       "fact rows must carry the dimension attribute resolved per batch")
+
+    // an event whose user_id matches no customer: the LEFT-join enrichment
+    // yields NULL c_mktsegment, which must cross the JDBC boundary (typed
+    // setNull) instead of crashing the poll — the ADVICE r6 data-dependent
+    // crash, now exercised end-to-end. Its ts must sit past the persisted
+    // watermark (which has advanced across the previous polls) or the
+    // dedup drops it as late.
+    events.orderBy(col("ts").desc).limit(1)
+      .select(lit(990L).as("event_id"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("ts"),
+        lit(999999999L).as("user_id"), lit(1.5).as("value"))
+      .write.parquet(s"$incoming/d4")
+    app.tick()
+    assert(app.factTable.count() == 901)
+    assert(app.factTable.filter(col("C_MKTSEGMENT").isNull)
+      .select(col("EVENT_ID")).first().getLong(0) == 990L,
+      "the unmatched event must land with a NULL dimension attribute")
   }
 }

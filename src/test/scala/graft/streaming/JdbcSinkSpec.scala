@@ -96,6 +96,91 @@ class JdbcSinkSpec extends SparkTestBase {
     assert(tableIds(url) == sortedIds(batch), "no duplicate keys after update")
   }
 
+  test("NULL values bind with the column's declared JDBC type (Derby rejects Types.NULL)") {
+    // the GraftApp shape: a LEFT-join enrichment leaves NULL attributes for
+    // unmatched keys — those rows must survive the staging INSERT
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("value", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, 2.5, "BUILDING"),
+      Row(2L, null, "MACHINERY"),
+      Row(3L, 7.5, null),
+      Row(4L, null, null))
+    val batch = spark.createDataFrame(rows, schema)
+    val url = freshUrl()
+    val sink = new JdbcUpsertSink(url, "null_tbl", Seq("event_id"), schema)
+    sink.merge(batch, batchId = 0L)
+
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT count(*), count(value), count(c_mktsegment) FROM null_tbl")
+      rs.next()
+      assert((rs.getInt(1), rs.getInt(2), rs.getInt(3)) == ((4, 2, 2)),
+        "all four rows must land; NULLs must stay NULL per column")
+    } finally c.close()
+
+    // and an UPDATE path writing NULL over a non-null value
+    sink.merge(spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, null, null)), schema), batchId = 1L)
+    val c2 = DriverManager.getConnection(url)
+    try {
+      val rs = c2.createStatement().executeQuery(
+        "SELECT value, c_mktsegment FROM null_tbl WHERE event_id = 1")
+      rs.next()
+      rs.getDouble(1)
+      assert(rs.wasNull(), "update must be able to write NULL over a value")
+    } finally c2.close()
+  }
+
+  test("binding is order-independent: a column-permuted batch writes the right columns") {
+    val url = freshUrl()
+    val sink = newSink(url)
+    val batch = events.filter(col("event_id") < 50)
+    val permuted = batch.select("value", "user_id", "ts", "event_id")
+    sink.merge(permuted, batchId = 0L)
+
+    val expected = batch.select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement()
+        .executeQuery("SELECT event_id, value FROM events_tbl")
+      var n = 0
+      while (rs.next()) {
+        assert(expected(rs.getLong(1)) == rs.getDouble(2),
+          s"value for event ${rs.getLong(1)} must come from the value column")
+        n += 1
+      }
+      assert(n == 50)
+    } finally c.close()
+
+    // a batch whose types disagree with the declared schema must fail loud
+    val bad = batch.withColumn("value", col("value").cast("float"))
+    val e = intercept[Exception] { sink.merge(bad, batchId = 1L) }
+    assert(e.getMessage.contains("value"), s"type mismatch must name the column: $e")
+  }
+
+  test("staging re-load (simulated committed-task retry) still merges single-delivery") {
+    val url = freshUrl()
+    val sink = newSink(url)
+    val batch = events.filter(col("event_id") < 200)
+
+    // simulate a partition whose INSERT transaction committed and whose task
+    // was then re-run: the same rows land in staging twice
+    sink.ensureTables()
+    sink.clearStaging()
+    sink.loadStaging(batch)
+    sink.loadStaging(batch.filter(col("event_id") < 80)) // the "retried" subset
+    sink.mergeCommit(batchId = 0L)
+
+    assert(tableIds(url) == sortedIds(batch),
+      "duplicated staging rows must collapse to single delivery through the DISTINCT view")
+  }
+
   test("transient failure before the merge transaction: retry lands exactly-once") {
     val url = freshUrl()
     val src = Files.createTempDirectory("graft-jdbc-retry").toString
