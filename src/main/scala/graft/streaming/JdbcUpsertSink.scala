@@ -41,7 +41,10 @@ import org.apache.spark.sql.types._
   * since a partition's content is deterministic within a batch. The merge
   * transaction therefore first materializes a SELECT DISTINCT copy of
   * staging and MERGEs from that, restoring the one-row-per-key contract for
-  * every such duplicate (Derby's MERGE source must be a base table).
+  * every such duplicate (Derby's MERGE source must be a base table). If a
+  * re-run somehow staged same-key rows with differing values — possible only
+  * with a nondeterministic upstream — the merge fails loud on a key-
+  * uniqueness probe rather than applying an arbitrary winner.
   */
 final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
                            schema: StructType) extends Serializable {
@@ -101,7 +104,7 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
     finally st.close()
   }
 
-  /** Create target/staging/commit-log tables (and the retry-dedup view) if
+  /** Create target/staging/commit-log tables (and the retry-dedup table) if
     * absent. */
   def ensureTables(): Unit = withConn { c =>
     val colDefs = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
@@ -142,14 +145,22 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
     * columns in another order would otherwise write values into the wrong
     * columns). Types must agree exactly — fail loud, not coerce. */
   private def aligned(batch: DataFrame): DataFrame = {
-    val byName = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+    // Name matching follows the session resolver (spark.sql.caseSensitive,
+    // default false): a frame read back through a JDBC source that uppercases
+    // identifiers must still align. The type check stays exact.
+    val caseSensitive =
+      batch.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def canon(n: String): String = if (caseSensitive) n else n.toLowerCase
+    val byName = batch.schema.fields.map(f => canon(f.name) -> f.dataType).toMap
+    require(byName.size == batch.schema.size,
+      s"JdbcUpsertSink($table): batch has columns differing only in case under a case-insensitive resolver")
     schema.fields.foreach { f =>
-      val dt = byName.getOrElse(f.name,
+      val dt = byName.getOrElse(canon(f.name),
         sys.error(s"JdbcUpsertSink($table): batch is missing column ${f.name}"))
       require(dt == f.dataType,
         s"JdbcUpsertSink($table): column ${f.name} is $dt in the batch but ${f.dataType} in the sink schema")
     }
-    batch.select(cols.map(batch.col): _*)
+    batch.select(cols.map(cn => batch.col(cn).as(cn)): _*)
   }
 
   private[streaming] def clearStaging(): Unit = withConn { c =>
@@ -171,17 +182,25 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
         val c = DriverManager.getConnection(connUrl)
         try {
           c.setAutoCommit(false)
-          val ps = c.prepareStatement(insertSql)
-          var n = 0
-          rows.foreach { r =>
-            bind(ps, r)
-            ps.addBatch()
-            n += 1
-            if (n % JdbcUpsertSink.InsertBatch == 0) ps.executeBatch()
+          try {
+            val ps = c.prepareStatement(insertSql)
+            var n = 0
+            rows.foreach { r =>
+              bind(ps, r)
+              ps.addBatch()
+              n += 1
+              if (n % JdbcUpsertSink.InsertBatch == 0) ps.executeBatch()
+            }
+            ps.executeBatch()
+            ps.close()
+            c.commit()
+          } catch { case e: Throwable =>
+            // Roll back before close: embedded Derby refuses to close a
+            // connection with an open transaction (SQLSTATE 25001), which
+            // would mask the original bind/insert failure in task logs.
+            try c.rollback() catch { case _: SQLException => () }
+            throw e
           }
-          ps.executeBatch()
-          ps.close()
-          c.commit()
         } finally c.close()
       }
     }
@@ -198,6 +217,20 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
           st0.executeUpdate(s"DELETE FROM $stageDedup")
           st0.executeUpdate(s"INSERT INTO $stageDedup (${cols.mkString(", ")}) " +
             s"SELECT DISTINCT ${cols.mkString(", ")} FROM $stage")
+          // DISTINCT collapses byte-identical retry duplicates only. If a
+          // stage re-run produced same-key rows with DIFFERENT values (a
+          // nondeterministic upstream), MERGE behavior would be undefined —
+          // fail loud here instead of merging nondeterministically.
+          val rs = st0.executeQuery(
+            s"SELECT ${keys.mkString(", ")} FROM $stageDedup " +
+              s"GROUP BY ${keys.mkString(", ")} HAVING COUNT(*) > 1 " +
+              "FETCH FIRST 1 ROWS ONLY")
+          try {
+            if (rs.next()) sys.error(
+              s"JdbcUpsertSink($table): staging holds conflicting rows for key (" +
+                keys.indices.map(i => rs.getObject(i + 1)).mkString(", ") +
+                ") — upstream batch is not deterministic per key; dedup by key before the sink")
+          } finally rs.close()
         } finally st0.close()
         val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
         val matched =

@@ -178,7 +178,37 @@ class JdbcSinkSpec extends SparkTestBase {
     sink.mergeCommit(batchId = 0L)
 
     assert(tableIds(url) == sortedIds(batch),
-      "duplicated staging rows must collapse to single delivery through the DISTINCT view")
+      "duplicated staging rows must collapse to single delivery through the retry-dedup table")
+  }
+
+  test("conflicting same-key staging rows (nondeterministic upstream) fail loud, not merge") {
+    val url = freshUrl()
+    val sink = newSink(url)
+    val batch = events.filter(col("event_id") < 50)
+
+    sink.ensureTables()
+    sink.clearStaging()
+    sink.loadStaging(batch)
+    // a re-run that changed a row's VALUE for an existing key: DISTINCT
+    // cannot collapse it, and MERGE must not pick an arbitrary winner
+    sink.loadStaging(batch.limit(3).withColumn("value", col("value") + 1.0))
+    val e = intercept[Exception] { sink.mergeCommit(batchId = 0L) }
+    assert(e.getMessage.contains("not deterministic"),
+      s"conflicting keys must fail loud with the contract named: $e")
+    assert(sink.lastCommittedBatchId == -1L, "nothing may commit on conflict")
+  }
+
+  test("column names differing only in case still align (JDBC read-back uppercases)") {
+    val url = freshUrl()
+    val sink = newSink(url)
+    val batch = events.filter(col("event_id") < 40)
+    // the round-trip shape: a frame read back through Derby carries
+    // EVENT_ID/TS/... — under the default case-insensitive resolver the
+    // sink must accept it
+    val uppercased = batch.toDF(batch.columns.map(_.toUpperCase).toIndexedSeq: _*)
+    sink.merge(uppercased, batchId = 0L)
+    assert(tableIds(url) == sortedIds(batch),
+      "an uppercased-identifier batch must land through the case-insensitive alignment")
   }
 
   test("transient failure before the merge transaction: retry lands exactly-once") {
