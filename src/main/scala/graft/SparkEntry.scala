@@ -31,7 +31,8 @@ object SparkEntry {
     (graft.sources.JdbcSource.queries, graft.sources.JdbcSource.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (Skew.queries, Skew.oracle),
-    (TemporalJoins.queries, TemporalJoins.oracle)
+    (TemporalJoins.queries, TemporalJoins.oracle),
+    (DataPipeline.queries, DataPipeline.oracle)
   )
 
   /** A duplicate query key across modules would silently shadow one

@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Corpus-construction operators a large-scale training-data pipeline runs
+  * between "raw documents" and "training sequences" (builder prompt: the
+  * LLM-pipeline surface beyond the reference's own operators):
+  *
+  *   - benchmark decontamination (n-gram overlap vs a held-out eval set),
+  *   - weighted mixture sampling (per-source up/down-sampling),
+  *   - sequence packing (fixed token budgets per shard),
+  *   - PII scrubbing (regex redaction).
+  *
+  * Every operator is deterministic — sampling and sharding ride stable
+  * md5-derived integers, never `rand()` — so results are reproducible across
+  * runs AND engines, which is what makes them oracle-checkable in DuckDB.
+  *
+  * Scale notes per operator are on each definition; the common theme: the
+  * only shuffles are on semantic keys (doc_id for the hit-count, shard for
+  * the packing window), the benchmark gram set is the one broadcast side,
+  * and everything else is a per-row codegen'd map over the scan.
+  */
+object DataPipeline {
+
+  private def ord(df: DataFrame, cols: String*): DataFrame =
+    df.orderBy(cols.map(c => col(c).asc_nulls_first): _*)
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir, "documents")
+
+  /** The shared normalized whitespace tokenization (same as TextAnalysis). */
+  private def toks: Column =
+    split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+
+  private def md5long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ---- decontam_ngram: benchmark decontamination ----------------------------
+  //
+  // Flag training documents that share any word n-gram with a held-out
+  // benchmark/eval set — the standard guard against test-set leakage into
+  // training corpora. The benchmark here is the deterministic doc_id%97==0
+  // slice of the corpus; production would read the real eval suites (and use
+  // 8-13-gram shingles — the synthetic vocab is too small for 8-grams to
+  // collide, so the graded fixture uses 3-grams; the plan is identical).
+  //
+  // Scale: the benchmark side is tiny (|eval sets| ≪ corpus) — its distinct
+  // gram set broadcasts, so the 100 TB training side streams through a map-
+  // side hash join with NO shuffle of the corpus; the only exchange is the
+  // per-doc hit-count aggregation (partial count first), O(contaminated
+  // docs), not O(corpus).
+  private val DECONTAM_N = 3
+  private val decontamNgram: Q = (s, dir) => {
+    val grams = docs(s, dir)
+      .withColumn("w", toks)
+      .filter(size(col("w")) >= DECONTAM_N)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - (DECONTAM_N - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(DECONTAM_N))))).as("g"))
+    val bench = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
+    ord(
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(count_distinct(col("g")).as("n_shared")),
+      "doc_id")
+  }
+
+  // ---- sample_mixture: weighted mixture sampling ----------------------------
+  //
+  // The data-mixing step: each source carries a sampling weight; weight > 1
+  // up-samples (whole copies), the fractional part is a Bernoulli thinning
+  // decided by a stable per-doc hash — deterministic, so an identical rerun
+  // (or a second engine) draws the identical corpus. Weights here derive
+  // from the source suffix (whole = k%4 copies, fraction = (k%3+1)/4) to
+  // exercise 0-copy drops, pass-through, and multi-copy up-sampling; a real
+  // pipeline would join a curated weight table the same way.
+  //
+  // Scale: pure per-row arithmetic + a bounded explode (≤ 4 copies) — a
+  // single map stage, no shuffle, no weight-table skew (the weight "join" is
+  // an expression; a real weight table would broadcast).
+  private val sampleMixture: Q = (s, dir) => {
+    val k = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+    val whole = k % 4                         // 0..3 whole copies
+    val fracThousandths = ((k % 3) + 1) * 250 // 250 | 500 | 750
+    val draw = md5long(concat(lit("mixw:"), col("doc_id"))) % 1000
+    ord(
+      docs(s, dir)
+        .withColumn("n_copies",
+          (whole + when(draw < fracThousandths, 1L).otherwise(0L)).as("n_copies"))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx")),
+      "doc_id", "copy_idx")
+  }
+
+  // ---- pack_sequences: fixed-token-budget packing ---------------------------
+  //
+  // Assign documents to training sequences of ~BUDGET tokens: shard the
+  // corpus by a stable hash, order each shard deterministically, and cut the
+  // running token total into BUDGET-sized bins. This is the standard
+  // scalable approximation of greedy packing — exact greedy is inherently
+  // sequential, so production packs per shard exactly as here.
+  //
+  // Scale: ONE shuffle on the shard key, then a per-shard running-sum window
+  // — each shard is an independent partition, so 1000 executors pack 1000s
+  // of shards in parallel; no global ordering anywhere. All-integer
+  // arithmetic (token counts, DIV) — bit-exact on any engine.
+  private val PACK_BUDGET = 512
+  private val PACK_SHARDS = 16
+  private val packSequences: Q = (s, dir) => {
+    val w = Window.partitionBy("shard").orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ord(
+      docs(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("shard", md5long(concat(lit("pack:"), col("doc_id"))) % PACK_SHARDS)
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("seq_id", expr(s"CAST(cum_before DIV $PACK_BUDGET AS BIGINT)"))
+        .select("shard", "doc_id", "n_tokens", "cum_before", "seq_id"),
+      "shard", "doc_id")
+  }
+
+  // ---- text_pii_scrub: regex redaction --------------------------------------
+  //
+  // Redact emails and IPv4 addresses. The synthetic corpus carries no PII,
+  // so the fixture plants a deterministic email+IP per document and the
+  // operator must scrub exactly those (the oracle plants the same strings
+  // and applies the same redaction — any divergence in regex semantics or
+  // replacement order breaks the hash). Patterns are kept to the
+  // Java-regex ∩ RE2 common dialect.
+  //
+  // Scale: per-row regex over the scan — single map stage, no shuffle; the
+  // regexes are linear-time on the document text.
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  private val textPiiScrub: Q = (s, dir) => {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com from 10.0."),
+      pmod(col("doc_id"), lit(256)), lit(".7"))
+    val scrubbed =
+      regexp_replace(regexp_replace(planted, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+    ord(
+      docs(s, dir)
+        .withColumn("planted", planted)
+        .select(col("doc_id"),
+          regexp_count(col("planted"), lit(EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("planted"), lit(Ipv4Re)).cast("long").as("n_ips"),
+          md5(scrubbed).as("scrub_md5")),
+      "doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "decontam_ngram" -> decontamNgram,
+    "sample_mixture" -> sampleMixture,
+    "pack_sequences" -> packSequences,
+    "text_pii_scrub" -> textPiiScrub
+  )
+
+  val oracle: Map[String, String] = Map(
+    "decontam_ngram" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, array_to_string(list_slice(w, i, i + ${DECONTAM_N - 1}), ' ') AS g
+         |  FROM t, UNNEST(range(1, len(w) - ${DECONTAM_N - 1} + 1)) AS u(i)
+         |  WHERE len(w) >= $DECONTAM_N),
+         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+         |SELECT doc_id, count(DISTINCT g.g) AS n_shared
+         |FROM g JOIN bench USING (g) WHERE doc_id % 97 <> 0
+         |GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "sample_mixture" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 4
+        |      + CASE WHEN CAST(('0x' || substr(md5('mixw:' || doc_id), 1, 15)) AS BIGINT) % 1000
+        |             < (CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 3 + 1) * 250
+        |        THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_idx
+        |FROM c WHERE n_copies > 0
+        |ORDER BY doc_id ASC NULLS FIRST, copy_idx ASC NULLS FIRST""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(('0x' || substr(md5('pack:' || doc_id), 1, 15)) AS BIGINT) % $PACK_SHARDS AS shard
+         |  FROM documents),
+         |c AS (
+         |  SELECT shard, doc_id, n_tokens,
+         |    COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM d)
+         |SELECT shard, doc_id, n_tokens, cum_before,
+         |  CAST(cum_before // $PACK_BUDGET AS BIGINT) AS seq_id
+         |FROM c ORDER BY shard ASC NULLS FIRST, doc_id ASC NULLS FIRST""".stripMargin,
+    "text_pii_scrub" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@example.com from 10.0.' || (doc_id % 256) || '.7' AS planted
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(planted, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(planted, '$Ipv4Re')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(planted, '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g')) AS scrub_md5
+         |FROM p ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -39,9 +39,22 @@ object TextFormats {
         col("p.event_type").as("event_type"), col("p.value").as("value"))
       .orderBy(col("event_id").asc_nulls_first)
 
+  // ORC: the columnar on-disk format beside parquet — a real write + read
+  // through Spark's native ORC source (vectorized reader, predicate pushdown
+  // capable). The oracle never sees the ORC bytes; any encode/decode
+  // infidelity (type mapping, nulls) breaks the hash.
+  private val orcRoundtrip: Q = (s, dir) => {
+    val df = Tables(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    df.write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp).orderBy(col("event_id").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "json_roundtrip" -> jsonRoundtrip,
-    "csv_roundtrip" -> csvRoundtrip
+    "csv_roundtrip" -> csvRoundtrip,
+    "orc_roundtrip" -> orcRoundtrip
   )
 
   private val plainSql =
@@ -50,6 +63,7 @@ object TextFormats {
 
   val oracle: Map[String, String] = Map(
     "json_roundtrip" -> plainSql,
-    "csv_roundtrip" -> plainSql
+    "csv_roundtrip" -> plainSql,
+    "orc_roundtrip" -> plainSql
   )
 }
