@@ -37,10 +37,21 @@ object DedupText {
 
   private def normText: Column = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
 
+  /** The documents scan, spread across cores BEFORE the per-row hash chain:
+    * a small corpus arrives as one parquet split, and without this the whole
+    * md5/MinHash map stage runs on a single thread (measured 3.9 s → 1.1 s
+    * for dedup_ngram at sf0.1). The exchange moves raw text once — trivial
+    * next to the hashing it parallelizes. At 100 TB the scan has thousands
+    * of splits and this repartition is a cheap pass-through; production
+    * would gate it on splits < cores.
+    */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").repartition(col("doc_id"))
+
   /** doc_id + distinct word-3-shingle set (empty for docs under 3 tokens). */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     val toks = split(normText, " ")
-    Tables(s, dir, "documents")
+    docsSpread(s, dir)
       .withColumn("t", toks)
       .withColumn("s",
         when(size(col("t")) >= 3,
@@ -57,7 +68,7 @@ object DedupText {
     * banding can discriminate — see dedupNgram's banding note. */
   private val CHAR_GRAM = 6
   private def shingledChars(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    docsSpread(s, dir)
       .withColumn("nt", normText)
       .withColumn("s",
         when(length(col("nt")) >= CHAR_GRAM,

@@ -275,17 +275,27 @@ object StreamingOps {
     val t2 = lit("2024-01-28 00:00:00").cast("timestamp")
     val work = java.nio.file.Files.createTempDirectory("graft-stream-sink")
     val src = work.resolve("drops")
-    // coalesce(1): each drop is one file — harness input shaping, the same
-    // single-file poll payload the reference's fetcher would hand over
-    ev.filter(col("ts") < t1).coalesce(1).write.parquet(s"$src/d1")
-    ev.filter(col("ts") >= t0 && col("ts") < t2).coalesce(1).write.parquet(s"$src/d2")
+    // repartition(1), not coalesce(1): each drop is one file (the same
+    // single-file poll payload the reference's fetcher would hand over), but
+    // the scan+filter still runs on all cores — coalesce(1) would pull the
+    // whole upstream plan into a single task.
+    ev.filter(col("ts") < t1).repartition(1).write.parquet(s"$src/d1")
+    ev.filter(col("ts") >= t0 && col("ts") < t2).repartition(1).write.parquet(s"$src/d2")
     val sink = new ParquetTableSink(s, work.resolve("table").toString,
       ev.limit(0), Seq("event_id"), buckets = 8)
     val stream = s.readStream.schema(ev.schema).parquet(s"$src/*")
-    startPersistentMergeSink(
+    // Right-size the stateful shuffle for micro-batch-scale data: the state
+    // partition count is pinned from this conf at FIRST start and kept for
+    // the checkpoint's lifetime. Micro-batches are poll payloads (O(100k)
+    // rows), not table scans — 8 state stores means 4× fewer per-batch state
+    // checkpoint files than the session's scan-sized default of 32.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try startPersistentMergeSink(
       dedupByKey(stream, "ts", "10 minutes", Seq("event_id")),
       sink, work.resolve("ckpt").toString, Trigger.AvailableNow()
     ).awaitTermination()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     sink.current.orderBy(col("event_id").asc_nulls_first)
   }
 
