@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import graft.functions.DotProduct
 
 /** SparkSessionExtensions entry point: registers graft's custom expressions
@@ -19,6 +20,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, s"graft_dot expects 2 arguments, got ${children.size}")
         DotProduct(children.head, children(1))
+      }))
+    // The bloom runtime-filter pair (spark-catalyst internals the optimizer
+    // drives for row-level runtime filtering), exposed under SQL names so a
+    // query can build a key sketch and probe it explicitly — see
+    // operators.BloomJoin.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getCanonicalName, "graft_bloom_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => children match {
+        case Seq(c) => new BloomFilterAggregate(c)
+        case Seq(c, n) => new BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+        case other => throw new IllegalArgumentException(
+          s"graft_bloom_agg expects 1-3 arguments, got ${other.size}")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getCanonicalName, "graft_might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, s"graft_might_contain expects 2 arguments, got ${children.size}")
+        BloomFilterMightContain(children.head, children(1))
       }))
   }
 }

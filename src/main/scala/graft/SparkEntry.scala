@@ -32,7 +32,8 @@ object SparkEntry {
     (Multimodal.queries, Multimodal.oracle),
     (Skew.queries, Skew.oracle),
     (TemporalJoins.queries, TemporalJoins.oracle),
-    (DataPipeline.queries, DataPipeline.oracle)
+    (DataPipeline.queries, DataPipeline.oracle),
+    (BloomJoin.queries, BloomJoin.oracle)
   )
 
   /** A duplicate query key across modules would silently shadow one

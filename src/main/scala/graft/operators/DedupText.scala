@@ -240,15 +240,19 @@ object DedupText {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     // doc_a < doc_b by construction → canonical (a, b) = (larger, smaller);
-    // verified pairs are already distinct, no dedup shuffle needed
+    // verified pairs are already distinct, no dedup shuffle needed.
+    // localCheckpoint(eager = false): the convergence probe is the round's
+    // ONE action — it materializes the checkpoint (truncating lineage for
+    // the next round) and computes the metric in the same job, instead of
+    // paying a separate checkpoint job per round.
     var edges = pairs.select(col("doc_b").as("a"), col("doc_a").as("b"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var metric = metricOf(edges)
     var converged = false
     var round = 0
     val MaxRounds = 12 // covers components of ~2^12 nodes
     while (!converged && round < MaxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val m2 = metricOf(next)
       converged = m2 == metric // a star set is a fixed point of LS∘SS
       edges = next

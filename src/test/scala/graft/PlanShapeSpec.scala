@@ -104,6 +104,28 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("join_bloom_prefilter probes the bloom AT THE SCAN, before the semi-join") {
+    withStaticPlans {
+      val ns = nodes(staticPlan(SparkEntry.queries("join_bloom_prefilter")(spark, sf)))
+      // the might_contain filter must sit on the probe scan side, i.e. there
+      // is a Filter whose condition mentions might_contain and whose subtree
+      // contains NO join — the thinning happens before any exchange/join
+      val bloomFilters = ns.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("might_contain") => f
+      }
+      assert(bloomFilters.nonEmpty, "the bloom probe filter must exist in the plan")
+      bloomFilters.foreach { f =>
+        val below = nodes(f)
+        assert(!below.exists(n => n.isInstanceOf[BroadcastHashJoinExec] ||
+          n.isInstanceOf[CartesianProductExec] || n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+          "bloom thinning must happen below the join, directly over the scan")
+      }
+      assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
+        "the scalar-subquery bloom must not appear as a cartesian side")
+    }
+  }
+
   test("range_join is a bucketed equi-join, never cartesian/BNLJ") {
     withStaticPlans {
       val ns = nodes(staticPlan(SparkEntry.queries("range_join")(spark, sf)))
