@@ -153,11 +153,70 @@ object DataPipeline {
       "doc_id")
   }
 
+  // ---- corpus_build: the composite end-to-end corpus construction ----------
+  //
+  // The flagship of this module — the whole cleaning chain a training corpus
+  // runs, composed as ONE declarative plan: quality floor → exact dedup
+  // (keep lowest id per normalized fingerprint) → drop the benchmark slice →
+  // decontaminate against it → train-split assign → mixture weights; then a
+  // per-source accounting roll-up so the full chain is hash-checkable.
+  //
+  // Scale: per-row filters/hashes ride the scan; the dedup window shuffles
+  // once on the fingerprint; decontamination is the broadcast-gram
+  // anti-join; the roll-up is a partial-aggregated groupBy(source). No
+  // stage touches more than O(corpus) rows and nothing collects.
+  private val corpusBuild: Q = (s, dir) => {
+    val nWsTokens = size(split(col("text"), " ")).cast("long")
+    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val wDedup = Window.partitionBy("fp").orderBy(col("doc_id").asc)
+
+    val base = docs(s, dir)
+      .withColumn("n_tokens", nWsTokens)
+      .filter(col("n_tokens") >= 5)                        // quality floor
+      .withColumn("fp", fp)
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1)                             // exact dedup
+      .drop("rn")
+
+    // decontamination: benchmark grams come from the RAW corpus slice (the
+    // eval set is fixed before any cleaning), train side is the deduped
+    // remainder
+    val grams = docs(s, dir)
+      .withColumn("w", toks)
+      .filter(size(col("w")) >= DECONTAM_N)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - (DECONTAM_N - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(DECONTAM_N))))).as("g"))
+    val benchGrams = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
+    val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(benchGrams), "g").select("doc_id").distinct()
+
+    val splitBucket = conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 15), 16, 10)
+      .cast("long") % 100
+    val k = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+    val draw = md5long(concat(lit("mixw:"), col("doc_id"))) % 1000
+    val nCopies = (k % 4) + when(draw < ((k % 3) + 1) * 250, 1L).otherwise(0L)
+
+    ord(
+      base
+        .filter(col("doc_id") % 97 =!= 0)                  // benchmark slice out
+        .join(contaminated, Seq("doc_id"), "left_anti")    // decontaminate
+        .filter(splitBucket < 80)                          // train split
+        .withColumn("n_copies", nCopies)
+        .filter(col("n_copies") > 0)                       // mixture thinning
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_copies")).as("n_copies"),
+          sum(col("n_tokens") * col("n_copies")).as("n_tokens_total")),
+      "source")
+  }
+
   val queries: Map[String, Q] = Map(
     "decontam_ngram" -> decontamNgram,
     "sample_mixture" -> sampleMixture,
     "pack_sequences" -> packSequences,
-    "text_pii_scrub" -> textPiiScrub
+    "text_pii_scrub" -> textPiiScrub,
+    "corpus_build" -> corpusBuild
   )
 
   val oracle: Map[String, String] = Map(
@@ -198,6 +257,42 @@ object DataPipeline {
          |SELECT shard, doc_id, n_tokens, cum_before,
          |  CAST(cum_before // $PACK_BUDGET AS BIGINT) AS seq_id
          |FROM c ORDER BY shard ASC NULLS FIRST, doc_id ASC NULLS FIRST""".stripMargin,
+    "corpus_build" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |    text
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 5),
+         |dedup AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+         |    FROM base) WHERE rn = 1),
+         |t AS (
+         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, array_to_string(list_slice(w, i, i + ${DECONTAM_N - 1}), ' ') AS g
+         |  FROM t, UNNEST(range(1, len(w) - ${DECONTAM_N - 1} + 1)) AS u(i)
+         |  WHERE len(w) >= $DECONTAM_N),
+         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM g JOIN bench USING (g) WHERE doc_id % 97 <> 0),
+         |clean AS (
+         |  SELECT d.doc_id, d.source, d.n_tokens,
+         |    CAST(regexp_extract(d.source, '(\\d+)', 1) AS BIGINT) % 4
+         |      + CASE WHEN CAST(('0x' || substr(md5('mixw:' || d.doc_id), 1, 15)) AS BIGINT) % 1000
+         |             < (CAST(regexp_extract(d.source, '(\\d+)', 1) AS BIGINT) % 3 + 1) * 250
+         |        THEN 1 ELSE 0 END AS n_copies
+         |  FROM dedup d
+         |  WHERE d.doc_id % 97 <> 0
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |    AND CAST(('0x' || substr(md5('split:' || d.doc_id), 1, 15)) AS BIGINT) % 100 < 80)
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_copies) AS BIGINT) AS n_copies,
+         |  CAST(sum(n_tokens * n_copies) AS BIGINT) AS n_tokens_total
+         |FROM clean WHERE n_copies > 0
+         |GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin,
     "text_pii_scrub" ->
       s"""WITH p AS (
          |  SELECT doc_id,
