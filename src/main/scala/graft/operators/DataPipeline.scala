@@ -157,14 +157,18 @@ object DataPipeline {
   //
   // The flagship of this module — the whole cleaning chain a training corpus
   // runs, composed as ONE declarative plan: quality floor → exact dedup
-  // (keep lowest id per normalized fingerprint) → drop the benchmark slice →
-  // decontaminate against it → train-split assign → mixture weights; then a
-  // per-source accounting roll-up so the full chain is hash-checkable.
+  // (keep lowest id per normalized fingerprint) → NEAR-dedup (the MinHash/
+  // LSH drop list from DedupText, keep-lowest-id) → drop the benchmark
+  // slice → decontaminate against it → train-split assign → mixture
+  // weights; then a per-source accounting roll-up so the full chain is
+  // hash-checkable.
   //
   // Scale: per-row filters/hashes ride the scan; the dedup window shuffles
-  // once on the fingerprint; decontamination is the broadcast-gram
-  // anti-join; the roll-up is a partial-aggregated groupBy(source). No
-  // stage touches more than O(corpus) rows and nothing collects.
+  // once on the fingerprint; the near-dup drop list is the banded LSH
+  // equi-join (never all-pairs — DedupText's scale notes apply verbatim);
+  // decontamination is the broadcast-gram anti-join; the roll-up is a
+  // partial-aggregated groupBy(source). No stage touches more than
+  // O(corpus) rows and nothing collects.
   private val corpusBuild: Q = (s, dir) => {
     val nWsTokens = size(split(col("text"), " ")).cast("long")
     val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
@@ -197,8 +201,14 @@ object DataPipeline {
     val draw = md5long(concat(lit("mixw:"), col("doc_id"))) % 1000
     val nCopies = (k % 4) + when(draw < ((k % 3) + 1) * 250, 1L).otherwise(0L)
 
+    // near-dup drop list: any doc that is the higher id of a verified
+    // LSH pair (word-3-shingle MinHash, exact-Jaccard ≥ 0.5 confirm)
+    val nearDups = DedupText.verifiedPairs(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+
     ord(
       base
+        .join(nearDups, Seq("doc_id"), "left_anti")        // near-dedup
         .filter(col("doc_id") % 97 =!= 0)                  // benchmark slice out
         .join(contaminated, Seq("doc_id"), "left_anti")    // decontaminate
         .filter(splitBucket < 80)                          // train split
@@ -279,6 +289,11 @@ object DataPipeline {
          |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
          |contaminated AS (
          |  SELECT DISTINCT doc_id FROM g JOIN bench USING (g) WHERE doc_id % 97 <> 0),
+         |${DedupText.shSql},
+         |${DedupText.mhSql},
+         |${DedupText.bandsSql},
+         |${DedupText.pairsSql},
+         |near_dups AS (SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jaccard >= 0.5),
          |clean AS (
          |  SELECT d.doc_id, d.source, d.n_tokens,
          |    CAST(regexp_extract(d.source, '(\\d+)', 1) AS BIGINT) % 4
@@ -287,6 +302,7 @@ object DataPipeline {
          |        THEN 1 ELSE 0 END AS n_copies
          |  FROM dedup d
          |  WHERE d.doc_id % 97 <> 0
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM near_dups)
          |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
          |    AND CAST(('0x' || substr(md5('split:' || d.doc_id), 1, 15)) AS BIGINT) % 100 < 80)
          |SELECT source, count(*) AS n_docs, CAST(sum(n_copies) AS BIGINT) AS n_copies,

@@ -158,7 +158,7 @@ object DedupText {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+  private[operators] def verifiedPairs(s: SparkSession, dir: String): DataFrame =
     verifiedPairsFrom(shingled(s, dir), 0.5)
 
   // ---- graded queries ----
@@ -304,7 +304,7 @@ object DedupText {
 
   // ---- DuckDB oracle ----
 
-  private val shSql =
+  private[operators] val shSql =
     """toks AS (
       |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
       |  FROM documents),
@@ -330,7 +330,7 @@ object DedupText {
     s"list_min(list_transform(hs, h -> xor(h, ${seed(j)}))) AS mh_$j"
   }.mkString(",\n    ")
 
-  private val mhSql =
+  private[operators] val mhSql =
     s"""hsd AS (
        |  SELECT doc_id, s,
        |    list_transform(s, x -> CAST(('0x'||substr(md5('0:'||x),1,15)) AS BIGINT)) AS hs
@@ -350,9 +350,9 @@ object DedupText {
        |    SELECT doc_id, band, sig, count(*) OVER (PARTITION BY band, sig) AS bsz
        |    FROM bands0) WHERE bsz <= $MAX_BUCKET)""".stripMargin
   }
-  private val bandsSql = bandsSqlFor(BANDS)
+  private[operators] val bandsSql = bandsSqlFor(BANDS)
 
-  private val pairsSql =
+  private[operators] val pairsSql =
     """cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
