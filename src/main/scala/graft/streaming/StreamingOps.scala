@@ -299,10 +299,50 @@ object StreamingOps {
     sink.current.orderBy(col("event_id").asc_nulls_first)
   }
 
+  /** The reference's EXACT end-to-end shape, graded: the same two-drop
+    * at-least-once stream as `stream_sink_table`, but drained through the
+    * REAL JDBC boundary (`JdbcUpsertSink` — executor staging INSERTs + one
+    * MERGE transaction per micro-batch, the psycopg2/`ON CONFLICT` path of
+    * run.py/agency.py) and read back through Spark's JDBC SOURCE. ts stays
+    * internal (watermark + Derby storage); the graded columns are the
+    * deterministic payload. Derby reports names upper-case → re-alias.
+    * The window is a WEEK of polls (vs the parquet sink's month): the graded
+    * property is the protocol, and embedded Derby's per-row INSERT cost is
+    * the poll-payload realism bound, not a plan property — a warehouse-grade
+    * JDBC target bulk-loads the same staging frame.
+    */
+  private val streamJdbcTable: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val t0 = lit("2024-01-03 00:00:00").cast("timestamp")
+    val t1 = lit("2024-01-05 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-08 00:00:00").cast("timestamp")
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-jdbc")
+    val src = work.resolve("drops")
+    ev.filter(col("ts") < t1).repartition(1).write.parquet(s"$src/d1")
+    ev.filter(col("ts") >= t0 && col("ts") < t2).repartition(1).write.parquet(s"$src/d2")
+    val url = s"jdbc:derby:$work/db;create=true"
+    val sink = new JdbcUpsertSink(url, "events_stream", Seq("event_id"), ev.schema)
+    val stream = s.readStream.schema(ev.schema).parquet(s"$src/*")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try startJdbcMergeSink(
+      dedupByKey(stream, "ts", "10 minutes", Seq("event_id")),
+      sink, work.resolve("ckpt").toString, Trigger.AvailableNow()
+    ).awaitTermination()
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val cols = Seq("event_id", "user_id", "event_type", "value")
+    s.read.format("jdbc")
+      .option("url", url).option("dbtable", "events_stream").load()
+      .select(cols.map(c => col(c).as(c)): _*)
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_dedup_replay" -> streamDedupReplay,
     "stream_offsets" -> streamOffsets,
-    "stream_sink_table" -> streamSinkTable
+    "stream_sink_table" -> streamSinkTable,
+    "stream_jdbc_table" -> streamJdbcTable
   )
 
   val oracle: Map[String, String] = Map(
@@ -319,6 +359,12 @@ object StreamingOps {
     "stream_sink_table" ->
       """SELECT event_id, ts, user_id, event_type, value
         |FROM events WHERE ts < TIMESTAMP '2024-01-28 00:00:00'
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    // same distinct-union argument as stream_sink_table; ts is the dedup/
+    // storage column, not a graded output
+    "stream_jdbc_table" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
         |ORDER BY event_id ASC NULLS FIRST""".stripMargin
   )
 }
