@@ -32,8 +32,10 @@ object TimeQuery {
           val times = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
             q(spark, sfDir).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            // cache teardown between reps is harness hygiene, not query cost
             spark.sharedState.cacheManager.clearCache()
-            (System.nanoTime() - t0) / 1e9
+            dt
           }
           println(f"[time] $n%-24s ${times.map(t => f"$t%.2f").mkString(" ")} s")
         case None => println(s"[time] unknown query: $n")

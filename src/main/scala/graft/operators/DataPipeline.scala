@@ -53,21 +53,30 @@ object DataPipeline {
   // per-doc hit-count aggregation (partial count first), O(contaminated
   // docs), not O(corpus).
   private val DECONTAM_N = 3
-  private val decontamNgram: Q = (s, dir) => {
-    val grams = docs(s, dir)
+
+  /** (doc_id, gram) fan-out of the corpus — the shared substrate of the
+    * decontamination operator and the corpus_build composite. */
+  private def gramsOf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    docs(s, dir)
       .withColumn("w", toks)
       .filter(size(col("w")) >= DECONTAM_N)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("w")) - (DECONTAM_N - 1)),
           i => concat_ws(" ", slice(col("w"), i, lit(DECONTAM_N))))).as("g"))
+
+  /** Train-side (doc_id, gram) rows whose gram also occurs in the benchmark
+    * slice (doc_id % 97 == 0); the benchmark gram set is the broadcast. */
+  private def contaminatedGrams(grams: DataFrame): DataFrame = {
     val bench = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
+    grams.filter(col("doc_id") % 97 =!= 0).join(broadcast(bench), "g")
+  }
+
+  private val decontamNgram: Q = (s, dir) =>
     ord(
-      grams.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(bench), "g")
+      contaminatedGrams(gramsOf(s, dir))
         .groupBy("doc_id")
         .agg(count_distinct(col("g")).as("n_shared")),
       "doc_id")
-  }
 
   // ---- sample_mixture: weighted mixture sampling ----------------------------
   //
@@ -82,20 +91,25 @@ object DataPipeline {
   // Scale: pure per-row arithmetic + a bounded explode (≤ 4 copies) — a
   // single map stage, no shuffle, no weight-table skew (the weight "join" is
   // an expression; a real weight table would broadcast).
-  private val sampleMixture: Q = (s, dir) => {
+  /** Copies each doc keeps under the mixture weights: whole = k%4 copies,
+    * fraction = (k%3+1)/4 as a hash-thinned Bernoulli — shared verbatim by
+    * sample_mixture and corpus_build so the two can't drift. */
+  private def mixCopies: Column = {
     val k = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
     val whole = k % 4                         // 0..3 whole copies
     val fracThousandths = ((k % 3) + 1) * 250 // 250 | 500 | 750
     val draw = md5long(concat(lit("mixw:"), col("doc_id"))) % 1000
+    whole + when(draw < fracThousandths, 1L).otherwise(0L)
+  }
+
+  private val sampleMixture: Q = (s, dir) =>
     ord(
       docs(s, dir)
-        .withColumn("n_copies",
-          (whole + when(draw < fracThousandths, 1L).otherwise(0L)).as("n_copies"))
+        .withColumn("n_copies", mixCopies)
         .filter(col("n_copies") > 0)
         .select(col("doc_id"), col("source"),
           explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx")),
       "doc_id", "copy_idx")
-  }
 
   // ---- pack_sequences: fixed-token-budget packing ---------------------------
   //
@@ -184,22 +198,10 @@ object DataPipeline {
 
     // decontamination: benchmark grams come from the RAW corpus slice (the
     // eval set is fixed before any cleaning), train side is the deduped
-    // remainder
-    val grams = docs(s, dir)
-      .withColumn("w", toks)
-      .filter(size(col("w")) >= DECONTAM_N)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("w")) - (DECONTAM_N - 1)),
-          i => concat_ws(" ", slice(col("w"), i, lit(DECONTAM_N))))).as("g"))
-    val benchGrams = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
-    val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
-      .join(broadcast(benchGrams), "g").select("doc_id").distinct()
+    // remainder — the same contaminatedGrams substrate decontam_ngram grades
+    val contaminated = contaminatedGrams(gramsOf(s, dir)).select("doc_id").distinct()
 
-    val splitBucket = conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 15), 16, 10)
-      .cast("long") % 100
-    val k = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
-    val draw = md5long(concat(lit("mixw:"), col("doc_id"))) % 1000
-    val nCopies = (k % 4) + when(draw < ((k % 3) + 1) * 250, 1L).otherwise(0L)
+    val splitBucket = md5long(concat(lit("split:"), col("doc_id"))) % 100
 
     // near-dup drop list: any doc that is the higher id of a verified
     // LSH pair (word-3-shingle MinHash, exact-Jaccard ≥ 0.5 confirm)
@@ -212,7 +214,7 @@ object DataPipeline {
         .filter(col("doc_id") % 97 =!= 0)                  // benchmark slice out
         .join(contaminated, Seq("doc_id"), "left_anti")    // decontaminate
         .filter(splitBucket < 80)                          // train split
-        .withColumn("n_copies", nCopies)
+        .withColumn("n_copies", mixCopies)
         .filter(col("n_copies") > 0)                       // mixture thinning
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),

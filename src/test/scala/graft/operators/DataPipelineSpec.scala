@@ -42,6 +42,7 @@ class DataPipelineSpec extends SparkTestBase {
   }
 
   test("decontam_ngram: benchmark gram set broadcasts; no cartesian anywhere") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val plan = DataPipeline.queries("decontam_ngram")(spark, "/root/testdata/sf0.001")
@@ -54,7 +55,7 @@ class DataPipelineSpec extends SparkTestBase {
       assert(!ns.exists(_.isInstanceOf[CartesianProductExec]) &&
         !ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
         "decontamination must never degrade to all-pairs")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("sample_mixture honors the whole+fractional weight split per source") {
