@@ -21,7 +21,7 @@ object JdbcSource {
 
   private val jdbcRoundtrip: Q = (s, dir) => {
     val cust = Tables(s, dir, "customer")
-    val work = Files.createTempDirectory("graft-jdbc-rt")
+    val work = graft.Scratch.dir("graft-jdbc-rt")
     val url = s"jdbc:derby:$work/db;create=true"
     val sink = new JdbcUpsertSink(url, "customer_rt", Seq("c_custkey"), cust.schema)
     sink.merge(cust, batchId = 0L)

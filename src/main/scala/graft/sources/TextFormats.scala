@@ -46,7 +46,7 @@ object TextFormats {
   private val orcRoundtrip: Q = (s, dir) => {
     val df = Tables(s, dir, "events")
       .select("event_id", "user_id", "event_type", "value")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val tmp = graft.Scratch.dir("graft-orc").toString
     df.write.mode("overwrite").orc(tmp)
     s.read.orc(tmp).orderBy(col("event_id").asc_nulls_first)
   }

@@ -273,7 +273,7 @@ object StreamingOps {
     val t0 = lit("2024-01-10 00:00:00").cast("timestamp")
     val t1 = lit("2024-01-20 00:00:00").cast("timestamp")
     val t2 = lit("2024-01-28 00:00:00").cast("timestamp")
-    val work = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    val work = graft.Scratch.dir("graft-stream-sink")
     val src = work.resolve("drops")
     // repartition(1), not coalesce(1): each drop is one file (the same
     // single-file poll payload the reference's fetcher would hand over), but
@@ -317,7 +317,7 @@ object StreamingOps {
     val t0 = lit("2024-01-03 00:00:00").cast("timestamp")
     val t1 = lit("2024-01-05 00:00:00").cast("timestamp")
     val t2 = lit("2024-01-08 00:00:00").cast("timestamp")
-    val work = java.nio.file.Files.createTempDirectory("graft-stream-jdbc")
+    val work = graft.Scratch.dir("graft-stream-jdbc")
     val src = work.resolve("drops")
     ev.filter(col("ts") < t1).repartition(1).write.parquet(s"$src/d1")
     ev.filter(col("ts") >= t0 && col("ts") < t2).repartition(1).write.parquet(s"$src/d2")
