@@ -26,6 +26,14 @@ object Tables {
     if (!spark.conf.getOption(nanosConf._1).contains(nanosConf._2))
       spark.conf.set(nanosConf._1, nanosConf._2)
 
+  /** Register every testdata table as a temp view so plain `spark.sql`
+    * works over the corpus — the SQL-first entry a user migrating from the
+    * reference's psql sessions reaches for (and the graft_* functions
+    * registered by GraftExtensions compose with these views directly).
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // Read ts as raw nanos and floor to µs — the same truncation DuckDB

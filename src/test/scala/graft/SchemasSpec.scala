@@ -62,4 +62,18 @@ class SchemasSpec extends SparkTestBase {
     // round(1554927504000/1000) − 9 s = epoch 1554927495
     assert(v.location_timestamp.getTime == 1554927495000L)
   }
+
+  test("Tables.registerAll exposes every table to plain spark.sql with typed columns") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    Tables.names.foreach { n =>
+      assert(spark.sql(s"SELECT count(*) FROM $n").head().getLong(0) > 0, s"$n must be queryable")
+    }
+    // the events view must carry the µs-floored TIMESTAMP, not raw nano longs
+    assert(spark.sql("SELECT ts FROM events LIMIT 1").schema.head.dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // graft_* extension functions compose with the views
+    assert(spark.sql(
+      "SELECT graft_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) FROM embeddings LIMIT 1")
+      .head().getDouble(0) > 0.0)
+  }
 }
