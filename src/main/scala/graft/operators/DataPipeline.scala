@@ -95,7 +95,10 @@ object DataPipeline {
     * fraction = (k%3+1)/4 as a hash-thinned Bernoulli — shared verbatim by
     * sample_mixture and corpus_build so the two can't drift. */
   private def mixCopies: Column = {
-    val k = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+    // a digitless source extracts '' → null after the cast; default the
+    // weight key to 0 (drop) on BOTH engines rather than silently diverging
+    // (Spark would null-drop, DuckDB CAST('') would raise)
+    val k = coalesce(regexp_extract(col("source"), "(\\d+)", 1).cast("long"), lit(0L))
     val whole = k % 4                         // 0..3 whole copies
     val fracThousandths = ((k % 3) + 1) * 250 // 250 | 500 | 750
     val draw = md5long(concat(lit("mixw:"), col("doc_id"))) % 1000
@@ -247,9 +250,9 @@ object DataPipeline {
     "sample_mixture" ->
       """WITH c AS (
         |  SELECT doc_id, source,
-        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 4
+        |    COALESCE(TRY_CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT), 0) % 4
         |      + CASE WHEN CAST(('0x' || substr(md5('mixw:' || doc_id), 1, 15)) AS BIGINT) % 1000
-        |             < (CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 3 + 1) * 250
+        |             < (COALESCE(TRY_CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT), 0) % 3 + 1) * 250
         |        THEN 1 ELSE 0 END AS n_copies
         |  FROM documents)
         |SELECT doc_id, source, CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_idx
@@ -266,7 +269,7 @@ object DataPipeline {
          |    COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ASC
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
          |  FROM d)
-         |SELECT shard, doc_id, n_tokens, cum_before,
+         |SELECT shard, doc_id, n_tokens, CAST(cum_before AS BIGINT) AS cum_before,
          |  CAST(cum_before // $PACK_BUDGET AS BIGINT) AS seq_id
          |FROM c ORDER BY shard ASC NULLS FIRST, doc_id ASC NULLS FIRST""".stripMargin,
     "corpus_build" ->
@@ -298,9 +301,9 @@ object DataPipeline {
          |near_dups AS (SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jaccard >= 0.5),
          |clean AS (
          |  SELECT d.doc_id, d.source, d.n_tokens,
-         |    CAST(regexp_extract(d.source, '(\\d+)', 1) AS BIGINT) % 4
+         |    COALESCE(TRY_CAST(regexp_extract(d.source, '(\\d+)', 1) AS BIGINT), 0) % 4
          |      + CASE WHEN CAST(('0x' || substr(md5('mixw:' || d.doc_id), 1, 15)) AS BIGINT) % 1000
-         |             < (CAST(regexp_extract(d.source, '(\\d+)', 1) AS BIGINT) % 3 + 1) * 250
+         |             < (COALESCE(TRY_CAST(regexp_extract(d.source, '(\\d+)', 1) AS BIGINT), 0) % 3 + 1) * 250
          |        THEN 1 ELSE 0 END AS n_copies
          |  FROM dedup d
          |  WHERE d.doc_id % 97 <> 0

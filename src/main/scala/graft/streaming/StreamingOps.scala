@@ -268,7 +268,16 @@ object StreamingOps {
     * micro-batch split. The oracle is that union.
     */
   private val streamSinkTable: Q = (s, dir) => {
-    val ev = Tables(s, dir, "events")
+    // Right-size the stateful shuffle for micro-batch-scale data: the state
+    // partition count is pinned from this conf at FIRST start and kept for
+    // the checkpoint's lifetime. Micro-batches are poll payloads (O(100k)
+    // rows), not table scans — 8 state stores means 4× fewer per-batch state
+    // checkpoint files than the session's scan-sized default of 32. The
+    // override lives on a CLONED session (own SQLConf, shared SparkContext),
+    // so a concurrent query on the outer session can never observe it.
+    val local = s.newSession()
+    local.conf.set("spark.sql.shuffle.partitions", "8")
+    val ev = Tables(local, dir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
     val t0 = lit("2024-01-10 00:00:00").cast("timestamp")
     val t1 = lit("2024-01-20 00:00:00").cast("timestamp")
@@ -281,21 +290,13 @@ object StreamingOps {
     // whole upstream plan into a single task.
     ev.filter(col("ts") < t1).repartition(1).write.parquet(s"$src/d1")
     ev.filter(col("ts") >= t0 && col("ts") < t2).repartition(1).write.parquet(s"$src/d2")
-    val sink = new ParquetTableSink(s, work.resolve("table").toString,
+    val sink = new ParquetTableSink(local, work.resolve("table").toString,
       ev.limit(0), Seq("event_id"), buckets = 8)
-    val stream = s.readStream.schema(ev.schema).parquet(s"$src/*")
-    // Right-size the stateful shuffle for micro-batch-scale data: the state
-    // partition count is pinned from this conf at FIRST start and kept for
-    // the checkpoint's lifetime. Micro-batches are poll payloads (O(100k)
-    // rows), not table scans — 8 state stores means 4× fewer per-batch state
-    // checkpoint files than the session's scan-sized default of 32.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try startPersistentMergeSink(
+    val stream = local.readStream.schema(ev.schema).parquet(s"$src/*")
+    startPersistentMergeSink(
       dedupByKey(stream, "ts", "10 minutes", Seq("event_id")),
       sink, work.resolve("ckpt").toString, Trigger.AvailableNow()
     ).awaitTermination()
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     sink.current.orderBy(col("event_id").asc_nulls_first)
   }
 
@@ -312,7 +313,10 @@ object StreamingOps {
     * JDBC target bulk-loads the same staging frame.
     */
   private val streamJdbcTable: Q = (s, dir) => {
-    val ev = Tables(s, dir, "events")
+    // same cloned-session scoping as stream_sink_table (see note there)
+    val local = s.newSession()
+    local.conf.set("spark.sql.shuffle.partitions", "8")
+    val ev = Tables(local, dir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
     val t0 = lit("2024-01-03 00:00:00").cast("timestamp")
     val t1 = lit("2024-01-05 00:00:00").cast("timestamp")
@@ -323,16 +327,13 @@ object StreamingOps {
     ev.filter(col("ts") >= t0 && col("ts") < t2).repartition(1).write.parquet(s"$src/d2")
     val url = s"jdbc:derby:$work/db;create=true"
     val sink = new JdbcUpsertSink(url, "events_stream", Seq("event_id"), ev.schema)
-    val stream = s.readStream.schema(ev.schema).parquet(s"$src/*")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try startJdbcMergeSink(
+    val stream = local.readStream.schema(ev.schema).parquet(s"$src/*")
+    startJdbcMergeSink(
       dedupByKey(stream, "ts", "10 minutes", Seq("event_id")),
       sink, work.resolve("ckpt").toString, Trigger.AvailableNow()
     ).awaitTermination()
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val cols = Seq("event_id", "user_id", "event_type", "value")
-    s.read.format("jdbc")
+    local.read.format("jdbc")
       .option("url", url).option("dbtable", "events_stream").load()
       .select(cols.map(c => col(c).as(c)): _*)
       .orderBy(col("event_id").asc_nulls_first)

@@ -84,11 +84,23 @@ class PlanShapeSpec extends SparkTestBase {
         assert(bx.nonEmpty, s"$q must broadcast its probe/codebook side")
         bx.foreach { b =>
           val sub = b.toString
-          assert(capPredicate.findFirstIn(sub).isDefined,
+          // the Lloyd-trained IVF codebook broadcasts as a materialized
+          // localCheckpoint scan (lineage truncated per round) — its bound
+          // is PHYSICAL, asserted by the row count below, not a predicate
+          val checkpointedCodebook = q == "sim_ivf_topk" &&
+            nodes(b).exists(_.getClass.getSimpleName.startsWith("RDDScan"))
+          assert(capPredicate.findFirstIn(sub).isDefined || checkpointedCodebook,
             s"$q: every broadcast side must be bounded by the constant id-cap " +
-              s"predicate (vec_id < PROBE_CAP/CENT_CAP), got:\n$sub")
+              s"predicate (vec_id < PROBE_CAP/CENT_CAP) or be the materialized " +
+              s"codebook, got:\n$sub")
         }
       }
+      // the physical bound behind the checkpointed-codebook exemption: the
+      // trained codebook can never exceed the seed's constant cap (Lloyd
+      // only drops cells), independent of corpus size
+      assert(graft.operators.Similarity.trainedCodebook(spark, sf).count() <=
+        graft.operators.Similarity.CENT_CAP / 50 + 1,
+        "trained codebook must stay a constant-size side input")
     }
   }
 
