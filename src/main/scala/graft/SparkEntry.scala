@@ -33,7 +33,8 @@ object SparkEntry {
     (Skew.queries, Skew.oracle),
     (TemporalJoins.queries, TemporalJoins.oracle),
     (DataPipeline.queries, DataPipeline.oracle),
-    (BloomJoin.queries, BloomJoin.oracle)
+    (BloomJoin.queries, BloomJoin.oracle),
+    (IncrementalAgg.queries, IncrementalAgg.oracle)
   )
 
   /** A duplicate query key across modules would silently shadow one

@@ -267,7 +267,42 @@ object Analytics {
           Array(col("c_acctbal"), col("c_nationkey")), "metric", "value"),
       "c_custkey", "metric")
 
+  // Rank-family windows (ntile/percent_rank/cume_dist) — the distribution
+  // bucketing every cohort analysis leans on. One Exchange on the partition
+  // key; the unique (value, event_id) ordering makes peer groups singletons,
+  // so both engines agree bit-for-bit on the rank fractions.
+  private val windowNtile: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    ord(
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist")),
+      "event_type", "event_id")
+  }
+
+  // Time-range window frame: per-user trailing-1-hour running sum — RANGE
+  // frames bound by the ORDER value (event-time micros), not row position.
+  // The streaming sibling of a sliding window, expressed per-row. Decimal
+  // accumulator as everywhere, so frame evaluation order can't drift the sum.
+  private val windowRangeFrame: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("tmicros").asc)
+      .rangeBetween(-3600L * 1000000L, 0L)
+    ord(
+      Tables(s, dir, "events")
+        .withColumn("tmicros", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast(DecimalType(25, 6))).over(w).cast("double").as("sum_1h"),
+          count(lit(1)).over(w).as("n_1h")),
+      "user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "window_ntile" -> windowNtile,
+    "window_range_frame" -> windowRangeFrame,
     "agg_pivot" -> aggPivot,
     "unpivot_melt" -> unpivotMelt,
     "approx_percentiles" -> approxPercentiles,
@@ -290,6 +325,22 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "window_ntile" ->
+      """SELECT event_type, event_id,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+        |ORDER BY event_type ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
+    "window_range_frame" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sum_1h,
+        |  count(*) OVER w AS n_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
     "agg_pivot" -> {
       val cols = eventTypes.map(t =>
         s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(",\n  ")

@@ -48,15 +48,29 @@ import graft.operators.MergeOps
   * `batchId <= committed` guard — the standard foreachBatch idempotence
   * recipe. Even without the guard the upsert itself is idempotent.
   *
-  * GC keeps the last TWO manifest versions and every data dir they
-  * reference, so a reader that resolved `current` just before a merge can
-  * still finish its (lazy) scan of the previous version. Readers that hold a
-  * frame across MORE than one subsequent merge must materialize it.
+  * GC keeps the last `retain` manifest versions (default two) and every
+  * data dir they reference, so a reader that resolved `current` just before
+  * a merge can still finish its (lazy) scan of the previous version, and
+  * `snapshotAt` can time-travel to any retained version. Readers that hold
+  * a frame across more merges than the retention window must materialize it.
+  *
+  * Version-aware reads (the table-format trio):
+  *   - `versions`               — retained manifest versions, oldest first;
+  *   - `snapshotAt(v)`          — the committed state AS OF version v
+  *                                (time travel; fails loud past retention);
+  *   - `changesSince(v)`        — current rows of only the buckets whose
+  *                                data dir changed after v: bucket-granular
+  *                                incremental consumption, so a downstream
+  *                                refresh re-reads O(churned buckets), not
+  *                                O(table). (Row-level CDC would need
+  *                                per-row version columns; bucket granularity
+  *                                is the honest zero-overhead variant.)
   */
 final class ParquetTableSink(spark: SparkSession, dir: String,
                              zero: DataFrame, keys: Seq[String],
-                             buckets: Int = 16) {
+                             buckets: Int = 16, retain: Int = 2) {
   require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+  require(retain >= 2, s"retain must be >= 2 (current + one in-flight reader), got $retain")
 
   private val root: Path = Paths.get(dir)
   Files.createDirectories(root)
@@ -105,6 +119,47 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
   }
 
   def lastCommittedBatchId: Long = readPointer().map(_._2).getOrElse(-1L)
+
+  /** Retained manifest versions, oldest first (empty before the first
+    * commit). Anything listed is readable by `snapshotAt`. */
+  def versions: Seq[Long] =
+    listDirs(manifestDir).map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).sorted
+
+  /** Time travel: the committed table state AS OF manifest version `v`.
+    * Fails loud if `v` was never committed or has been GC'd past the
+    * `retain` window — a silent fallback to another version would hand the
+    * caller wrong-era data.
+    */
+  def snapshotAt(v: Long): DataFrame = {
+    require(Files.exists(manifestDir.resolve(s"v$v")),
+      s"version $v is not retained at $dir (retained: ${versions.mkString(",")})")
+    val paths = readManifest(v).values.map(d => dataDir.resolve(d).toString).toSeq
+    if (paths.isEmpty) zero
+    else spark.read.schema(zero.schema).parquet(paths: _*)
+  }
+
+  /** Incremental read: current rows of the buckets whose data dir changed
+    * AFTER version `v` (a bucket's dir name changes iff some merge rewrote
+    * it). A downstream consumer that processed snapshot `v` catches up by
+    * re-reading only these buckets — O(churned buckets) I/O, never a full
+    * table scan. Returns an empty frame when nothing changed.
+    */
+  def changesSince(v: Long): DataFrame = {
+    require(Files.exists(manifestDir.resolve(s"v$v")),
+      s"version $v is not retained at $dir (retained: ${versions.mkString(",")})")
+    readPointer() match {
+      case Some((cur, _)) if cur != v =>
+        val old = readManifest(v)
+        val changed = readManifest(cur).toSeq
+          .filter { case (b, d) => !old.get(b).contains(d) }
+          .map { case (_, d) => dataDir.resolve(d).toString }
+        if (changed.isEmpty) zero.limit(0)
+        else spark.read.schema(zero.schema).parquet(changed: _*)
+      case _ => zero.limit(0)
+    }
+  }
 
   /** Micro-batch upsert with the exactly-once batchId guard. Serialized:
     * foreachBatch calls arrive one at a time per query, but a restarted
@@ -182,12 +237,13 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     deleteRecursively(stagingDir)
   }
 
-  /** Keep the last two manifest versions and every data dir they reference
-    * (a reader holding `current` from just before this merge can still scan
-    * the previous version); delete everything older.
+  /** Keep the last `retain` manifest versions and every data dir they
+    * reference (a reader holding `current` from just before this merge can
+    * still scan the previous version; `snapshotAt` can reach any kept
+    * version); delete everything older.
     */
   private def gc(latest: Long): Unit = {
-    val keepVersions = Set(latest, latest - 1).filter(_ >= 0)
+    val keepVersions = (latest - retain + 1 to latest).filter(_ >= 0).toSet
     val keepDirs: Set[String] = keepVersions
       .filter(v => Files.exists(manifestDir.resolve(s"v$v")))
       .flatMap(v => readManifest(v).values)

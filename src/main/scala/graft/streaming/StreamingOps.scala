@@ -339,11 +339,35 @@ object StreamingOps {
       .orderBy(col("event_id").asc_nulls_first)
   }
 
+  /** Time travel on the versioned table, graded: two merges advance the
+    * sink to v1; the query returns the v0 SNAPSHOT (the state the table
+    * held after the first commit) tagged beside the CURRENT state. The
+    * oracle reproduces both from the raw events — if `snapshotAt` leaked
+    * post-v0 rows (or `current` lost any), the hash breaks. `changesSince`
+    * is bucket-granular (Spark-hash-defined) so it stays spec-tested;
+    * snapshots are exact row sets, so they grade.
+    */
+  private val sinkTimeTravel: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val t1 = lit("2024-01-10 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-20 00:00:00").cast("timestamp")
+    val work = graft.Scratch.dir("graft-time-travel")
+    val sink = new ParquetTableSink(s, work.resolve("table").toString,
+      ev.limit(0), Seq("event_id"), buckets = 8, retain = 4)
+    sink.merge(ev.filter(col("ts") < t1), 0L)
+    sink.merge(ev.filter(col("ts") >= t1 && col("ts") < t2), 1L)
+    sink.snapshotAt(0).withColumn("snap", lit("v0"))
+      .unionByName(sink.current.withColumn("snap", lit("cur")))
+      .orderBy(col("snap").asc_nulls_first, col("event_id").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_dedup_replay" -> streamDedupReplay,
     "stream_offsets" -> streamOffsets,
     "stream_sink_table" -> streamSinkTable,
-    "stream_jdbc_table" -> streamJdbcTable
+    "stream_jdbc_table" -> streamJdbcTable,
+    "sink_time_travel" -> sinkTimeTravel
   )
 
   val oracle: Map[String, String] = Map(
@@ -366,6 +390,14 @@ object StreamingOps {
     "stream_jdbc_table" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
-        |ORDER BY event_id ASC NULLS FIRST""".stripMargin
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    // v0 snapshot = first merge's rows (ts < t1); current = both merges
+    "sink_time_travel" ->
+      """SELECT 'v0' AS snap, event_id, ts, user_id, event_type, value
+        |FROM events WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+        |UNION ALL
+        |SELECT 'cur' AS snap, event_id, ts, user_id, event_type, value
+        |FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY snap ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin
   )
 }

@@ -157,6 +157,58 @@ class PersistentSinkSpec extends SparkTestBase {
       "recovery merge must produce the correct table despite crash garbage")
   }
 
+  test("time travel: snapshotAt reads each retained version; changesSince reads only churned buckets") {
+    val table = Files.createTempDirectory("graft-psink-tt").toString
+    val zero = events.limit(0)
+    val sink = new ParquetTableSink(spark, table, zero, Seq("event_id"), retain = 4)
+
+    sink.merge(events.filter(col("event_id") < 200), 0L)              // v0
+    sink.merge(events.filter(col("event_id") === 301), 1L)           // v1: one key
+    // a v2 batch of 3 keys: touches ≤3 of the 16 buckets, so the
+    // changesSince subset assertion below has slack
+    sink.merge(events.filter(col("event_id") >= 400 && col("event_id") < 403), 2L) // v2
+
+    assert(sink.versions == Seq(0L, 1L, 2L))
+    assert(sortedIds(sink.snapshotAt(0)) == sortedIds(events.filter(col("event_id") < 200)),
+      "snapshotAt(0) must be the state as of the first commit")
+    assert(sortedIds(sink.snapshotAt(1)) ==
+      sortedIds(events.filter(col("event_id") < 200 || col("event_id") === 301)))
+    assert(sortedIds(sink.snapshotAt(2)) == sortedIds(sink.current))
+
+    // incremental read from v1: only buckets merged after v1 (the v2 batch's
+    // buckets) come back — a strict subset of the table containing all v2 keys
+    val changed = sink.changesSince(1)
+    val changedIds = sortedIds(changed)
+    val v2Ids = sortedIds(events.filter(col("event_id") >= 400 && col("event_id") < 403))
+    assert(v2Ids.forall(changedIds.contains), "changesSince must cover every merged key")
+    assert(changedIds.size < sortedIds(sink.current).size,
+      "changesSince must be a bucket-granular subset, not a full-table read")
+    assert(sink.changesSince(2).count() == 0, "no merges after v2 → empty delta")
+
+    // a single-bucket churn: the delta reads exactly that bucket
+    sink.merge(events.filter(col("event_id") === 302), 3L)           // v3
+    val oneBucket = sink.changesSince(2)
+    val session = spark
+    import session.implicits._
+    val b302 = events.filter(col("event_id") === 302)
+      .select(pmod(hash(col("event_id")), lit(16))).as[Int].head()
+    val rowBuckets = oneBucket.select(pmod(hash(col("event_id")), lit(16))).as[Int].collect().toSet
+    assert(rowBuckets == Set(b302), s"delta after a one-key merge must read one bucket, got $rowBuckets")
+  }
+
+  test("retention: GC prunes past the retain window and snapshotAt fails loud on a pruned version") {
+    val table = Files.createTempDirectory("graft-psink-retain").toString
+    val zero = events.limit(0)
+    val sink = new ParquetTableSink(spark, table, zero, Seq("event_id"), retain = 3)
+    (0 to 4).foreach(i => sink.merge(events.filter(col("event_id") === 100 + i), i.toLong))
+    assert(sink.versions == Seq(2L, 3L, 4L), s"retain=3 must keep the last three, got ${sink.versions}")
+    val e = intercept[IllegalArgumentException](sink.snapshotAt(0))
+    assert(e.getMessage.contains("not retained"),
+      "time travel past retention must fail loud, not fall back silently")
+    assert(sortedIds(sink.current) ==
+      sortedIds(events.filter(col("event_id").between(100, 104))))
+  }
+
   test("ST7: transient first-attempt failure, pipeline completes on retry, table exactly-once") {
     val src = Files.createTempDirectory("graft-retry-drops").toString
     val ckpt = Files.createTempDirectory("graft-retry-ckpt").toString
