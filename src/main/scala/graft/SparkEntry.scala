@@ -34,7 +34,8 @@ object SparkEntry {
     (TemporalJoins.queries, TemporalJoins.oracle),
     (DataPipeline.queries, DataPipeline.oracle),
     (BloomJoin.queries, BloomJoin.oracle),
-    (IncrementalAgg.queries, IncrementalAgg.oracle)
+    (IncrementalAgg.queries, IncrementalAgg.oracle),
+    (Behavioral.queries, Behavioral.oracle)
   )
 
   /** A duplicate query key across modules would silently shadow one

@@ -300,7 +300,52 @@ object Analytics {
       "user_id", "event_id")
   }
 
+  // Correlation/covariance via closed-form moments over EXACT decimal
+  // accumulators: built-in corr()/covar_pop() merge partial moments in
+  // doubles, so their low bits depend on partition boundaries — fine for
+  // statistics, fatal for a cross-engine hash gate. Summing the five
+  // moments as DECIMAL(25,6) makes the derived statistics bit-identical on
+  // any engine and any partitioning, at the cost of one extra multiply per
+  // row. Same single-Exchange partial-aggregate shape as every groupBy.
+  private val aggCorr: Q = (s, dir) => {
+    val e = Tables(s, dir, "events").withColumn("hr", hour(col("ts")).cast("long"))
+    val g = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast(DecimalType(25, 6))).cast("double").as("sx"),
+      sum(col("hr")).as("sy"),
+      sum((col("value") * col("hr")).cast(DecimalType(25, 6))).cast("double").as("sxy"),
+      sum((col("value") * col("value")).cast(DecimalType(25, 6))).cast("double").as("sxx"),
+      sum(col("hr") * col("hr")).as("syy"))
+    val n = col("n").cast("double")
+    val cov = n * col("sxy") - col("sx") * col("sy").cast("double")
+    val vx = n * col("sxx") - col("sx") * col("sx")
+    val vy = n * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    ord(
+      g.select(col("event_type"), col("n"),
+        round(cov / (n * n), 6).as("covar_vh"),
+        round(cov / (sqrt(vx) * sqrt(vy)), 6).as("corr_vh")),
+      "event_type")
+  }
+
+  // Explicit GROUPING SETS (rollup/cube's general form) with grouping()
+  // indicators distinguishing "NULL because aggregated away" from a data
+  // NULL — the same single-scan Expand-based plan as rollup/cube.
+  private val aggGroupingSets: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_priority")),
+      "o_orderstatus", "o_orderpriority")
+
   val queries: Map[String, Q] = Map(
+    "agg_corr" -> aggCorr,
+    "agg_grouping_sets" -> aggGroupingSets,
     "window_ntile" -> windowNtile,
     "window_range_frame" -> windowRangeFrame,
     "agg_pivot" -> aggPivot,
@@ -325,6 +370,28 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_corr" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+        |    sum(EXTRACT(hour FROM ts)) AS sy,
+        |    CAST(sum(CAST(value * EXTRACT(hour FROM ts) AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+        |    sum(EXTRACT(hour FROM ts) * EXTRACT(hour FROM ts)) AS syy
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n), 6) AS covar_vh,
+        |  round((n * sxy - sx * sy)
+        |    / (sqrt(n * sxx - sx * sx) * sqrt(CAST(n * syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6) AS corr_vh
+        |FROM m ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "window_ntile" ->
       """SELECT event_type, event_id,
         |  CAST(ntile(4) OVER w AS INT) AS quartile,

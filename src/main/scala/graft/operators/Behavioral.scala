@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Behavioral / product analytics over the event stream — the funnel and
+  * retention primitives every event-analytics engine ships (the reference's
+  * vehicle pipeline is itself an event stream; these are the analyses its
+  * warehouse consumers run downstream).
+  *
+  * Scale design: both operators key every exchange on `user_id` — the
+  * natural partitioning of behavioral data. The funnel's three stage
+  * aggregates and their stitching joins all hash on user_id, so Catalyst
+  * reuses one exchange per side and no stage ever sees more than one row
+  * per (user, stage). Retention first collapses events to DISTINCT
+  * (user, week) — O(users × active weeks), the standard pre-aggregation
+  * that keeps the cohort matrix small no matter how hot a user's event
+  * volume is. No windows over raw events, no broadcast of anything
+  * user-proportional.
+  */
+object Behavioral {
+
+  private def ord(df: DataFrame, cols: String*): DataFrame =
+    df.orderBy(cols.map(c => col(c).asc_nulls_first): _*)
+
+  // ---- funnel_steps: strict-order conversion funnel ------------------------
+  //
+  // view → click → purchase, each step's timestamp strictly after the
+  // previous step's: t1 = first view, t2 = first click after t1, t3 = first
+  // purchase after t2 (the "conditional funnel" — a click before the first
+  // view does not count). Users enter at step 1; t3 non-null implies t2
+  // non-null by construction, so `steps` is the consecutive count.
+  private val funnelSteps: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events").select("user_id", "event_type", "ts")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id")).filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    ord(
+      s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
+            + when(col("t3").isNotNull, 1L).otherwise(0L)).as("steps")),
+      "user_id")
+  }
+
+  // ---- retention_cohorts: weekly cohort retention matrix -------------------
+  //
+  // Cohort = a user's first active epoch-week; cell (cohort, k) = distinct
+  // users of that cohort active k weeks later. Epoch-week = integer
+  // micros-since-epoch DIV one week — engine-agnostic arithmetic, no
+  // calendar/locale semantics to diverge on.
+  private val WeekMicros = 604800000000L
+  private val retentionCohorts: Q = (s, dir) => {
+    val act = Tables(s, dir, "events")
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $WeekMicros").as("wk"))
+      .distinct()
+    val first = act.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    ord(
+      act.join(first, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users")),
+      "cohort_wk", "week_offset")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "funnel_steps" -> funnelSteps,
+    "retention_cohorts" -> retentionCohorts
+  )
+
+  val oracle: Map[String, String] = Map(
+    "funnel_steps" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT s1.user_id, t1, t2, t3,
+        |  1 + CAST(t2 IS NOT NULL AS BIGINT) + CAST(t3 IS NOT NULL AS BIGINT) AS steps
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+    "retention_cohorts" ->
+      s"""WITH act AS (
+         |  SELECT DISTINCT user_id, epoch_us(ts) // $WeekMicros AS wk FROM events),
+         |first AS (SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id)
+         |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM act JOIN first USING (user_id)
+         |GROUP BY 1, 2
+         |ORDER BY cohort_wk ASC NULLS FIRST, week_offset ASC NULLS FIRST""".stripMargin
+  )
+}
