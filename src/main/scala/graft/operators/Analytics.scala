@@ -343,7 +343,35 @@ object Analytics {
           grouping(col("o_orderpriority")).cast("long").as("g_priority")),
       "o_orderstatus", "o_orderpriority")
 
+  // Heavy hitters via the native Misra-Gries aggregate (graft_topk_freq —
+  // functions.FreqSketchAgg): one pass, k counters per group, mergeable
+  // partials. The fixture plants the classic skew (one 50% hot key, one 25%
+  // warm key, unique cold tail ≫ k) so the decrement/merge paths genuinely
+  // run; the gate follows the sketch's guarantee — every key with true
+  // count > n/(k+1) MUST be present among candidates — because candidate
+  // membership below that threshold is legitimately merge-order-dependent
+  // (only guarantee-backed facts belong in hash-checked output; the
+  // approx_distinct gate pattern).
+  private val HHK = 16
+  private val aggHeavyHitters: Q = (s, dir) => {
+    val keyed = Tables(s, dir, "events").select(col("event_type"),
+      when((col("event_id") % 4).isin(0, 2), lit("hot"))
+        .when(col("event_id") % 4 === 1, lit("warm"))
+        .otherwise(concat(lit("cold"), col("event_id"))).as("k"))
+    val exact = keyed.groupBy("event_type", "k").agg(count(lit(1)).as("n"))
+    val tot = keyed.groupBy("event_type").agg(count(lit(1)).as("total"))
+    val sk = keyed.groupBy("event_type").agg(expr(s"graft_topk_freq(k, $HHK)").as("cand"))
+    ord(
+      exact.join(tot, Seq("event_type"))
+        .filter(col("n") * (HHK + 1) > col("total"))
+        .join(sk, Seq("event_type"))
+        .select(col("event_type"), col("k").as("hot_key"), col("n"),
+          map_contains_key(col("cand"), col("k")).as("covered")),
+      "event_type", "hot_key")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_corr" -> aggCorr,
     "agg_grouping_sets" -> aggGroupingSets,
     "window_ntile" -> windowNtile,
@@ -370,6 +398,19 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_heavy_hitters" ->
+      s"""WITH keyed AS (
+         |  SELECT event_type,
+         |    CASE WHEN event_id % 4 IN (0, 2) THEN 'hot'
+         |         WHEN event_id % 4 = 1 THEN 'warm'
+         |         ELSE 'cold' || event_id END AS k
+         |  FROM events),
+         |exact AS (SELECT event_type, k, count(*) AS n FROM keyed GROUP BY 1, 2),
+         |tot AS (SELECT event_type, count(*) AS total FROM keyed GROUP BY 1)
+         |SELECT event_type, k AS hot_key, n, true AS covered
+         |FROM exact JOIN tot USING (event_type)
+         |WHERE n * ${HHK + 1} > total
+         |ORDER BY event_type ASC NULLS FIRST, hot_key ASC NULLS FIRST""".stripMargin,
     "agg_corr" ->
       """WITH m AS (
         |  SELECT event_type, count(*) AS n,
