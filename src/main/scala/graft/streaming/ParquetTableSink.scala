@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, hash, pmod, lit}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import graft.operators.MergeOps
 
 /** A persistent merge sink behind `foreachBatch` — the durable counterpart
@@ -65,6 +66,14 @@ import graft.operators.MergeOps
   *                                O(table). (Row-level CDC would need
   *                                per-row version columns; bucket granularity
   *                                is the honest zero-overhead variant.)
+  *
+  * Schema evolution is ADD-only (the copy-on-write table-format rule): a
+  * batch may append new columns, which become nullable table columns with
+  * NO data rewrite — old files simply read back NULL for them; dropping,
+  * renaming, or retyping an existing column fails loud. The schema commits
+  * per version beside the manifest (`manifest/v{n}.schema`, written only
+  * once evolution happens), so `snapshotAt(v)` reads every era under the
+  * schema it was committed with.
   */
 final class ParquetTableSink(spark: SparkSession, dir: String,
                              zero: DataFrame, keys: Seq[String],
@@ -109,12 +118,25 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
         b.toInt -> d
       }.toMap
 
+  /** The table schema AS OF version `v`: the per-version schema file when
+    * evolution has happened, else the base `zero` schema (pre-evolution
+    * tables have no schema files — fully backward compatible). */
+  def schemaAt(v: Long): StructType = {
+    val f = manifestDir.resolve(s"v$v.schema")
+    if (Files.exists(f)) DataType.fromJson(Files.readString(f)).asInstanceOf[StructType]
+    else zero.schema
+  }
+
+  /** The current committed schema (base schema before the first commit). */
+  def currentSchema: StructType =
+    readPointer().map { case (v, _) => schemaAt(v) }.getOrElse(zero.schema)
+
   /** The committed table state (the zero frame before the first commit). */
   def current: DataFrame = readPointer() match {
     case Some((v, _)) =>
       val paths = readManifest(v).values.map(d => dataDir.resolve(d).toString).toSeq
       if (paths.isEmpty) zero
-      else spark.read.schema(zero.schema).parquet(paths: _*)
+      else spark.read.schema(schemaAt(v)).parquet(paths: _*)
     case None => zero
   }
 
@@ -137,7 +159,7 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
       s"version $v is not retained at $dir (retained: ${versions.mkString(",")})")
     val paths = readManifest(v).values.map(d => dataDir.resolve(d).toString).toSeq
     if (paths.isEmpty) zero
-    else spark.read.schema(zero.schema).parquet(paths: _*)
+    else spark.read.schema(schemaAt(v)).parquet(paths: _*)
   }
 
   /** Incremental read: current rows of the buckets whose data dir changed
@@ -155,11 +177,14 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
         val changed = readManifest(cur).toSeq
           .filter { case (b, d) => !old.get(b).contains(d) }
           .map { case (_, d) => dataDir.resolve(d).toString }
-        if (changed.isEmpty) zero.limit(0)
-        else spark.read.schema(zero.schema).parquet(changed: _*)
-      case _ => zero.limit(0)
+        if (changed.isEmpty) emptyOf(schemaAt(cur))
+        else spark.read.schema(schemaAt(cur)).parquet(changed: _*)
+      case _ => emptyOf(schemaAt(v))
     }
   }
+
+  private def emptyOf(schema: StructType): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
 
   /** Micro-batch upsert with the exactly-once batchId guard. Serialized:
     * foreachBatch calls arrive one at a time per query, but a restarted
@@ -170,6 +195,27 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     if (batchId <= committed) return // replay of an already-committed batch
     val next = ver + 1
     val manifest: Map[Int, String] = if (ver >= 0) readManifest(ver) else Map.empty
+
+    // Schema evolution (ADD-only, the copy-on-write table-format rule): the
+    // batch must carry every existing column with its exact type — a missing
+    // or retyped column would silently null/corrupt history — and may append
+    // new columns, which join the table schema as nullable (old files read
+    // back with NULL for them; no data rewrite). The evolved schema commits
+    // per version beside the manifest, so snapshotAt(v) reads each era with
+    // the schema it was written under.
+    val existing = if (ver >= 0) schemaAt(ver) else zero.schema
+    val batchTypes = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+    existing.fields.foreach { f =>
+      val dt = batchTypes.getOrElse(f.name, sys.error(
+        s"ParquetTableSink($dir): batch is missing existing column ${f.name} — " +
+          "dropping or renaming columns is not an additive evolution"))
+      require(dt == f.dataType,
+        s"ParquetTableSink($dir): column ${f.name} is $dt in the batch but " +
+          s"${f.dataType} in the table — type changes are not additive")
+    }
+    val addedCols = batch.schema.fields.filter(f => !existing.fieldNames.contains(f.name))
+    val unified = StructType(existing.fields ++
+      addedCols.map(f => StructField(f.name, f.dataType, nullable = true)))
 
     // Clean garbage from any crashed previous attempt at this version:
     // staging output plus data dirs of a version the pointer never reached.
@@ -197,9 +243,9 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
         val existingPaths = touched.flatMap(manifest.get)
           .map(d => dataDir.resolve(d).toString)
         val target =
-          if (existingPaths.isEmpty) zero
-          else spark.read.schema(zero.schema).parquet(existingPaths: _*)
-        val staged = spark.read.schema(zero.schema).parquet(stagedBatch.toString)
+          if (existingPaths.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), unified)
+          else spark.read.schema(unified).parquet(existingPaths: _*)
+        val staged = spark.read.schema(unified).parquet(stagedBatch.toString)
         val merged = MergeOps.upsert(target, staged, keys, nullSafeKeys = false)
         val out = stagingDir.resolve("out")
         // repartition on the bucket before the partitioned write: each task
@@ -218,6 +264,19 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
             b -> name
           }.toMap
       }
+
+    // Commit the (possibly evolved) schema beside the manifest. Written only
+    // when it differs from the base schema, so un-evolved tables keep their
+    // pre-evolution layout byte-for-byte. A crash after this write but
+    // before the pointer swap leaves an orphan file for an uncommitted
+    // version — harmless: replay overwrites it, readers only consult
+    // schemas of pointer-reachable versions.
+    if (unified != zero.schema) {
+      val sTmp = manifestDir.resolve(s".v$next.schema.tmp")
+      Files.writeString(sTmp, unified.json)
+      Files.move(sTmp, manifestDir.resolve(s"v$next.schema"),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
 
     val nextManifest = manifest ++ newEntries
     val mTmp = manifestDir.resolve(s".v$next.tmp")
@@ -250,7 +309,9 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     listDirs(manifestDir)
       .filter { p =>
         val n = p.getFileName.toString
-        n.startsWith("v") && n.drop(1).forall(_.isDigit) && !keepVersions.contains(n.drop(1).toLong)
+        val base = n.stripSuffix(".schema")
+        base.startsWith("v") && base.drop(1).forall(_.isDigit) &&
+          base.drop(1).nonEmpty && !keepVersions.contains(base.drop(1).toLong)
       }
       .foreach(deleteRecursively)
     listDirs(dataDir)

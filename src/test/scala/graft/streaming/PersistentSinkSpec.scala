@@ -196,6 +196,57 @@ class PersistentSinkSpec extends SparkTestBase {
     assert(rowBuckets == Set(b302), s"delta after a one-key merge must read one bucket, got $rowBuckets")
   }
 
+  test("schema evolution: an added column joins the table nullable, old eras keep their schema") {
+    val table = Files.createTempDirectory("graft-psink-evolve").toString
+    val zero = events.limit(0)
+    val sink = new ParquetTableSink(spark, table, zero, Seq("event_id"), retain = 4)
+
+    sink.merge(events.filter(col("event_id") < 100), 0L)                // v0: base schema
+    sink.merge(events.filter(col("event_id") >= 100 && col("event_id") < 200)
+      .withColumn("note", concat(lit("n"), col("event_id"))), 1L)       // v1: + note
+
+    val cur = sink.current
+    assert(cur.columns.contains("note"), "evolved column must be part of the current schema")
+    assert(sink.currentSchema("note").nullable, "added columns must be nullable")
+    // pre-evolution rows read back NULL for the new column — no rewrite
+    assert(cur.filter(col("event_id") < 100 && col("note").isNull).count() == 100)
+    assert(cur.filter(col("event_id") >= 100 && col("note") === concat(lit("n"), col("event_id"))).count() == 100)
+    // time travel reads the v0 era under the schema it was written with
+    assert(!sink.snapshotAt(0).columns.contains("note"),
+      "a snapshot must carry its own era's schema, not the evolved one")
+    assert(sortedIds(sink.snapshotAt(0)) == sortedIds(events.filter(col("event_id") < 100)))
+
+    // a third merge WITH the evolved column updates evolved rows in place
+    sink.merge(events.filter(col("event_id") === 50)
+      .withColumn("note", lit("updated")), 2L)
+    assert(sink.current.filter(col("note") === "updated").count() == 1)
+
+    // a fresh sink over the same directory sees the evolved schema from disk
+    val reopened = new ParquetTableSink(spark, table, zero, Seq("event_id"), retain = 4)
+    assert(reopened.currentSchema.fieldNames.contains("note"))
+  }
+
+  test("schema evolution rejects dropped or retyped columns loud") {
+    val table = Files.createTempDirectory("graft-psink-evolve-bad").toString
+    val zero = events.limit(0)
+    val sink = new ParquetTableSink(spark, table, zero, Seq("event_id"))
+    sink.merge(events.filter(col("event_id") < 50), 0L)
+
+    val dropped = intercept[RuntimeException] {
+      sink.merge(events.filter(col("event_id") === 60).drop("value"), 1L)
+    }
+    assert(dropped.getMessage.contains("missing existing column value"))
+
+    val retyped = intercept[IllegalArgumentException] {
+      sink.merge(events.filter(col("event_id") === 60)
+        .withColumn("value", col("value").cast("string")), 1L)
+    }
+    assert(retyped.getMessage.contains("type changes are not additive"))
+    // failures committed nothing: the table is still at v0, batch 0
+    assert(sink.lastCommittedBatchId == 0L)
+    assert(sortedIds(sink.current) == sortedIds(events.filter(col("event_id") < 50)))
+  }
+
   test("retention: GC prunes past the retain window and snapshotAt fails loud on a pruned version") {
     val table = Files.createTempDirectory("graft-psink-retain").toString
     val zero = events.limit(0)
