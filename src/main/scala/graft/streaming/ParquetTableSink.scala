@@ -77,9 +77,24 @@ import graft.operators.MergeOps
   */
 final class ParquetTableSink(spark: SparkSession, dir: String,
                              zero: DataFrame, keys: Seq[String],
-                             buckets: Int = 16, retain: Int = 2) {
+                             buckets: Int = 16, retain: Int = 2,
+                             combine: ParquetTableSink.Combiner = null) {
   require(buckets >= 1, s"buckets must be >= 1, got $buckets")
   require(retain >= 2, s"retain must be >= 2 (current + one in-flight reader), got $retain")
+
+  /** How a staged batch folds into the touched buckets' current rows.
+    * Default: last-writer-wins upsert (S7). A custom combiner turns the
+    * sink into a MAINTAINED table — e.g. `IncrementalAgg.mergeStates`
+    * makes it a streaming materialized view whose groups accumulate
+    * instead of overwrite. Contract: the result must keep the table
+    * schema (types included) and at most one row per key, and must be
+    * associative over batches so any micro-batch split commits the same
+    * table. Bucket pruning, versioning, and the batchId guard apply
+    * unchanged — the combiner only ever sees O(touched buckets) rows.
+    */
+  private val combiner: ParquetTableSink.Combiner =
+    if (combine != null) combine
+    else (target, staged) => MergeOps.upsert(target, staged, keys, nullSafeKeys = false)
 
   private val root: Path = Paths.get(dir)
   Files.createDirectories(root)
@@ -246,7 +261,11 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
           if (existingPaths.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), unified)
           else spark.read.schema(unified).parquet(existingPaths: _*)
         val staged = spark.read.schema(unified).parquet(stagedBatch.toString)
-        val merged = MergeOps.upsert(target, staged, keys, nullSafeKeys = false)
+        val merged = combiner(target, staged)
+        require(merged.schema.fields.map(f => f.name -> f.dataType).toMap ==
+          unified.fields.map(f => f.name -> f.dataType).toMap,
+          s"ParquetTableSink($dir): combiner changed the table schema — " +
+            "cast accumulator columns back to their declared types")
         val out = stagingDir.resolve("out")
         // repartition on the bucket before the partitioned write: each task
         // then holds whole buckets, so a version is O(touched buckets) files
@@ -332,4 +351,9 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
     }
+}
+
+object ParquetTableSink {
+  /** (current rows of the touched buckets, staged batch) → merged rows. */
+  type Combiner = (DataFrame, DataFrame) => DataFrame
 }

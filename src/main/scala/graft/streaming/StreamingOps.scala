@@ -362,7 +362,66 @@ object StreamingOps {
       .orderBy(col("snap").asc_nulls_first, col("event_id").asc_nulls_first)
   }
 
+  /** The streaming MATERIALIZED VIEW, graded: the same overlapping two-drop
+    * at-least-once stream as `stream_sink_table`, but each micro-batch is
+    * pre-aggregated to a per-(cohort, event_type) partial state and folded
+    * into the versioned sink through `IncrementalAgg.mergeStates` as the
+    * sink's combiner — groups ACCUMULATE across batches instead of
+    * overwriting. Per batch the sink rewrites only the buckets whose groups
+    * the delta touched: a 100 TB rollup refreshes in O(delta + touched
+    * buckets). Deterministic under any micro-batch split because watermark
+    * dedup delivers each event exactly once into some batch and the state
+    * merge is associative over exact accumulators (long counts,
+    * DECIMAL(25,6) sums, timestamp max). The oracle is the from-scratch
+    * aggregate over the union window — the invariant of incremental view
+    * maintenance.
+    */
+  private val streamRollupTable: Q = (s, dir) => {
+    val local = s.newSession()
+    local.conf.set("spark.sql.shuffle.partitions", "8")
+    val ev = Tables(local, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val t0 = lit("2024-01-10 00:00:00").cast("timestamp")
+    val t1 = lit("2024-01-20 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-28 00:00:00").cast("timestamp")
+    val work = graft.Scratch.dir("graft-stream-rollup")
+    val src = work.resolve("drops")
+    ev.filter(col("ts") < t1).repartition(1).write.parquet(s"$src/d1")
+    ev.filter(col("ts") >= t0 && col("ts") < t2).repartition(1).write.parquet(s"$src/d2")
+
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy((col("user_id") % 100).as("cohort"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(25,6)")).cast("decimal(25,6)").as("sum_value"),
+          max(col("ts")).as("last_ts"))
+
+    val viewKeys = Seq("cohort", "event_type")
+    val combine: ParquetTableSink.Combiner = (target, staged) =>
+      graft.operators.IncrementalAgg.mergeStates(target, staged, viewKeys,
+        add = Seq("n_events", "sum_value"), maxCols = Seq("last_ts"))
+        .select(col("cohort"), col("event_type"), col("n_events"),
+          // decimal addition widens the type per merge; pin the declared one
+          col("sum_value").cast("decimal(25,6)").as("sum_value"), col("last_ts"))
+
+    val sink = new ParquetTableSink(local, work.resolve("table").toString,
+      partial(ev).limit(0), viewKeys, buckets = 8, combine = combine)
+    local.readStream.schema(ev.schema).parquet(s"$src/*")
+      .transform(st => dedupByKey(st, "ts", "10 minutes", Seq("event_id")))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[Row], id: Long) => sink.merge(partial(b), id) }
+      .start()
+      .awaitTermination()
+    sink.current
+      .select(col("cohort"), col("event_type"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"), col("last_ts"))
+      .orderBy(col("cohort").asc_nulls_first, col("event_type").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_rollup_table" -> streamRollupTable,
     "stream_dedup_replay" -> streamDedupReplay,
     "stream_offsets" -> streamOffsets,
     "stream_sink_table" -> streamSinkTable,
@@ -391,6 +450,16 @@ object StreamingOps {
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
         |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    // incremental view maintenance invariant: the maintained table must be
+    // indistinguishable from the from-scratch aggregate over everything
+    // delivered (the two drops' union = ts < t2)
+    "stream_rollup_table" ->
+      """SELECT user_id % 100 AS cohort, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+        |  max(ts) AS last_ts
+        |FROM events WHERE ts < TIMESTAMP '2024-01-28 00:00:00'
+        |GROUP BY 1, 2
+        |ORDER BY cohort ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
     // v0 snapshot = first merge's rows (ts < t1); current = both merges
     "sink_time_travel" ->
       """SELECT 'v0' AS snap, event_id, ts, user_id, event_type, value

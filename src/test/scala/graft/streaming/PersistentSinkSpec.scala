@@ -226,6 +226,36 @@ class PersistentSinkSpec extends SparkTestBase {
     assert(reopened.currentSchema.fieldNames.contains("note"))
   }
 
+  test("aggregate combiner: groups accumulate across merges; a replayed batch cannot double-count") {
+    val table = Files.createTempDirectory("graft-psink-rollup").toString
+    val ev = events
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy((col("user_id") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(25,6)")).cast("decimal(25,6)").as("sum_v"))
+    val combine: ParquetTableSink.Combiner = (t, d) =>
+      graft.operators.IncrementalAgg.mergeStates(t, d, Seq("cohort"),
+        add = Seq("n", "sum_v"))
+        .select(col("cohort"), col("n"), col("sum_v").cast("decimal(25,6)").as("sum_v"))
+    val sink = new ParquetTableSink(spark, table, partial(ev).limit(0),
+      Seq("cohort"), buckets = 4, combine = combine)
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("cohort"), col("n"), col("sum_v").cast("string"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+
+    sink.merge(partial(ev.filter(col("event_id") < 200)), 0L)
+    sink.merge(partial(ev.filter(col("event_id") >= 200 && col("event_id") < 300)), 1L)
+    assert(canon(sink.current) == canon(partial(ev.filter(col("event_id") < 300))),
+      "accumulated view must equal the from-scratch aggregate")
+
+    // the failure mode of incremental maintenance is double-counting — the
+    // batchId guard must make an at-least-once replay a no-op
+    sink.merge(partial(ev.filter(col("event_id") >= 200 && col("event_id") < 300)), 1L)
+    assert(canon(sink.current) == canon(partial(ev.filter(col("event_id") < 300))),
+      "a replayed committed batch must not re-accumulate")
+  }
+
   test("schema evolution rejects dropped or retyped columns loud") {
     val table = Files.createTempDirectory("graft-psink-evolve-bad").toString
     val zero = events.limit(0)
