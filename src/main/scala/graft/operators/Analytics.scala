@@ -323,7 +323,9 @@ object Analytics {
     ord(
       g.select(col("event_type"), col("n"),
         round(cov / (n * n), 6).as("covar_vh"),
-        round(cov / (sqrt(vx) * sqrt(vy)), 6).as("corr_vh")),
+        // zero-variance guard (project division rule): correlation is
+        // undefined when either side is constant — NULL, as corr() returns
+        when(vx > 0 && vy > 0, round(cov / (sqrt(vx) * sqrt(vy)), 6)).as("corr_vh")),
       "event_type")
   }
 
@@ -422,8 +424,11 @@ object Analytics {
         |  FROM events GROUP BY event_type)
         |SELECT event_type, n,
         |  round((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n), 6) AS covar_vh,
-        |  round((n * sxy - sx * sy)
-        |    / (sqrt(n * sxx - sx * sx) * sqrt(CAST(n * syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6) AS corr_vh
+        |  CASE WHEN (n * sxx - sx * sx) > 0
+        |        AND (CAST(n * syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy) > 0
+        |    THEN round((n * sxy - sx * sy)
+        |      / (sqrt(n * sxx - sx * sx) * sqrt(CAST(n * syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+        |  END AS corr_vh
         |FROM m ORDER BY event_type ASC NULLS FIRST""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

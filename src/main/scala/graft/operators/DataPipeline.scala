@@ -95,10 +95,12 @@ object DataPipeline {
     * fraction = (k%3+1)/4 as a hash-thinned Bernoulli — shared verbatim by
     * sample_mixture and corpus_build so the two can't drift. */
   private def mixCopies: Column = {
-    // a digitless source extracts '' → null after the cast; default the
-    // weight key to 0 (drop) on BOTH engines rather than silently diverging
-    // (Spark would null-drop, DuckDB CAST('') would raise)
-    val k = coalesce(regexp_extract(col("source"), "(\\d+)", 1).cast("long"), lit(0L))
+    // a digitless source extracts '': branch BEFORE casting (ANSI mode makes
+    // cast('' as long) throw, so coalesce-after-cast never fires) and default
+    // the weight key to 0 (drop) — mirroring the oracle's TRY_CAST+COALESCE.
+    // The cast itself only ever sees all-digit strings.
+    val extracted = regexp_extract(col("source"), "(\\d+)", 1)
+    val k = when(extracted === "", lit(0L)).otherwise(extracted.cast("long"))
     val whole = k % 4                         // 0..3 whole copies
     val fracThousandths = ((k % 3) + 1) * 250 // 250 | 500 | 750
     val draw = md5long(concat(lit("mixw:"), col("doc_id"))) % 1000

@@ -53,7 +53,15 @@ object IncrementalAgg {
     // suffix the delta's value columns so the using-join output is unambiguous
     val d = valCols.foldLeft(delta)((df, c) => df.withColumnRenamed(c, s"${c}__d"))
     val merged: Seq[Column] =
-      add.map(c => (coalesce(col(c), zeroOf(c)) + coalesce(col(s"${c}__d"), zeroOf(c))).as(c)) ++
+      add.map { c =>
+        val sv = col(c)
+        val dv = col(s"${c}__d")
+        // both-NULL stays NULL: SQL `sum` over an all-NULL group is NULL,
+        // and the merged state must be indistinguishable from the
+        // from-scratch recompute — coalescing to 0 here would diverge
+        when(sv.isNull && dv.isNull, lit(null).cast(state.schema(c).dataType))
+          .otherwise(coalesce(sv, zeroOf(c)) + coalesce(dv, zeroOf(c))).as(c)
+      } ++
         maxCols.map(c => greatest(col(c), col(s"${c}__d")).as(c)) ++
         minCols.map(c => least(col(c), col(s"${c}__d")).as(c))
     // using-columns full outer join coalesces the key columns natively

@@ -158,11 +158,16 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
   def lastCommittedBatchId: Long = readPointer().map(_._2).getOrElse(-1L)
 
   /** Retained manifest versions, oldest first (empty before the first
-    * commit). Anything listed is readable by `snapshotAt`. */
-  def versions: Seq[Long] =
+    * commit). Anything listed is readable by `snapshotAt`. Capped at the
+    * pointer's version: a manifest written by a crash that died before the
+    * pointer swap is an UNCOMMITTED attempt — exposing it would hand a
+    * reader data the replay is about to delete. */
+  def versions: Seq[Long] = {
+    val committed = readPointer().map(_._1).getOrElse(-1L)
     listDirs(manifestDir).map(_.getFileName.toString)
-      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
-      .map(_.drop(1).toLong).sorted
+      .filter(n => n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).filter(_ <= committed).sorted
+  }
 
   /** Time travel: the committed table state AS OF manifest version `v`.
     * Fails loud if `v` was never committed or has been GC'd past the
@@ -170,7 +175,7 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     * caller wrong-era data.
     */
   def snapshotAt(v: Long): DataFrame = {
-    require(Files.exists(manifestDir.resolve(s"v$v")),
+    require(versions.contains(v),
       s"version $v is not retained at $dir (retained: ${versions.mkString(",")})")
     val paths = readManifest(v).values.map(d => dataDir.resolve(d).toString).toSeq
     if (paths.isEmpty) zero
@@ -184,7 +189,7 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     * table scan. Returns an empty frame when nothing changed.
     */
   def changesSince(v: Long): DataFrame = {
-    require(Files.exists(manifestDir.resolve(s"v$v")),
+    require(versions.contains(v),
       s"version $v is not retained at $dir (retained: ${versions.mkString(",")})")
     readPointer() match {
       case Some((cur, _)) if cur != v =>
@@ -239,6 +244,11 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     deleteRecursively(stagingDir)
     listDirs(dataDir).filter(_.getFileName.toString.endsWith(s"-v$next"))
       .foreach(deleteRecursively)
+    // also any schema file a crashed evolving attempt left for this version:
+    // a non-evolving replay would otherwise commit under the stale evolved
+    // schema (phantom all-NULL column) and wedge every later merge on the
+    // batch-must-carry-existing-columns check
+    Files.deleteIfExists(manifestDir.resolve(s"v$next.schema"))
 
     // 1. Stage the batch partitioned by bucket. This is the one
     // materialization of the batch: it detaches the streaming lineage (the
@@ -258,7 +268,7 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
         val existingPaths = touched.flatMap(manifest.get)
           .map(d => dataDir.resolve(d).toString)
         val target =
-          if (existingPaths.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), unified)
+          if (existingPaths.isEmpty) emptyOf(unified)
           else spark.read.schema(unified).parquet(existingPaths: _*)
         val staged = spark.read.schema(unified).parquet(stagedBatch.toString)
         val merged = combiner(target, staged)

@@ -277,6 +277,34 @@ class PersistentSinkSpec extends SparkTestBase {
     assert(sortedIds(sink.current) == sortedIds(events.filter(col("event_id") < 50)))
   }
 
+  test("crash orphans are invisible: uncommitted manifests are not readable, stale schema files cannot poison a replay") {
+    val table = Files.createTempDirectory("graft-psink-orphan").toString
+    val zero = events.limit(0)
+    val sink = new ParquetTableSink(spark, table, zero, Seq("event_id"))
+    sink.merge(events.filter(col("event_id") < 100), 0L)
+
+    // crash between the manifest move and the pointer swap: a v1 manifest
+    // exists on disk but the pointer still says v0 — it must not be readable
+    val manifest = java.nio.file.Paths.get(table, "manifest")
+    Files.writeString(manifest.resolve("v1"), "0 b0-v1")
+    assert(sink.versions == Seq(0L), "an uncommitted manifest must not be listed")
+    intercept[IllegalArgumentException](sink.snapshotAt(1))
+
+    // crash of an EVOLVING attempt after its schema write: a stale v1.schema
+    // with a phantom column — a non-evolving replay must clean it, not
+    // commit under it (which would wedge every later merge)
+    val phantom = org.apache.spark.sql.types.StructType(zero.schema.fields :+
+      org.apache.spark.sql.types.StructField("phantom",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    Files.writeString(manifest.resolve("v1.schema"), phantom.json)
+    sink.merge(events.filter(col("event_id") >= 100 && col("event_id") < 150), 1L)
+    assert(!sink.currentSchema.fieldNames.contains("phantom"),
+      "a stale schema file from a crashed attempt must not survive the replay")
+    // and the table still merges fine afterwards
+    sink.merge(events.filter(col("event_id") === 150), 2L)
+    assert(sortedIds(sink.current) == sortedIds(events.filter(col("event_id") <= 150)))
+  }
+
   test("retention: GC prunes past the retain window and snapshotAt fails loud on a pruned version") {
     val table = Files.createTempDirectory("graft-psink-retain").toString
     val zero = events.limit(0)
