@@ -35,7 +35,8 @@ object SparkEntry {
     (DataPipeline.queries, DataPipeline.oracle),
     (BloomJoin.queries, BloomJoin.oracle),
     (IncrementalAgg.queries, IncrementalAgg.oracle),
-    (Behavioral.queries, Behavioral.oracle)
+    (Behavioral.queries, Behavioral.oracle),
+    (EntityResolution.queries, EntityResolution.oracle)
   )
 
   /** A duplicate query key across modules would silently shadow one
