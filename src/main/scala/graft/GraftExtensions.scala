@@ -14,6 +14,9 @@ import graft.functions.{DotProduct, FreqSketchAgg}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // length-band short-circuit for edit-distance threshold filters — a
+    // sound, additive rewrite (see plans.LevenshteinBandRule)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),

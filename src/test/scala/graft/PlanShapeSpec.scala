@@ -116,6 +116,46 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("LevenshteinBandRule: threshold filters gain exactly one implied length-band guard") {
+    import org.apache.spark.sql.catalyst.expressions.Abs
+    import org.apache.spark.sql.functions.{col, concat, levenshtein, lit, substring}
+    // parquet-backed, NOT a LocalRelation: the optimizer folds filters over
+    // local relations away before the user-rules batch ever sees them
+    val base = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name").as("a"),
+        concat(substring(col("c_name"), 1, 17), lit("XY")).as("b")) // length+1 ⇒ band-prunable
+    val df = base.filter(levenshtein(col("a"), col("b")) <= 1)
+
+    def bandGuards(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
+      def absIn(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+        var n = 0
+        e.foreach { case _: Abs => n += 1; case _ => () }
+        n
+      }
+      plan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => absIn(f.condition)
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          j.condition.map(absIn).getOrElse(0)
+      }.sum
+    }
+
+    // the guard is added once (idempotent under the fixed-point optimizer)
+    assert(bandGuards(df.queryExecution.optimizedPlan) == 1,
+      "exactly one abs(length-length) band guard must be derived from the threshold")
+    // and it is purely additive: the filter keeps exactly the rows whose
+    // true distance passes (b = a with the last char replaced by "XY":
+    // distance 2, so everything is filtered — by the band check alone)
+    assert(df.count() == 0)
+    assert(base.filter(levenshtein(col("a"), col("b")) <= 2).count() == base.count(),
+      "the guard must not reject rows the real distance admits")
+
+    // integration: the blocked fuzzy join's distance filter gets the guard
+    // too — predicate inlining has run by the time the user batch fires
+    val er = SparkEntry.queries("fuzzy_name_match")(spark, sf)
+    assert(bandGuards(er.queryExecution.optimizedPlan) >= 1,
+      "the graded fuzzy join must carry the band short-circuit")
+  }
+
   test("join_bloom_prefilter probes the bloom AT THE SCAN, before the semi-join") {
     withStaticPlans {
       val ns = nodes(staticPlan(SparkEntry.queries("join_bloom_prefilter")(spark, sf)))
