@@ -372,7 +372,49 @@ object Analytics {
       "event_type", "hot_key")
   }
 
+  // Time-series gap filling: a dense per-(cohort, day) daily rollup where
+  // days with no activity appear explicitly with zero counts — the
+  // generate_series/calendar-join every reporting stack needs, expressed as
+  // per-cohort date `sequence` + explode + left join. Scale: the grid is
+  // O(cohorts × span-days) — calendar-bounded, independent of event volume;
+  // the join keys on (cohort, day) like the rollup itself.
+  private val tsGapfill: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select((col("user_id") % 50).as("cohort"), to_date(col("ts")).as("day"),
+        col("value"))
+    val actual = ev.groupBy("cohort", "day")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+    val grid = ev.groupBy("cohort")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("cohort"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    ord(
+      grid.join(actual, Seq("cohort", "day"), "left")
+        .select(col("cohort"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_v"), lit(0.0)).as("sum_v")),
+      "cohort", "day")
+  }
+
+  // first/last/nth over the full partition frame — the "bookend" window
+  // family (entry event, exit event, second touch) on one Exchange.
+  private val windowFirstLast: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    ord(
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"),
+          nth_value(col("event_type"), 2).over(w).as("second_type")),
+      "user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_gapfill" -> tsGapfill,
+    "window_first_last" -> windowFirstLast,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_corr" -> aggCorr,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -400,6 +442,29 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_gapfill" ->
+      """WITH ev AS (
+        |  SELECT user_id % 50 AS cohort, CAST(ts AS DATE) AS day, value FROM events),
+        |actual AS (
+        |  SELECT cohort, day, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_v
+        |  FROM ev GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT cohort, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT cohort, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY 1))
+        |SELECT g.cohort AS cohort, g.day AS day,
+        |  COALESCE(a.n, 0) AS n, COALESCE(a.sum_v, 0.0) AS sum_v
+        |FROM grid g LEFT JOIN actual a ON g.cohort = a.cohort AND g.day = a.day
+        |ORDER BY g.cohort ASC NULLS FIRST, g.day ASC NULLS FIRST""".stripMargin,
+    "window_first_last" ->
+      """SELECT user_id, event_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type,
+        |  nth_value(event_type, 2) OVER w AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
     "agg_heavy_hitters" ->
       s"""WITH keyed AS (
          |  SELECT event_type,
