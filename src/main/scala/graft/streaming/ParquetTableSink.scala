@@ -279,9 +279,13 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
         val out = stagingDir.resolve("out")
         // repartition on the bucket before the partitioned write: each task
         // then holds whole buckets, so a version is O(touched buckets) files
-        // instead of tasks × buckets small files
+        // instead of tasks × buckets small files. Rows are CLUSTERED by the
+        // merge key inside each bucket file — parquet min/max row-group
+        // stats then prune key lookups and merge-key range scans within a
+        // bucket (the sort is per-partition, no extra exchange).
         merged.withColumn("_bucket", bucketCol)
           .repartition(buckets, col("_bucket"))
+          .sortWithinPartitions(col("_bucket") +: keys.map(col): _*)
           .write.partitionBy("_bucket").parquet(out.toString)
 
         // 3. Promote each rewritten bucket dir to its versioned location.

@@ -78,6 +78,42 @@ class FreqSketchSpec extends SparkTestBase {
     assert(m("g2") == Map("y" -> 1L))
   }
 
+  test("property: guarantees hold for random skewed streams under random partitioning") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val session = spark
+    import session.implicits._
+    // raw generators + fixed seeds, the MergeSpec convention (no
+    // scalatest<->scalacheck bridge in the offline cache)
+    val gen: Gen[(List[String], Int)] = for {
+      n <- Gen.choose(50, 400)
+      heavyWeight <- Gen.choose(10, 50)
+      items <- Gen.listOfN(n, Gen.frequency(
+        (heavyWeight, Gen.const("heavy")),
+        (5, Gen.oneOf("w1", "w2", "w3")),
+        (10, Gen.choose(0, 500).map(i => s"t$i"))))
+      parts <- Gen.choose(1, 16)
+    } yield (items, parts)
+    (0 until 10).foreach { i =>
+      val (items, parts) =
+        gen.apply(Gen.Parameters.default, Seed(i * 7L + 1)).getOrElse((Nil, 1))
+      if (items.nonEmpty) {
+        val df = items.toDF("k").repartition(parts)
+        val sk = sketchOf(df)
+        val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val bound = items.size / (K + 1)
+        assert(sk.size <= K, s"seed $i: size ${sk.size} > $K")
+        sk.foreach { case (key, est) =>
+          assert(est <= exact(key), s"seed $i: $key overcounted ($est > ${exact(key)})")
+          assert(exact(key) - est <= bound,
+            s"seed $i: $key undercount ${exact(key) - est} > bound $bound (n=${items.size}, parts=$parts)")
+        }
+        exact.filter(_._2 > bound).keys.foreach(h =>
+          assert(sk.contains(h), s"seed $i: heavy '$h' missing (parts=$parts)"))
+      }
+    }
+  }
+
   test("k must be a literal; non-string input fails analysis") {
     val session = spark
     import session.implicits._

@@ -277,6 +277,24 @@ class PersistentSinkSpec extends SparkTestBase {
     assert(sortedIds(sink.current) == sortedIds(events.filter(col("event_id") < 50)))
   }
 
+  test("bucket files are clustered by the merge key (row-group stats prune key lookups)") {
+    val table = Files.createTempDirectory("graft-psink-cluster").toString
+    val zero = events.limit(0)
+    val sink = new ParquetTableSink(spark, table, zero, Seq("event_id"))
+    sink.merge(events.filter(col("event_id") < 500), 0L)
+
+    val session = spark
+    import session.implicits._
+    val data = java.nio.file.Paths.get(table, "data")
+    val files = java.nio.file.Files.walk(data).iterator().asScala.toSeq
+      .filter(p => p.toString.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ids = spark.read.parquet(f.toString).select("event_id").as[Long].collect().toSeq
+      assert(ids == ids.sorted, s"rows in $f must be key-ordered for stats pruning")
+    }
+  }
+
   test("crash orphans are invisible: uncommitted manifests are not readable, stale schema files cannot poison a replay") {
     val table = Files.createTempDirectory("graft-psink-orphan").toString
     val zero = events.limit(0)
