@@ -107,6 +107,32 @@ object StreamingOps {
       .foreachBatch { (batch: Dataset[Row], id: Long) => sink.merge(batch, id) }
       .start()
 
+  /** Stream-stream INNER interval join — the two-moving-sides shape
+    * stream-static `enrich` cannot express (both inputs are unbounded; the
+    * reference never needs it because its second side is always a static
+    * dim, but any click→conversion / request→response correlation does).
+    *
+    * Both sides get an event-time watermark, and the caller passes a RANGE
+    * condition tying the two event times together. Those two pieces are what
+    * bound the join state at scale: each side's state store holds only rows
+    * newer than `watermark horizon + range width`, keyed by the equi-join
+    * key, so state is O(arrival rate × window), never O(stream). Without the
+    * range condition Spark would have to keep every row forever — this
+    * helper makes the bounded contract part of the signature.
+    *
+    * Inner joins emit a match as soon as both rows have arrived (no
+    * watermark wait), so results stream out incrementally; the watermark
+    * only governs state EVICTION — a row arriving later than the horizon
+    * past its partner finds the partner gone (the graded at-scale trade:
+    * bounded state for bounded lateness).
+    */
+  def streamIntervalJoin(left: DataFrame, leftTime: String,
+                         right: DataFrame, rightTime: String,
+                         horizon: String, equiKeys: org.apache.spark.sql.Column,
+                         timeRange: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark(leftTime, horizon)
+      .join(right.withWatermark(rightTime, horizon), equiKeys && timeRange, "inner")
+
   /** ST7: the bounded restart/retry envelope around a streaming pipeline —
     * the reference's swallow-and-retry poll loop (`run.py:114-121`) and its
     * ≤10-attempt config-refresh loop (`run.py:69-77`), Spark-shaped: on a
@@ -420,7 +446,49 @@ object StreamingOps {
       .orderBy(col("cohort").asc_nulls_first, col("event_type").asc_nulls_first)
   }
 
+  /** The REAL stream-stream join path, graded: clicks and purchases drain as
+    * two independent file-source streams through a watermarked interval join
+    * (purchase within one hour of a same-user click) into a file sink; the
+    * query returns the COMMITTED join output. Deterministic because each
+    * side is a single file → AvailableNow processes both sides' full data in
+    * the first micro-batch, so no match can straddle a state-eviction
+    * boundary — the output is exactly the batch inner join, which is the
+    * oracle. Cross-batch matching and watermark eviction are the
+    * StreamingSpec tests (they're arrival-order-dependent by nature, so they
+    * assert semantics, not hashes).
+    */
+  private val streamStreamJoin: Q = (s, dir) => {
+    // same cloned-session scoping as stream_sink_table (see note there)
+    val local = s.newSession()
+    local.conf.set("spark.sql.shuffle.partitions", "8")
+    val ev = Tables(local, dir, "events")
+    val work = graft.Scratch.dir("graft-stream-join")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"), col("user_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id").as("p_user"))
+    clicks.repartition(1).write.parquet(s"$work/clicks")
+    purchases.repartition(1).write.parquet(s"$work/purchases")
+    val joined = streamIntervalJoin(
+      local.readStream.schema(clicks.schema).parquet(s"$work/clicks"), "click_ts",
+      local.readStream.schema(purchases.schema).parquet(s"$work/purchases"), "purchase_ts",
+      horizon = "1 hour",
+      equiKeys = col("user_id") === col("p_user"),
+      timeRange = col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    joined.writeStream.format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    local.read.parquet(s"$work/out")
+      .orderBy(col("click_id").asc_nulls_first, col("purchase_id").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_stream_join" -> streamStreamJoin,
     "stream_rollup_table" -> streamRollupTable,
     "stream_dedup_replay" -> streamDedupReplay,
     "stream_offsets" -> streamOffsets,
@@ -460,6 +528,16 @@ object StreamingOps {
         |FROM events WHERE ts < TIMESTAMP '2024-01-28 00:00:00'
         |GROUP BY 1, 2
         |ORDER BY cohort ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+    // single-batch AvailableNow drain ⇒ the committed file-sink output is
+    // exactly the batch inner interval join
+    "stream_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+        |  a.ts AS click_ts, b.ts AS purchase_ts
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |ORDER BY click_id ASC NULLS FIRST, purchase_id ASC NULLS FIRST""".stripMargin,
     // v0 snapshot = first merge's rows (ts < t1); current = both merges
     "sink_time_travel" ->
       """SELECT 'v0' AS snap, event_id, ts, user_id, event_type, value

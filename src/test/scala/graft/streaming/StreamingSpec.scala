@@ -5,6 +5,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.streaming.Trigger
 import graft.SparkTestBase
 
@@ -86,6 +87,90 @@ class StreamingSpec extends SparkTestBase {
 
     assert(sink.current.count() == afterFirst)
     assert(sink.current.orderBy("event_id").as[Ev].collect().toSeq == events(1, 2, 3))
+  }
+
+  test("stream-stream interval join matches across micro-batches; out-of-range pairs never join") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = StreamingOps.streamIntervalJoin(
+      clicks.toDF().select(col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("user_id")), "click_ts",
+      purchases.toDF().select(col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("user_id").as("p_user")), "purchase_ts",
+      horizon = "1 hour",
+      equiKeys = col("user_id") === col("p_user"),
+      timeRange = col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+
+    val q = joined.select("click_id", "purchase_id").writeStream
+      .format("memory").queryName("ssj").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ssj").toString)
+      .trigger(Trigger.ProcessingTime("0 seconds"))
+      .start()
+    try {
+      // batch 1: clicks only — nothing can join yet
+      clicks.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, 0.0),
+        Ev(2, ts("2024-01-01 10:05:00"), 2, 0.0))
+      q.processAllAvailable()
+      assert(session.sql("SELECT * FROM ssj").count() == 0)
+      // batch 2: purchases arrive later — the click sits in join state, so
+      // the in-range pair (user 1, +30 min) matches ACROSS batches; the
+      // out-of-range pair (user 2, +2 h) and the keyless user 9 never join
+      purchases.addData(Ev(10, ts("2024-01-01 10:30:00"), 1, 0.0),
+        Ev(11, ts("2024-01-01 12:05:00"), 2, 0.0),
+        Ev(12, ts("2024-01-01 10:10:00"), 9, 0.0))
+      q.processAllAvailable()
+      val got = session.sql("SELECT click_id, purchase_id FROM ssj")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream join state is evicted past the watermark horizon (bounded state)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = StreamingOps.streamIntervalJoin(
+      clicks.toDF().select(col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("user_id")), "click_ts",
+      purchases.toDF().select(col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("user_id").as("p_user")), "purchase_ts",
+      horizon = "10 minutes",
+      equiKeys = col("user_id") === col("p_user"),
+      timeRange = col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+
+    val q = joined.select("click_id", "purchase_id").writeStream
+      .format("memory").queryName("ssj_evict").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ssj2").toString)
+      .trigger(Trigger.ProcessingTime("0 seconds"))
+      .start()
+    try {
+      clicks.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, 0.0))
+      q.processAllAvailable()
+      // march BOTH sides' event time hours past the click: the global
+      // watermark (min of the two sides) passes 10:00 + horizon + range,
+      // so click 1's state row is eligible for eviction from then on
+      clicks.addData(Ev(2, ts("2024-01-01 15:00:00"), 8, 0.0))
+      purchases.addData(Ev(20, ts("2024-01-01 15:00:00"), 9, 0.0))
+      q.processAllAvailable()
+      clicks.addData(Ev(3, ts("2024-01-01 15:01:00"), 8, 0.0))
+      purchases.addData(Ev(21, ts("2024-01-01 15:01:00"), 9, 0.0))
+      q.processAllAvailable()
+      // a purchase that WOULD have matched click 1 arrives hours late:
+      // the partner is gone (and the row itself is behind the watermark) —
+      // bounded state traded for bounded lateness, no match emitted
+      purchases.addData(Ev(22, ts("2024-01-01 10:05:00"), 1, 0.0))
+      q.processAllAvailable()
+      assert(session.sql("SELECT * FROM ssj_evict").count() == 0)
+    } finally q.stop()
   }
 
   test("stream-static enrich picks up the current dim snapshot (daily refresh)") {
