@@ -206,15 +206,67 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
   private def emptyOf(schema: StructType): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
 
-  /** Micro-batch upsert with the exactly-once batchId guard. Serialized:
+  /** Convenience for delete-only CDC batches: `keyRows` needs only the key
+    * columns; they are cast to the table's key types, the remaining columns
+    * are filled with typed NULLs (tombstone values are never stored), and
+    * the batch routes through `merge` with `_deleted = true`.
+    */
+  def deleteKeys(keyRows: DataFrame, batchId: Long): Unit = {
+    keys.foreach(k => require(keyRows.columns.contains(k),
+      s"deleteKeys batch is missing key column $k"))
+    val sch = currentSchema
+    val typedKeys = keys.foldLeft(keyRows.select(keys.map(col): _*)) {
+      (df, k) => df.withColumn(k, col(k).cast(sch(k).dataType))
+    }
+    val full = sch.fields.foldLeft(typedKeys) { (df, f) =>
+      if (keys.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    merge(full.withColumn(ParquetTableSink.DeleteCol, lit(true)), batchId)
+  }
+
+  /** Buckets that version `v` had rows in but the current version does not —
+    * the deletion-visibility complement of `changesSince` (an emptied bucket
+    * has no current data dir, so it cannot appear in a changed-rows read; a
+    * bucket-granular CDC consumer diffs membership with this).
+    */
+  def droppedBucketsSince(v: Long): Seq[Int] = {
+    require(versions.contains(v),
+      s"version $v is not retained at $dir (retained: ${versions.mkString(",")})")
+    readPointer() match {
+      case Some((cur, _)) =>
+        (readManifest(v).keySet -- readManifest(cur).keySet).toSeq.sorted
+      case None => Seq.empty
+    }
+  }
+
+  /** Micro-batch merge with the exactly-once batchId guard. Serialized:
     * foreachBatch calls arrive one at a time per query, but a restarted
     * query may race a test reader.
+    *
+    * CDC deletes: a batch may carry a BOOLEAN `_deleted` column
+    * (`ParquetTableSink.DeleteCol`). Rows with `_deleted = true` are
+    * tombstones — their keys are removed from the table (a no-op if absent);
+    * all other rows upsert as usual. Within one batch DELETE WINS over an
+    * upsert of the same key (the tombstone is the later intent — applying
+    * the anti-join after the combiner makes that deterministic, not
+    * arrival-order-dependent). A bucket emptied by deletes leaves the
+    * manifest entirely; replaying the batch is idempotent (deleting an
+    * absent key is a no-op even without the batchId guard). The `_deleted`
+    * column itself is never stored and never joins the table schema.
     */
   def merge(batch: DataFrame, batchId: Long): Unit = synchronized {
     val (ver, committed) = readPointer().getOrElse((-1L, -1L))
     if (batchId <= committed) return // replay of an already-committed batch
     val next = ver + 1
     val manifest: Map[Int, String] = if (ver >= 0) readManifest(ver) else Map.empty
+
+    val hasDel = batch.columns.contains(ParquetTableSink.DeleteCol)
+    if (hasDel) require(
+      batch.schema(ParquetTableSink.DeleteCol).dataType ==
+        org.apache.spark.sql.types.BooleanType,
+      s"ParquetTableSink($dir): ${ParquetTableSink.DeleteCol} must be BOOLEAN")
+    val dataBatch = if (hasDel) batch.drop(ParquetTableSink.DeleteCol) else batch
 
     // Schema evolution (ADD-only, the copy-on-write table-format rule): the
     // batch must carry every existing column with its exact type — a missing
@@ -224,7 +276,7 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     // per version beside the manifest, so snapshotAt(v) reads each era with
     // the schema it was written under.
     val existing = if (ver >= 0) schemaAt(ver) else zero.schema
-    val batchTypes = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+    val batchTypes = dataBatch.schema.fields.map(f => f.name -> f.dataType).toMap
     existing.fields.foreach { f =>
       val dt = batchTypes.getOrElse(f.name, sys.error(
         s"ParquetTableSink($dir): batch is missing existing column ${f.name} — " +
@@ -233,7 +285,7 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
         s"ParquetTableSink($dir): column ${f.name} is $dt in the batch but " +
           s"${f.dataType} in the table — type changes are not additive")
     }
-    val addedCols = batch.schema.fields.filter(f => !existing.fieldNames.contains(f.name))
+    val addedCols = dataBatch.schema.fields.filter(f => !existing.fieldNames.contains(f.name))
     val unified = StructType(existing.fields ++
       addedCols.map(f => StructField(f.name, f.dataType, nullable = true)))
 
@@ -270,8 +322,25 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
         val target =
           if (existingPaths.isEmpty) emptyOf(unified)
           else spark.read.schema(unified).parquet(existingPaths: _*)
-        val staged = spark.read.schema(unified).parquet(stagedBatch.toString)
-        val merged = combiner(target, staged)
+        val stagedSchema =
+          if (!hasDel) unified
+          else StructType(unified.fields :+ StructField(
+            ParquetTableSink.DeleteCol, org.apache.spark.sql.types.BooleanType,
+            nullable = true))
+        val stagedAll = spark.read.schema(stagedSchema).parquet(stagedBatch.toString)
+        val staged =
+          if (!hasDel) stagedAll
+          // a NULL _deleted is an upsert (only an explicit true tombstones)
+          else stagedAll.filter(!org.apache.spark.sql.functions.coalesce(
+            col(ParquetTableSink.DeleteCol), lit(false)))
+            .drop(ParquetTableSink.DeleteCol)
+        val upserted = combiner(target, staged)
+        val merged =
+          if (!hasDel) upserted
+          else upserted.join(
+            stagedAll.filter(col(ParquetTableSink.DeleteCol) === lit(true))
+              .select(keys.map(col): _*).distinct(),
+            keys, "left_anti")
         require(merged.schema.fields.map(f => f.name -> f.dataType).toMap ==
           unified.fields.map(f => f.name -> f.dataType).toMap,
           s"ParquetTableSink($dir): combiner changed the table schema — " +
@@ -311,7 +380,10 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     }
 
-    val nextManifest = manifest ++ newEntries
+    // A touched bucket with no output rows was emptied by deletes: its entry
+    // leaves the manifest (for plain upserts touched ⊆ newEntries, so this
+    // is the identity). Untouched buckets carry over verbatim.
+    val nextManifest = (manifest -- touched) ++ newEntries
     val mTmp = manifestDir.resolve(s".v$next.tmp")
     Files.writeString(mTmp,
       nextManifest.toSeq.sortBy(_._1).map { case (b, d) => s"$b $d" }.mkString("\n"))
@@ -370,4 +442,8 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
 object ParquetTableSink {
   /** (current rows of the touched buckets, staged batch) → merged rows. */
   type Combiner = (DataFrame, DataFrame) => DataFrame
+
+  /** Reserved CDC column: a BOOLEAN a merge batch may carry; `true` rows are
+    * tombstones whose keys are deleted from the table (see `merge`). */
+  val DeleteCol = "_deleted"
 }

@@ -388,6 +388,33 @@ object StreamingOps {
       .orderBy(col("snap").asc_nulls_first, col("event_id").asc_nulls_first)
   }
 
+  /** CDC apply on the versioned table, graded: v0 loads a month of events,
+    * then ONE change batch upserts the next window and tombstones every row
+    * of a user cohort — including keys inside the same batch's upserts
+    * (delete wins) and keys never loaded (a no-op). The final table must
+    * equal the set algebra the oracle states; a tombstone that leaked into
+    * storage, a delete that missed a bucket, or an upsert the anti-join
+    * swallowed all break the hash.
+    */
+  private val sinkMergeDelete: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val t1 = lit("2024-01-10 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-20 00:00:00").cast("timestamp")
+    val work = graft.Scratch.dir("graft-merge-delete")
+    val sink = new ParquetTableSink(s, work.resolve("table").toString,
+      ev.limit(0), Seq("event_id"), buckets = 8)
+    sink.merge(ev.filter(col("ts") < t1), 0L)
+    val ups = ev.filter(col("ts") >= t1 && col("ts") < t2)
+      .withColumn(ParquetTableSink.DeleteCol, lit(false))
+    // tombstones span BOTH eras (v0 rows and same-batch upserts) plus a
+    // window never loaded at all ([t2, ∞) keys — absent, so no-ops)
+    val dels = ev.filter(col("user_id") % 10 === 3)
+      .withColumn(ParquetTableSink.DeleteCol, lit(true))
+    sink.merge(ups.unionByName(dels), 1L)
+    sink.current.orderBy(col("event_id").asc_nulls_first)
+  }
+
   /** The streaming MATERIALIZED VIEW, graded: the same overlapping two-drop
     * at-least-once stream as `stream_sink_table`, but each micro-batch is
     * pre-aggregated to a per-(cohort, event_type) partial state and folded
@@ -489,6 +516,7 @@ object StreamingOps {
 
   val queries: Map[String, Q] = Map(
     "stream_stream_join" -> streamStreamJoin,
+    "sink_merge_delete" -> sinkMergeDelete,
     "stream_rollup_table" -> streamRollupTable,
     "stream_dedup_replay" -> streamDedupReplay,
     "stream_offsets" -> streamOffsets,
@@ -528,6 +556,13 @@ object StreamingOps {
         |FROM events WHERE ts < TIMESTAMP '2024-01-28 00:00:00'
         |GROUP BY 1, 2
         |ORDER BY cohort ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+    // loaded = ts < t2 (v0 ∪ upserts); deleted = user_id % 10 = 3 (absent
+    // keys no-op, so the extra tombstones past t2 don't change the algebra)
+    "sink_merge_delete" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-20 00:00:00' AND user_id % 10 <> 3
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     // single-batch AvailableNow drain ⇒ the committed file-sink output is
     // exactly the batch inner interval join
     "stream_stream_join" ->

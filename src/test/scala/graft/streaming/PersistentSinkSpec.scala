@@ -336,6 +336,67 @@ class PersistentSinkSpec extends SparkTestBase {
       sortedIds(events.filter(col("event_id").between(100, 104))))
   }
 
+  test("CDC deletes: tombstones remove keys, delete wins within a batch, absent-key delete is a no-op") {
+    val table = Files.createTempDirectory("graft-psink-del").toString
+    val zero = events.limit(0)
+    val sink = new ParquetTableSink(spark, table, zero, Seq("event_id"), retain = 4)
+    sink.merge(events.filter(col("event_id") < 200), 0L) // v0
+
+    // one CDC batch: upsert [200,300), tombstone ids 50–59 (present),
+    // id 250 (upserted in the SAME batch — delete must win), and id 9999
+    // (absent — a no-op, not an error)
+    val ups = events.filter(col("event_id") >= 200 && col("event_id") < 300)
+      .withColumn(ParquetTableSink.DeleteCol, lit(false))
+    val dels = events.filter(
+      (col("event_id") >= 50 && col("event_id") < 60) || col("event_id") === 250)
+      .withColumn(ParquetTableSink.DeleteCol, lit(true))
+    val absent = events.limit(1)
+      .withColumn("event_id", lit(9999L))
+      .withColumn(ParquetTableSink.DeleteCol, lit(true))
+    sink.merge(ups.unionByName(dels).unionByName(absent), 1L) // v1
+
+    val expected = events.filter(col("event_id") < 300 &&
+      !(col("event_id") >= 50 && col("event_id") < 60) && col("event_id") =!= 250)
+    assert(sortedIds(sink.current) == sortedIds(expected))
+    assert(!sink.current.columns.contains(ParquetTableSink.DeleteCol),
+      "the tombstone marker must never become a table column")
+    // time travel still sees the pre-delete era
+    assert(sortedIds(sink.snapshotAt(0)) == sortedIds(events.filter(col("event_id") < 200)))
+    // replay of the committed CDC batch: the batchId guard no-ops it
+    sink.merge(ups.unionByName(dels), 1L)
+    assert(sortedIds(sink.current) == sortedIds(expected))
+  }
+
+  test("CDC deletes: an emptied bucket leaves the manifest; deleteKeys needs only key columns") {
+    val session = spark
+    import session.implicits._
+    val table = Files.createTempDirectory("graft-psink-del2").toString
+    val zero = events.limit(0)
+    val sink = new ParquetTableSink(spark, table, zero, Seq("event_id"), retain = 4)
+    val base = events.filter(col("event_id") < 100)
+    sink.merge(base, 0L) // v0
+
+    // tombstone EVERY key of one bucket through the key-only convenience API
+    val victim = base.select(pmod(hash(col("event_id")), lit(16)).as("b"),
+      col("event_id")).filter(col("b") === 3).select("event_id")
+    val victimIds = victim.as[Long].collect().toSet
+    assert(victimIds.nonEmpty, "fixture must place keys in bucket 3")
+    sink.deleteKeys(victim, 1L) // v1
+
+    assert(sortedIds(sink.current) ==
+      sortedIds(base.filter(!col("event_id").isin(victimIds.toSeq: _*))))
+    assert(sink.droppedBucketsSince(0) == Seq(3),
+      "the emptied bucket must be reported dropped since v0")
+    // and its data dir is gone from the CURRENT manifest: a fresh reader
+    // over the table never scans it
+    val files = sink.current.inputFiles
+    assert(files.nonEmpty && !files.exists(_.contains("/b3-v")),
+      "an emptied bucket must not contribute a data dir to the current scan")
+    // other buckets were untouched by the delete-only batch
+    assert(sink.changesSince(0).count() == 0,
+      "a delete-only batch churns no surviving bucket: changesSince sees rows only for rewritten dirs that still exist")
+  }
+
   test("ST7: transient first-attempt failure, pipeline completes on retry, table exactly-once") {
     val src = Files.createTempDirectory("graft-retry-drops").toString
     val ckpt = Files.createTempDirectory("graft-retry-ckpt").toString
