@@ -225,6 +225,33 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     merge(full.withColumn(ParquetTableSink.DeleteCol, lit(true)), batchId)
   }
 
+  /** Point lookup: the current rows whose key appears in `keyRows`, read
+    * from ONLY the buckets those keys hash to. The pruning is two-level:
+    * the scan lists just the matching buckets' data dirs (≤ |keys| of B,
+    * so a point read touches O(1/B) of the table however big it grows),
+    * and within each bucket file the rows are clustered by key, so parquet
+    * row-group min/max stats narrow the scan further. The bucket set is
+    * computed with the same Spark hash the writer used and collected to the
+    * driver — a bounded list (≤ B ints), not data rows. The final semi join
+    * broadcasts `keyRows`, which a point lookup keeps small by definition.
+    */
+  def lookupKeys(keyRows: DataFrame): DataFrame = {
+    keys.foreach(k => require(keyRows.columns.contains(k),
+      s"lookupKeys frame is missing key column $k"))
+    readPointer() match {
+      case None => zero.limit(0)
+      case Some((v, _)) =>
+        val manifest = readManifest(v)
+        val wanted = keyRows.select(bucketCol.as("_b")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        val paths = wanted.flatMap(manifest.get).map(d => dataDir.resolve(d).toString)
+        if (paths.isEmpty) emptyOf(schemaAt(v))
+        else spark.read.schema(schemaAt(v)).parquet(paths: _*)
+          .join(org.apache.spark.sql.functions.broadcast(
+            keyRows.select(keys.map(col): _*).distinct()), keys, "left_semi")
+    }
+  }
+
   /** Buckets that version `v` had rows in but the current version does not —
     * the deletion-visibility complement of `changesSince` (an emptied bucket
     * has no current data dir, so it cannot appear in a changed-rows read; a

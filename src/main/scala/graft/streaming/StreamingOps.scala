@@ -415,6 +415,27 @@ object StreamingOps {
     sink.current.orderBy(col("event_id").asc_nulls_first)
   }
 
+  /** Bucket-pruned point lookup on the versioned table, graded: load a
+    * month of events, then fetch a sparse id set through `lookupKeys` —
+    * the read lists only the buckets the probed keys hash to (O(1/B) of
+    * the table), never a full scan (PersistentSinkSpec pins the pruning;
+    * this grades the returned rows). Probes include ids past the loaded
+    * window, so a lookup that ignored the table's actual contents (e.g.
+    * echoed probe keys) breaks the hash.
+    */
+  private val sinkPointLookup: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val t1 = lit("2024-01-20 00:00:00").cast("timestamp")
+    val work = graft.Scratch.dir("graft-point-lookup")
+    val sink = new ParquetTableSink(s, work.resolve("table").toString,
+      ev.limit(0), Seq("event_id"), buckets = 8)
+    sink.merge(ev.filter(col("ts") < t1), 0L)
+    // a sparse probe set over ALL event ids: those loaded (hit) and not (miss)
+    val probe = ev.filter(col("event_id") % 97 === 13).select("event_id")
+    sink.lookupKeys(probe).orderBy(col("event_id").asc_nulls_first)
+  }
+
   /** The streaming MATERIALIZED VIEW, graded: the same overlapping two-drop
     * at-least-once stream as `stream_sink_table`, but each micro-batch is
     * pre-aggregated to a per-(cohort, event_type) partial state and folded
@@ -517,6 +538,7 @@ object StreamingOps {
   val queries: Map[String, Q] = Map(
     "stream_stream_join" -> streamStreamJoin,
     "sink_merge_delete" -> sinkMergeDelete,
+    "sink_point_lookup" -> sinkPointLookup,
     "stream_rollup_table" -> streamRollupTable,
     "stream_dedup_replay" -> streamDedupReplay,
     "stream_offsets" -> streamOffsets,
@@ -556,6 +578,12 @@ object StreamingOps {
         |FROM events WHERE ts < TIMESTAMP '2024-01-28 00:00:00'
         |GROUP BY 1, 2
         |ORDER BY cohort ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+    // lookup hits = loaded window ∩ probe ids; probes past the window miss
+    "sink_point_lookup" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-20 00:00:00' AND event_id % 97 = 13
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     // loaded = ts < t2 (v0 ∪ upserts); deleted = user_id % 10 = 3 (absent
     // keys no-op, so the extra tombstones past t2 don't change the algebra)
     "sink_merge_delete" ->

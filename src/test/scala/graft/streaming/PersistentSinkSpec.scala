@@ -397,6 +397,32 @@ class PersistentSinkSpec extends SparkTestBase {
       "a delete-only batch churns no surviving bucket: changesSince sees rows only for rewritten dirs that still exist")
   }
 
+  test("point lookup scans only the buckets its keys hash to and returns exactly those rows") {
+    val session = spark
+    import session.implicits._
+    val table = Files.createTempDirectory("graft-psink-lookup").toString
+    val zero = events.limit(0)
+    val sink = new ParquetTableSink(spark, table, zero, Seq("event_id"))
+    sink.merge(events.filter(col("event_id") < 500), 0L)
+
+    val probe = events.filter(col("event_id").isin(7L, 123L, 456L)).select("event_id")
+    val got = sink.lookupKeys(probe)
+    assert(sortedIds(got) == Seq(7L, 123L, 456L))
+
+    // the scan must touch only the probed keys' buckets — never the table
+    val wantedBuckets = probe
+      .select(pmod(hash(col("event_id")), lit(16)).as("b")).as[Int].collect().toSet
+    val scannedBuckets = got.inputFiles.filter(_.contains(s"$table/data/b"))
+      .map(_.replaceAll(".*/data/b", "").takeWhile(_ != '-')).map(_.toInt).toSet
+    assert(scannedBuckets == wantedBuckets,
+      s"lookup must scan exactly the probed buckets: scanned $scannedBuckets, keys hash to $wantedBuckets")
+    assert(scannedBuckets.size < 16, "pruning must be observable (not all buckets probed)")
+
+    // absent keys: empty result, still no full scan
+    val absent = sink.lookupKeys(Seq(999999L).toDF("event_id"))
+    assert(absent.count() == 0)
+  }
+
   test("ST7: transient first-attempt failure, pipeline completes on retry, table exactly-once") {
     val src = Files.createTempDirectory("graft-retry-drops").toString
     val ckpt = Files.createTempDirectory("graft-retry-ckpt").toString
