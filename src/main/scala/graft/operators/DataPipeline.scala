@@ -116,6 +116,33 @@ object DataPipeline {
           explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx")),
       "doc_id", "copy_idx")
 
+  // ---- sample_stratified: deterministic per-stratum uniform sample ----------
+  //
+  // Keep the k docs with the SMALLEST stable hash within each stratum
+  // (language) — the distributed form of per-stratum reservoir sampling:
+  // bottom-k by a uniform hash IS a uniform k-sample without replacement,
+  // but unlike a sequential reservoir it's deterministic (reruns and other
+  // engines draw the identical sample), mergeable (bottom-k of unions =
+  // bottom-k of bottom-k's), and needs no driver-side state.
+  //
+  // Scale: the rank<=k window compiles to a partial WindowGroupLimit — each
+  // map task keeps only its k smallest draws PER STRATUM before the
+  // exchange, so the shuffle carries O(tasks × strata × k) rows, never the
+  // corpus, and a skewed stratum is trimmed map-side like any other
+  // (PlanShapeSpec pins the pre-shuffle group limit).
+  private val STRAT_K = 30
+  private val sampleStratified: Q = (s, dir) => {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("draw").asc, col("doc_id").asc)
+    ord(
+      docs(s, dir)
+        .withColumn("draw", md5long(concat(lit("strat:"), col("doc_id"))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= STRAT_K)
+        .select("doc_id", "lang", "source", "n_chars", "rk"),
+      "lang", "rk")
+  }
+
   // ---- pack_sequences: fixed-token-budget packing ---------------------------
   //
   // Assign documents to training sequences of ~BUDGET tokens: shard the
@@ -231,6 +258,7 @@ object DataPipeline {
   val queries: Map[String, Q] = Map(
     "decontam_ngram" -> decontamNgram,
     "sample_mixture" -> sampleMixture,
+    "sample_stratified" -> sampleStratified,
     "pack_sequences" -> packSequences,
     "text_pii_scrub" -> textPiiScrub,
     "corpus_build" -> corpusBuild
@@ -260,6 +288,18 @@ object DataPipeline {
         |SELECT doc_id, source, CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_idx
         |FROM c WHERE n_copies > 0
         |ORDER BY doc_id ASC NULLS FIRST, copy_idx ASC NULLS FIRST""".stripMargin,
+    "sample_stratified" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    CAST(('0x' || substr(md5('strat:' || doc_id), 1, 15)) AS BIGINT) AS draw
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    row_number() OVER (PARTITION BY lang ORDER BY draw ASC, doc_id ASC) AS rk
+         |  FROM d)
+         |SELECT doc_id, lang, source, n_chars, CAST(rk AS INT) AS rk
+         |FROM r WHERE rk <= $STRAT_K
+         |ORDER BY lang ASC NULLS FIRST, rk ASC NULLS FIRST""".stripMargin,
     "pack_sequences" ->
       s"""WITH d AS (
          |  SELECT doc_id,

@@ -204,6 +204,20 @@ class PlanShapeSpec extends SparkTestBase {
       s"predicate must reach the scan:\n$plan")
   }
 
+  test("sample_stratified trims to k per stratum BEFORE the exchange (partial WindowGroupLimit)") {
+    withStaticPlans {
+      val ns = nodes(staticPlan(SparkEntry.queries("sample_stratified")(spark, sf)))
+      val limits = ns.filter(_.getClass.getSimpleName == "WindowGroupLimitExec")
+      assert(limits.size >= 2,
+        s"rank<=k must compile to partial+final WindowGroupLimit so the shuffle " +
+          s"carries O(tasks × strata × k) rows, got ${limits.size} group-limit nodes")
+      // the partial one must sit BELOW the shuffle (map-side trim)
+      val shuffleSubtrees = ns.collect { case e: ShuffleExchangeExec => nodes(e.child) }
+      assert(shuffleSubtrees.exists(_.exists(_.getClass.getSimpleName == "WindowGroupLimitExec")),
+        "a WindowGroupLimit must appear below the exchange (map-side)")
+    }
+  }
+
   test("q5_region_revenue aggregates partially before its single group-key shuffle") {
     withStaticPlans {
       val ns = nodes(staticPlan(SparkEntry.queries("q5_region_revenue")(spark, sf)))
