@@ -36,6 +36,7 @@ object SparkEntry {
     (BloomJoin.queries, BloomJoin.oracle),
     (IncrementalAgg.queries, IncrementalAgg.oracle),
     (Behavioral.queries, Behavioral.oracle),
+    (Graph.queries, Graph.oracle),
     (EntityResolution.queries, EntityResolution.oracle)
   )
 
