@@ -37,6 +37,7 @@ object SparkEntry {
     (IncrementalAgg.queries, IncrementalAgg.oracle),
     (Behavioral.queries, Behavioral.oracle),
     (Graph.queries, Graph.oracle),
+    (Profiling.queries, Profiling.oracle),
     (EntityResolution.queries, EntityResolution.oracle)
   )
 
