@@ -38,6 +38,7 @@ object SparkEntry {
     (Behavioral.queries, Behavioral.oracle),
     (Graph.queries, Graph.oracle),
     (Profiling.queries, Profiling.oracle),
+    (Layout.queries, Layout.oracle),
     (EntityResolution.queries, EntityResolution.oracle)
   )
 

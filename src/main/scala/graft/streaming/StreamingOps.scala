@@ -125,13 +125,19 @@ object StreamingOps {
     * only governs state EVICTION — a row arriving later than the horizon
     * past its partner finds the partner gone (the graded at-scale trade:
     * bounded state for bounded lateness).
+    *
+    * `joinType` also admits the outer variants ("left_outer" etc.): an
+    * unmatched outer-side row emits null-extended only once the watermark
+    * proves no partner can still arrive — so outer results are delayed by
+    * the horizon, the price of a correct "no match" at scale.
     */
   def streamIntervalJoin(left: DataFrame, leftTime: String,
                          right: DataFrame, rightTime: String,
                          horizon: String, equiKeys: org.apache.spark.sql.Column,
-                         timeRange: org.apache.spark.sql.Column): DataFrame =
+                         timeRange: org.apache.spark.sql.Column,
+                         joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTime, horizon)
-      .join(right.withWatermark(rightTime, horizon), equiKeys && timeRange, "inner")
+      .join(right.withWatermark(rightTime, horizon), equiKeys && timeRange, joinType)
 
   /** ST7: the bounded restart/retry envelope around a streaming pipeline —
     * the reference's swallow-and-retry poll loop (`run.py:114-121`) and its

@@ -130,6 +130,56 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits the null-extended row only after the watermark closes the window") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = StreamingOps.streamIntervalJoin(
+      clicks.toDF().select(col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("user_id")), "click_ts",
+      purchases.toDF().select(col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("user_id").as("p_user")), "purchase_ts",
+      horizon = "10 minutes",
+      equiKeys = col("user_id") === col("p_user"),
+      timeRange = col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+      joinType = "left_outer")
+
+    val q = joined.select("click_id", "purchase_id").writeStream
+      .format("memory").queryName("ssj_outer").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ssj3").toString)
+      .trigger(Trigger.ProcessingTime("0 seconds"))
+      .start()
+    try {
+      // click 1 matches nothing; click 2 matches purchase 20
+      clicks.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, 0.0),
+        Ev(2, ts("2024-01-01 10:01:00"), 2, 0.0))
+      purchases.addData(Ev(20, ts("2024-01-01 10:05:00"), 2, 0.0))
+      q.processAllAvailable()
+      val early = session.sql("SELECT click_id, purchase_id FROM ssj_outer")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(early == Set((2L, Some(20L))),
+        s"before the watermark closes, only the real match may emit, got $early")
+
+      // march both sides' event time past 10:00 + range + horizon; the
+      // watermark needs one further batch to take effect, then the unmatched
+      // click emits null-extended
+      clicks.addData(Ev(3, ts("2024-01-01 11:00:00"), 8, 0.0))
+      purchases.addData(Ev(21, ts("2024-01-01 11:00:00"), 9, 0.0))
+      q.processAllAvailable()
+      clicks.addData(Ev(4, ts("2024-01-01 11:01:00"), 8, 0.0))
+      purchases.addData(Ev(22, ts("2024-01-01 11:01:00"), 9, 0.0))
+      q.processAllAvailable()
+      val late = session.sql("SELECT click_id, purchase_id FROM ssj_outer")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(late.contains((1L, None)),
+        s"the unmatched click must emit null-extended once no partner can arrive, got $late")
+    } finally q.stop()
+  }
+
   test("stream-stream join state is evicted past the watermark horizon (bounded state)") {
     val session = spark
     import session.implicits._
