@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{DotProduct, FreqSketchAgg}
+import graft.functions.{DotProduct, FreqSketchAgg, TextNormalize}
 
 /** SparkSessionExtensions entry point: registers graft's custom expressions
   * under SQL names. Activate with
@@ -53,6 +53,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_topk_freq: k must be an integer literal, got $other")
         }
         FreqSketchAgg(children.head, k)
+      }))
+    // Unicode canonicalization pair (no Spark builtin exists) — the
+    // pre-hash normalization step of the text-dedup family; see
+    // functions.TextNormalize.
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[TextNormalize].getCanonicalName, "graft_nfc"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, s"graft_nfc expects 1 argument, got ${children.size}")
+        TextNormalize(children.head, fold = false)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_unaccent"),
+      new ExpressionInfo(classOf[TextNormalize].getCanonicalName, "graft_unaccent"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, s"graft_unaccent expects 1 argument, got ${children.size}")
+        TextNormalize(children.head, fold = true)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_might_contain"),

@@ -111,6 +111,30 @@ object TextAnalysis {
       "doc_id", "chunk_idx")
   }
 
+  // Unicode canonicalization ahead of any hash (dedup/fingerprint): NFC
+  // composition + accent fold through the native `graft_nfc`/`graft_unaccent`
+  // expressions (functions.TextNormalize — Spark has no builtin; a UDF would
+  // break whole-stage codegen). The fixture text is ASCII, so each doc gets
+  // a DECOMPOSED accented suffix (base letter + combining mark, keyed by
+  // doc_id) — NFC must compose it (shorter by exactly one codepoint), the
+  // fold must strip it back to the bare letter. Zero shuffle, per-row
+  // codegen.
+  private val textNormalize: Q = (s, dir) => {
+    // combining acute/diaeresis/tilde/cedilla as explicit escapes (a
+    // precomposed source literal would make NFC a no-op and the test vacuous)
+    val suffixes = array(lit("e\u0301"), lit("u\u0308"), lit("n\u0303"), lit("c\u0327"))
+    ord(
+      Tables(s, dir, "documents")
+        .withColumn("raw", concat(substring(col("text"), 1, 20),
+          element_at(suffixes, (col("doc_id") % 4 + 1).cast("int"))))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("n_raw"),
+          expr("graft_nfc(raw)").as("nfc"),
+          length(expr("graft_nfc(raw)")).cast("long").as("n_nfc"),
+          expr("graft_unaccent(raw)").as("folded")),
+      "doc_id")
+  }
+
   // Deterministic train/val/test assignment: hash-bucket the stable key so
   // the split is reproducible across runs and engines (never random()).
   private val textSplitAssign: Q = (s, dir) => {
@@ -173,6 +197,7 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "text_chunks" -> textChunks,
+    "text_normalize" -> textNormalize,
     "text_split_assign" -> textSplitAssign,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
@@ -208,6 +233,17 @@ object TextAnalysis {
          |  CAST(len(list_slice(t, i*$STRIDE + 1, i*$STRIDE + $CHUNK)) AS BIGINT) AS n_tokens,
          |  md5(array_to_string(list_slice(t, i*$STRIDE + 1, i*$STRIDE + $CHUNK), ' ')) AS chunk_md5
          |FROM c ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST""".stripMargin,
+    // DuckDB's nfc_normalize/strip_accents vs the JDK Normalizer kernels:
+    // both implement Unicode canonical (de)composition, so outputs agree
+    "text_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id, substr(text, 1, 20) ||
+        |    CASE doc_id % 4 WHEN 0 THEN 'e' || chr(769) WHEN 1 THEN 'u' || chr(776)
+        |                    WHEN 2 THEN 'n' || chr(771) ELSE 'c' || chr(807) END AS raw
+        |  FROM documents)
+        |SELECT doc_id, length(raw) AS n_raw, nfc_normalize(raw) AS nfc,
+        |  length(nfc_normalize(raw)) AS n_nfc, strip_accents(raw) AS folded
+        |FROM r ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "text_split_assign" ->
       """WITH b AS (
         |  SELECT doc_id,
