@@ -135,6 +135,38 @@ object TextAnalysis {
       "doc_id")
   }
 
+  // TF-IDF term weighting — the classic relevance/keyword-extraction score,
+  // here the top-3 terms per document. Log-free IDF (tf · N/df): the usual
+  // ln() dampening is a monotone reshaping that doesn't change per-doc term
+  // ranks, and libm logs aren't bit-portable across engines — N/df keeps
+  // every arithmetic step an exact IEEE op, so the hash gate holds.
+  //
+  // Scale: tf pre-aggregates on (doc, term) — the fan-out exchange; df is a
+  // second partial-aggregated exchange over the already-collapsed tf rows
+  // (vocabulary-sized, ≪ token count); the tf⋈df equi-join shuffles on term;
+  // the final top-3 window trims map-side via WindowGroupLimit like
+  // sample_stratified. Nothing driver-side; N arrives as a broadcast
+  // 1-row cross join.
+  private val TFIDF_K = 3
+  private val textTfidf: Q = (s, dir) => {
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val d = Tables(s, dir, "documents")
+    val tf = d.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    ord(
+      tf.join(df, "term").join(broadcast(n))
+        .withColumn("score",
+          col("tf").cast("double") * (col("n").cast("double") / col("df").cast("double")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "score", "rk"),
+      "doc_id", "rk")
+  }
+
   // Deterministic train/val/test assignment: hash-bucket the stable key so
   // the split is reproducible across runs and engines (never random()).
   private val textSplitAssign: Q = (s, dir) => {
@@ -198,6 +230,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "text_chunks" -> textChunks,
     "text_normalize" -> textNormalize,
+    "text_tfidf" -> textTfidf,
     "text_split_assign" -> textSplitAssign,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
@@ -244,6 +277,24 @@ object TextAnalysis {
         |SELECT doc_id, length(raw) AS n_raw, nfc_normalize(raw) AS nfc,
         |  length(nfc_normalize(raw)) AS n_nfc, strip_accents(raw) AS folded
         |FROM r ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |r AS (
+         |  SELECT doc_id, term, tf, df,
+         |    CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) DESC,
+         |               term ASC) AS rk
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, tf, df, score, CAST(rk AS INT) AS rk
+         |FROM r WHERE rk <= $TFIDF_K
+         |ORDER BY doc_id ASC NULLS FIRST, rk ASC NULLS FIRST""".stripMargin,
     "text_split_assign" ->
       """WITH b AS (
         |  SELECT doc_id,
