@@ -329,6 +329,45 @@ object Analytics {
       "event_type")
   }
 
+  // Fixed-width histogram — the profiling/distribution primitive: floor-
+  // division binning (not width_bucket: arithmetic this plain is identical
+  // on every engine), one partial-aggregated exchange on the bucket id.
+  // Exact stats per bin: count, min/max (exact double comparisons), sum via
+  // the DECIMAL(25,6) accumulator rule.
+  private val aggHistogram: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "events")
+        .groupBy(floor(col("value") / 20.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"),
+          sum(col("value").cast(DecimalType(25, 6))).cast("double").as("sum_v")),
+      "bucket")
+
+  // Per-row anomaly scoring — z-scores against per-group moments, the
+  // outlier gate a metrics pipeline runs over raw events. The group stats
+  // come from the same exact-decimal moment algebra as agg_corr (a float
+  // stddev_samp would be partition-order-dependent); the tiny stats table
+  // broadcasts back onto the event scan, so flagging is a map-side join —
+  // no second shuffle of the fact stream. round(z, 6) absorbs the last-ulp
+  // ambiguity division re-introduces, as the corr query does.
+  private val anomalyZscore: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+    val g = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast(DecimalType(25, 6))).cast("double").as("sx"),
+      sum((col("value") * col("value")).cast(DecimalType(25, 6))).cast("double").as("sxx"))
+    val nD = col("n").cast("double")
+    val stats = g.select(col("event_type"),
+      (col("sx") / nD).as("mu"),
+      sqrt((nD * col("sxx") - col("sx") * col("sx")) / (nD * (nD - 1))).as("sigma"))
+    val z = (col("value") - col("mu")) / col("sigma")
+    ord(
+      e.join(broadcast(stats), "event_type")
+        .filter(col("sigma") > 0 && abs(z) > lit(2.5))
+        .select(col("event_id"), col("event_type"), col("value"), round(z, 6).as("z")),
+      "event_id")
+  }
+
   // Explicit GROUPING SETS (rollup/cube's general form) with grouping()
   // indicators distinguishing "NULL because aggregated away" from a data
   // NULL — the same single-scan Expand-based plan as rollup/cube.
@@ -417,6 +456,8 @@ object Analytics {
     "window_first_last" -> windowFirstLast,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_corr" -> aggCorr,
+    "agg_histogram" -> aggHistogram,
+    "anomaly_zscore" -> anomalyZscore,
     "agg_grouping_sets" -> aggGroupingSets,
     "window_ntile" -> windowNtile,
     "window_range_frame" -> windowRangeFrame,
@@ -478,6 +519,26 @@ object Analytics {
          |FROM exact JOIN tot USING (event_type)
          |WHERE n * ${HHK + 1} > total
          |ORDER BY event_type ASC NULLS FIRST, hot_key ASC NULLS FIRST""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(floor(value / 20.0) AS BIGINT) AS bucket, count(*) AS n,
+        |  min(value) AS lo, max(value) AS hi,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY bucket ASC NULLS FIRST""".stripMargin,
+    "anomaly_zscore" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT event_type, sx / n AS mu,
+        |    sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1))) AS sigma
+        |  FROM g)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - s.mu) / s.sigma, 6) AS z
+        |FROM events e JOIN s USING (event_type)
+        |WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 2.5
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     "agg_corr" ->
       """WITH m AS (
         |  SELECT event_type, count(*) AS n,
