@@ -53,6 +53,14 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
 
   private val cols = schema.fields.map(_.name).toSeq
   private val nonKeyCols = cols.filterNot(keys.contains)
+  // CDC marker: batches use ParquetTableSink.DeleteCol (`_deleted`), the
+  // same convention as the parquet sink; inside the database it stages as
+  // `graft_deleted` (Derby identifiers cannot start with an underscore).
+  // A batch without the column stages all-false.
+  private val DelCol = "graft_deleted"
+  private val stagingSchema = StructType(schema.fields :+
+    StructField(DelCol, BooleanType, nullable = true))
+  private val stagingCols = cols :+ DelCol
   private val stage = s"${table}_stage"
   // Derby's MERGE source must be a BASE TABLE (no derived tables, no views),
   // so the retry-dedup SELECT DISTINCT materializes into a second staging
@@ -108,9 +116,10 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
     * absent. */
   def ensureTables(): Unit = withConn { c =>
     val colDefs = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+    val stageDefs = stagingSchema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
     ensure(c, s"CREATE TABLE $table ($colDefs, PRIMARY KEY (${keys.mkString(", ")}))")
-    ensure(c, s"CREATE TABLE $stage ($colDefs)")
-    ensure(c, s"CREATE TABLE $stageDedup ($colDefs)")
+    ensure(c, s"CREATE TABLE $stage ($stageDefs)")
+    ensure(c, s"CREATE TABLE $stageDedup ($stageDefs)")
     ensure(c, "CREATE TABLE graft_commits (sink_name VARCHAR(128) PRIMARY KEY, batch_id BIGINT)")
   }
 
@@ -123,7 +132,7 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
   }
 
   private def bind(ps: PreparedStatement, row: Row): Unit =
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
+    stagingSchema.fields.zipWithIndex.foreach { case (f, i) =>
       if (row.isNullAt(i)) ps.setNull(i + 1, jdbcTypeCode(f.dataType))
       else f.dataType match {
         case LongType => ps.setLong(i + 1, row.getLong(i))
@@ -160,7 +169,17 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
       require(dt == f.dataType,
         s"JdbcUpsertSink($table): column ${f.name} is $dt in the batch but ${f.dataType} in the sink schema")
     }
-    batch.select(cols.map(cn => batch.col(cn).as(cn)): _*)
+    // the CDC marker joins last under its staging name; absent → all-false
+    val hasDel = byName.contains(canon(ParquetTableSink.DeleteCol))
+    if (hasDel) require(byName(canon(ParquetTableSink.DeleteCol)) == BooleanType,
+      s"JdbcUpsertSink($table): ${ParquetTableSink.DeleteCol} must be BOOLEAN")
+    val del =
+      if (hasDel)
+        org.apache.spark.sql.functions.coalesce(
+          batch.col(ParquetTableSink.DeleteCol),
+          org.apache.spark.sql.functions.lit(false))
+      else org.apache.spark.sql.functions.lit(false)
+    batch.select(cols.map(cn => batch.col(cn).as(cn)) :+ del.as(DelCol): _*)
   }
 
   private[streaming] def clearStaging(): Unit = withConn { c =>
@@ -174,7 +193,8 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
     * DISTINCT, restoring single delivery for those exact duplicates. */
   private[streaming] def loadStaging(batch: DataFrame): Unit = {
     val insertSql =
-      s"INSERT INTO $stage (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+      s"INSERT INTO $stage (${stagingCols.mkString(", ")}) " +
+        s"VALUES (${stagingCols.map(_ => "?").mkString(", ")})"
     val connUrl = url // the closure captures `this` (Serializable) + this string
     aligned(batch).foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
@@ -215,8 +235,23 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
         val st0 = c.createStatement()
         try {
           st0.executeUpdate(s"DELETE FROM $stageDedup")
-          st0.executeUpdate(s"INSERT INTO $stageDedup (${cols.mkString(", ")}) " +
-            s"SELECT DISTINCT ${cols.mkString(", ")} FROM $stage")
+          // DELETE WINS within a batch (the parquet sink's rule): an upsert
+          // row whose key also carries a tombstone in the same batch is
+          // dropped here, so only one intent per key survives into the
+          // MERGE. The anti-join runs inside the database over the
+          // micro-batch-sized staging table (a warehouse target hashes it).
+          val keyEq = keys.map(k => s"d.$k = s.$k").mkString(" AND ")
+          // tombstones keep only their key (payload values are never stored,
+          // so two tombstones for one key collapse under DISTINCT instead of
+          // tripping the conflict probe below)
+          val sel = cols.map { cn =>
+            if (keys.contains(cn)) s"s.$cn"
+            else s"CASE WHEN s.$DelCol = TRUE THEN NULL ELSE s.$cn END"
+          }.mkString(", ")
+          st0.executeUpdate(s"INSERT INTO $stageDedup (${stagingCols.mkString(", ")}) " +
+            s"SELECT DISTINCT $sel, COALESCE(s.$DelCol, FALSE) FROM $stage s " +
+            s"WHERE s.$DelCol = TRUE OR NOT EXISTS " +
+            s"(SELECT 1 FROM $stage d WHERE d.$DelCol = TRUE AND $keyEq)")
           // DISTINCT collapses byte-identical retry duplicates only. If a
           // stage re-run produced same-key rows with DIFFERENT values (a
           // nondeterministic upstream), MERGE behavior would be undefined —
@@ -235,12 +270,15 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
         val on = keys.map(k => s"t.$k = s.$k").mkString(" AND ")
         val matched =
           if (nonKeyCols.isEmpty) ""
-          else "WHEN MATCHED THEN UPDATE SET " +
+          else s"WHEN MATCHED AND s.$DelCol = FALSE THEN UPDATE SET " +
             nonKeyCols.map(cn => s"$cn = s.$cn").mkString(", ") + " "
+        // tombstone semantics: matched + deleted → DELETE; unmatched +
+        // deleted → no clause fires (absent-key delete is a no-op)
         val mergeSql =
           s"""MERGE INTO $table t USING $stageDedup s ON $on
+             |WHEN MATCHED AND s.$DelCol = TRUE THEN DELETE
              |$matched
-             |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+             |WHEN NOT MATCHED AND s.$DelCol = FALSE THEN INSERT (${cols.mkString(", ")})
              |  VALUES (${cols.map(cn => s"s.$cn").mkString(", ")})""".stripMargin
         val st = c.createStatement()
         try st.executeUpdate(mergeSql) finally st.close()

@@ -371,6 +371,35 @@ object StreamingOps {
       .orderBy(col("event_id").asc_nulls_first)
   }
 
+  /** CDC deletes through the REAL JDBC boundary, graded: the same change
+    * batch as `sink_merge_delete` (upserts + tombstones incl. same-batch
+    * delete-wins and absent-key no-ops), but applied to the Derby table via
+    * `MERGE … WHEN MATCHED AND deleted THEN DELETE` and read back through
+    * Spark's JDBC source. ts stays internal (Derby storage precision is not
+    * a graded property — see stream_jdbc_table); the graded columns are the
+    * deterministic payload.
+    */
+  private val jdbcMergeDelete: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val t1 = lit("2024-01-10 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-20 00:00:00").cast("timestamp")
+    val work = graft.Scratch.dir("graft-jdbc-delete")
+    val url = s"jdbc:derby:$work/db;create=true"
+    val sink = new JdbcUpsertSink(url, "events_cdc", Seq("event_id"), ev.schema)
+    sink.merge(ev.filter(col("ts") < t1), 0L)
+    val ups = ev.filter(col("ts") >= t1 && col("ts") < t2)
+      .withColumn(ParquetTableSink.DeleteCol, lit(false))
+    val dels = ev.filter(col("user_id") % 10 === 3)
+      .withColumn(ParquetTableSink.DeleteCol, lit(true))
+    sink.merge(ups.unionByName(dels), 1L)
+    val cols = Seq("event_id", "user_id", "event_type", "value")
+    s.read.format("jdbc")
+      .option("url", url).option("dbtable", "events_cdc").load()
+      .select(cols.map(c => col(c).as(c)): _*)
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
   /** Time travel on the versioned table, graded: two merges advance the
     * sink to v1; the query returns the v0 SNAPSHOT (the state the table
     * held after the first commit) tagged beside the CURRENT state. The
@@ -544,6 +573,7 @@ object StreamingOps {
   val queries: Map[String, Q] = Map(
     "stream_stream_join" -> streamStreamJoin,
     "sink_merge_delete" -> sinkMergeDelete,
+    "jdbc_merge_delete" -> jdbcMergeDelete,
     "sink_point_lookup" -> sinkPointLookup,
     "stream_rollup_table" -> streamRollupTable,
     "stream_dedup_replay" -> streamDedupReplay,
@@ -584,6 +614,12 @@ object StreamingOps {
         |FROM events WHERE ts < TIMESTAMP '2024-01-28 00:00:00'
         |GROUP BY 1, 2
         |ORDER BY cohort ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+    // same change algebra as sink_merge_delete, minus the internal ts column
+    "jdbc_merge_delete" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-20 00:00:00' AND user_id % 10 <> 3
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     // lookup hits = loaded window ∩ probe ids; probes past the window miss
     "sink_point_lookup" ->
       """SELECT event_id, ts, user_id, event_type, value

@@ -211,6 +211,41 @@ class JdbcSinkSpec extends SparkTestBase {
       "an uppercased-identifier batch must land through the case-insensitive alignment")
   }
 
+  test("CDC deletes cross the JDBC boundary: tombstones DELETE, delete wins in-batch, absent keys no-op") {
+    val url = freshUrl()
+    val sink = newSink(url)
+    sink.merge(events.filter(col("event_id") < 200), 0L)
+
+    // one CDC batch: upsert [200,250), tombstone 10–19 (present), 210 (also
+    // upserted in this batch — delete must win), and 99999 (absent — no-op);
+    // tombstones carry junk payloads to prove payload noise never merges
+    val ups = events.filter(col("event_id") >= 200 && col("event_id") < 250)
+      .withColumn(ParquetTableSink.DeleteCol, lit(false))
+    val dels = events.filter(
+      (col("event_id") >= 10 && col("event_id") < 20) || col("event_id") === 210)
+      .withColumn("value", col("value") * -999) // junk payload on the tombstone
+      .withColumn(ParquetTableSink.DeleteCol, lit(true))
+    val absent = events.limit(1).withColumn("event_id", lit(99999L))
+      .withColumn(ParquetTableSink.DeleteCol, lit(true))
+    sink.merge(ups.unionByName(dels).unionByName(absent), 1L)
+
+    val expected = sortedIds(events.filter(col("event_id") < 250 &&
+      !(col("event_id") >= 10 && col("event_id") < 20) && col("event_id") =!= 210))
+    assert(tableIds(url) == expected)
+
+    // two tombstones for one key with different payloads must not trip the
+    // conflict probe (payloads are normalized away), and replay is a no-op
+    val twoTombs = events.filter(col("event_id") === 30)
+      .withColumn(ParquetTableSink.DeleteCol, lit(true))
+      .unionByName(events.filter(col("event_id") === 30)
+        .withColumn("value", lit(-1.0))
+        .withColumn(ParquetTableSink.DeleteCol, lit(true)))
+    sink.merge(twoTombs, 2L)
+    assert(tableIds(url) == expected.filterNot(_ == 30L))
+    sink.merge(twoTombs, 2L) // replay: batchId guard
+    assert(tableIds(url) == expected.filterNot(_ == 30L))
+  }
+
   test("transient failure before the merge transaction: retry lands exactly-once") {
     val url = freshUrl()
     val src = Files.createTempDirectory("graft-jdbc-retry").toString
