@@ -39,7 +39,10 @@ object SparkEntry {
     (Graph.queries, Graph.oracle),
     (Profiling.queries, Profiling.oracle),
     (Layout.queries, Layout.oracle),
-    (EntityResolution.queries, EntityResolution.oracle)
+    (EntityResolution.queries, EntityResolution.oracle),
+    (Scd.queries, Scd.oracle),
+    (Intervals.queries, Intervals.oracle),
+    (Quality.queries, Quality.oracle)
   )
 
   /** A duplicate query key across modules would silently shadow one

@@ -87,10 +87,34 @@ object Multimodal {
         (col("n_bytes").cast("long") / col("n_frames")).cast("long").as("frame_len"))
       .orderBy(col("doc_id").asc_nulls_first, col("frame_idx").asc_nulls_first)
 
+  /** Audio-style windowed feature extraction: treat the payload as PCM-ish
+    * samples, frame it into fixed 4-byte windows, and emit per-window energy
+    * (sum of sample magnitudes) and peak — the map shape of every audio
+    * featurizer (RMS/VAD/silence trim). Integer byte sums, so the oracle is
+    * exact; the fan-out is `posexplode` over n_bytes/4 windows and the
+    * per-window fold is a codegen'd `aggregate` over a 4-element sequence —
+    * per-row work only, zero shuffle at any corpus size.
+    */
+  private val WIN_BYTES = 4
+  private val mmAudioEnergy: Q = (s, dir) =>
+    media(s, dir)
+      .withColumn("hx", hex(col("payload")))
+      .withColumn("n_win", (col("n_bytes") / WIN_BYTES).cast("int"))
+      .select(col("doc_id"), col("hx"),
+        posexplode(sequence(lit(0), col("n_win") - 1)).as(Seq("pos", "win_idx")))
+      .withColumn("bytes", transform(sequence(lit(0), lit(WIN_BYTES - 1)), i =>
+        conv(col("hx").substr(col("win_idx") * (WIN_BYTES * 2) + i * 2 + 1, lit(2)), 16, 10)
+          .cast("long")))
+      .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
+        aggregate(col("bytes"), lit(0L), (acc, x) => acc + x).as("energy"),
+        array_max(col("bytes")).as("peak"))
+      .orderBy(col("doc_id").asc_nulls_first, col("win_idx").asc_nulls_first)
+
   val queries: Map[String, Q] = Map(
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_features" -> mmDecodeFeatures,
-    "mm_frame_sample" -> mmFrameSample
+    "mm_frame_sample" -> mmFrameSample,
+    "mm_audio_energy" -> mmAudioEnergy
   )
 
   // NOTE: interpolated into stripMargin'd strings below — no line here may
@@ -125,6 +149,19 @@ object Multimodal {
          |  CAST(('0x' || substr(h, 9, 1)) AS BIGINT) % 4 + 1 AS channels,
          |  round(CAST(('0x' || substr(h, 10, 6)) AS BIGINT) / 16777215.0, 6) AS mean_luma
          |FROM h ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "mm_audio_energy" ->
+      s"""WITH m AS ($hexSql),
+         |w AS (SELECT doc_id, hx,
+         |        CAST(len(hx) / 2 AS BIGINT) // 4 AS n_win FROM m),
+         |f AS (SELECT doc_id, hx, unnest(range(0, n_win)) AS win_idx FROM w),
+         |b AS (SELECT doc_id, win_idx,
+         |        list_transform(range(0, 4), i ->
+         |          CAST(('0x' || substr(hx, CAST(win_idx * 8 + i * 2 + 1 AS INT), 2)) AS BIGINT)) AS bytes
+         |      FROM f)
+         |SELECT doc_id, win_idx,
+         |  CAST(list_sum(bytes) AS BIGINT) AS energy,
+         |  CAST(list_max(bytes) AS BIGINT) AS peak
+         |FROM b ORDER BY doc_id ASC NULLS FIRST, win_idx ASC NULLS FIRST""".stripMargin,
     "mm_frame_sample" ->
       s"""WITH m AS ($hexSql),
          |f AS (SELECT doc_id, CAST(len(hx) / 2 AS BIGINT) AS n_bytes,

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Data-quality expectations — the reference's constraint system, re-expressed
+  * as a distributed audit.
+  *
+  * The reference enforces correctness ONLY through Postgres DDL: primary keys
+  * (create_tables.sql:19-20,33-34,54-55,76-77), foreign keys (:35-37,56-58,
+  * 78-80,100-105,122-124), unique expression indexes (:38-39,62-63,85-86,
+  * 108-109) and `CHECK (stop_order > 0)` (:106-107). A lake table has no
+  * server to reject bad rows, so the equivalent engine feature is an
+  * EXPECTATIONS AUDIT: declare the same constraint classes (FK integrity, key
+  * uniqueness, not-null, value range, categorical domain) and compute a
+  * violations report in one job — the pattern the lakehouse DQ frameworks
+  * (Deequ-style expectations) ship.
+  *
+  * Each rule yields one row (rule, checked, violations); `audit` unions them
+  * and stamps `pass = violations == 0`.
+  *
+  * Scale design: each rule is an independent scan + conditional partial
+  * aggregate — map-side combine reduces every partition to one row before the
+  * single-row exchange. FK rules LEFT-join the fact against the DISTINCT key
+  * set of the referenced dimension: broadcast when the dimension is small,
+  * a plain keyed shuffle join when not — never a collect. Uniqueness checks
+  * are count - count(distinct) (no self-join). The rule frames union into one
+  * result, so the whole audit is one Spark job scanning each table once per
+  * rule family.
+  */
+object Quality {
+
+  /** Predicate rule: rows of `df` where `violated` holds break the expectation. */
+  def check(name: String, df: DataFrame, violated: Column): DataFrame =
+    df.agg(
+      count(lit(1)).as("checked"),
+      count(when(violated, lit(1))).as("violations"))
+      .select(lit(name).as("rule"), col("checked"), col("violations"))
+
+  /** Referential integrity: every `factKey` must resolve in `dim.dimKey`.
+    * NULL fact keys count as violations (the reference's FK columns are all
+    * NOT NULL, so an unresolvable or missing key is equally broken).
+    */
+  def fkCheck(name: String, fact: DataFrame, factKey: String,
+              dim: DataFrame, dimKey: String): DataFrame = {
+    val marker = s"_dq_$dimKey"
+    check(name,
+      fact.join(dim.select(col(dimKey).as(marker)).distinct(),
+        col(factKey) === col(marker), "left"),
+      col(marker).isNull)
+  }
+
+  /** Key uniqueness without a self-join: dupes = count - count(distinct).
+    * Note count(distinct c1, c2) skips rows with a NULL component on both
+    * engines' Spark side; pair with not-null rules on the key columns.
+    */
+  def uniqueCheck(name: String, df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.agg(
+      count(lit(1)).as("checked"),
+      (count(lit(1)) - count_distinct(col(keyCols.head), keyCols.tail.map(col): _*))
+        .as("violations"))
+      .select(lit(name).as("rule"), col("checked"), col("violations"))
+
+  /** Union the per-rule rows into the audit report. */
+  def audit(rules: Seq[DataFrame]): DataFrame =
+    rules.reduce(_ unionAll _)
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy(col("rule").asc_nulls_first)
+
+  private val dqCheck: Q = (s, dir) => {
+    val orders = Tables(s, dir, "orders")
+    val lineitem = Tables(s, dir, "lineitem")
+    val customer = Tables(s, dir, "customer")
+    val events = Tables(s, dir, "events")
+    val documents = Tables(s, dir, "documents")
+    audit(Seq(
+      fkCheck("fk_orders_customer", orders, "o_custkey", customer, "c_custkey"),
+      fkCheck("fk_lineitem_orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+      uniqueCheck("pk_customer_unique", customer, Seq("c_custkey")),
+      uniqueCheck("uq_events_user_ts", events, Seq("user_id", "ts")),
+      check("notnull_events_user", events, col("user_id").isNull),
+      check("range_events_value", events, col("value") <= 0.0 || col("value") > 1000.0),
+      check("domain_documents_lang", documents, !col("lang").isin("en", "de", "fr", "es"))
+    ))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dq_check" -> dqCheck
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dq_check" ->
+      """WITH r AS (
+        |  SELECT 'fk_orders_customer' AS rule, count(*) AS checked,
+        |         count(*) FILTER (WHERE c.c_custkey IS NULL) AS violations
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders', count(*),
+        |         count(*) FILTER (WHERE o.o_orderkey IS NULL)
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'pk_customer_unique', count(*),
+        |         count(*) - count(DISTINCT c_custkey) FROM customer
+        |  UNION ALL
+        |  SELECT 'uq_events_user_ts', count(*),
+        |         count(*) - count(DISTINCT (user_id, ts)) FROM events
+        |  UNION ALL
+        |  SELECT 'notnull_events_user', count(*),
+        |         count(*) FILTER (WHERE user_id IS NULL) FROM events
+        |  UNION ALL
+        |  SELECT 'range_events_value', count(*),
+        |         count(*) FILTER (WHERE value <= 0.0 OR value > 1000.0) FROM events
+        |  UNION ALL
+        |  SELECT 'domain_documents_lang', count(*),
+        |         count(*) FILTER (WHERE lang NOT IN ('en','de','fr','es'))
+        |  FROM documents)
+        |SELECT rule, CAST(checked AS BIGINT) AS checked,
+        |       CAST(violations AS BIGINT) AS violations,
+        |       violations = 0 AS pass
+        |FROM r ORDER BY rule ASC NULLS FIRST""".stripMargin
+  )
+}

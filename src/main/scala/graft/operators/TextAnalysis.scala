@@ -227,7 +227,44 @@ object TextAnalysis {
       "doc_id")
   }
 
+  // Bigram language-model scoring (the CCNet/KenLM-style quality signal,
+  // log-free): train bigram document frequencies ON the corpus itself, then
+  // score each document by how "expected" its bigrams are — avg_df high =
+  // common phrasing, n_novel high = phrasing seen nowhere else (gibberish or
+  // genuinely unique). Log-probability dampening is a monotone reshaping that
+  // doesn't change per-doc ranks, and libm logs aren't bit-portable across
+  // engines — the counts and one IEEE division keep the hash gate exact
+  // (same reasoning as text_tfidf).
+  //
+  // Scale: per-doc DISTINCT bigrams collapse in a partial aggregate before
+  // the one fan-out exchange; the df table is vocabulary-sized (≪ corpus) and
+  // its join back to doc-bigrams shuffles on the bigram key; the per-doc
+  // rollup is a fourth partial-aggregated exchange. The "model" (df table) is
+  // never collected or broadcast — at 100 TB it's a distributed join, exactly
+  // how a sharded n-gram LM scores a corpus.
+  private val textLmScore: Q = (s, dir) => {
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val db = Tables(s, dir, "documents")
+      .withColumn("t", toks)
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+          concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1)))).as("bg"))
+      .distinct()
+    val df = db.groupBy("bg").agg(count(lit(1)).as("df"))
+    ord(
+      db.join(df, "bg")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(col("df")).as("sum_df"),
+          count(when(col("df") === 1L, lit(1))).as("n_novel"))
+        .withColumn("avg_df", col("sum_df").cast("double") / col("n_bigrams").cast("double")),
+      "doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_lm_score" -> textLmScore,
     "text_chunks" -> textChunks,
     "text_normalize" -> textNormalize,
     "text_tfidf" -> textTfidf,
@@ -256,6 +293,22 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM t WHERE len(t) >= 2),
+        |db AS (SELECT DISTINCT doc_id, bg FROM raw),
+        |df AS (SELECT bg, count(*) AS df FROM db GROUP BY 1)
+        |SELECT doc_id,
+        |  count(*) AS n_bigrams,
+        |  CAST(sum(df) AS BIGINT) AS sum_df,
+        |  count(*) FILTER (WHERE df = 1) AS n_novel,
+        |  CAST(sum(df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_df
+        |FROM db JOIN df USING (bg)
+        |GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "text_chunks" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t

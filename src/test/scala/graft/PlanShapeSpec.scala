@@ -225,4 +225,65 @@ class PlanShapeSpec extends SparkTestBase {
       assert(hashAggs >= 2, "expect partial + final HashAggregate (map-side combine)")
     }
   }
+
+  test("scd2_build chains all three windows over ONE key exchange") {
+    withStaticPlans {
+      val ns = nodes(staticPlan(SparkEntry.queries("scd2_build")(spark, sf)))
+      val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles <= 2,
+        s"lag/lead/row_number share (key, order) — expect the key exchange " +
+          s"(+ oracle orderBy) only, got $shuffles")
+    }
+  }
+
+  test("scd2_point_in_time stays a union+window composition — no non-equi join") {
+    withStaticPlans {
+      val ns = nodes(staticPlan(SparkEntry.queries("scd2_point_in_time")(spark, sf)))
+      assert(!ns.exists(_.isInstanceOf[CartesianProductExec]) &&
+        !ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        "point-in-time resolution must not fall back to a non-equi join")
+      val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles <= 4,
+        s"era window + as-of window + oracle orderBy bound the exchanges, got $shuffles")
+    }
+  }
+
+  test("interval_merge: island assignment is one key exchange, groupBy reuses it") {
+    withStaticPlans {
+      val ns = nodes(staticPlan(SparkEntry.queries("interval_merge")(spark, sf)))
+      val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles <= 2,
+        s"running-max + running-sum + (key, island) groupBy must ride one " +
+          s"key exchange (+ oracle orderBy), got $shuffles")
+    }
+  }
+
+  test("interval_concurrency: sweep line shuffles the 2n boundary rows once") {
+    withStaticPlans {
+      val ns = nodes(staticPlan(SparkEntry.queries("interval_concurrency")(spark, sf)))
+      val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles <= 3,
+        s"boundary window + dim groupBy + oracle orderBy bound the exchanges, got $shuffles")
+    }
+  }
+
+  test("dq_check: every rule partial-aggregates; FK probes never go non-equi") {
+    withStaticPlans {
+      val ns = nodes(staticPlan(SparkEntry.queries("dq_check")(spark, sf)))
+      assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
+        "no rule may expand to a cartesian product")
+      val hashAggs = ns.count(_.getClass.getSimpleName == "HashAggregateExec")
+      assert(hashAggs >= 10,
+        s"each rule must map-side combine to one row before its exchange, got $hashAggs aggregates")
+    }
+  }
+
+  test("text_lm_score joins the df model on the bigram key — distributed, never collected") {
+    withStaticPlans {
+      val ns = nodes(staticPlan(SparkEntry.queries("text_lm_score")(spark, sf)))
+      assert(!ns.exists(_.isInstanceOf[CartesianProductExec]) &&
+        !ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        "doc-bigrams ⋈ df must be an equi-join on the bigram")
+    }
+  }
 }
