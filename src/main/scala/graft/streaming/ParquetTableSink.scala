@@ -428,6 +428,100 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     deleteRecursively(stagingDir)
   }
 
+  /** Shallow clone — fork the CURRENT committed snapshot to `destDir`
+    * without copying data (the CLONE TABLE feature of the copy-on-write
+    * table formats). Every data file is HARD-LINKED (O(files) metadata ops,
+    * zero bytes moved; falls back to a copy on filesystems without links —
+    * on an object store this would be a manifest-level reference instead).
+    * From the fork point the two tables are fully isolated: both are
+    * copy-on-write, so a merge on either side promotes NEW files and never
+    * touches a shared one, and each side's GC only ever deletes dirs its own
+    * manifests named.
+    *
+    * Cloned bucket dirs are renamed to the clone's own `b{X}-v0` namespace —
+    * reusing the source's versioned names would let the clone's first
+    * merge-crash cleanup (which deletes `*-v{next}` dirs) destroy cloned
+    * data.
+    *
+    * The clone CARRIES the source's last committed batch id by default: it
+    * is a fork of the table INCLUDING its exactly-once replay guard, so
+    * resuming the source's stream against the clone (same checkpoint
+    * lineage) cannot double-apply the last batch — with an accumulating
+    * combiner that would double-count. Pass `carryBatchId = false` when
+    * attaching a brand-new stream (whose batch ids restart at 0).
+    */
+  def cloneTo(destDir: String, carryBatchId: Boolean = true): ParquetTableSink = synchronized {
+    val destRoot = Paths.get(destDir)
+    require(!Files.exists(destRoot.resolve("_CURRENT")),
+      s"cloneTo target $destDir already holds a committed table")
+    readPointer() match {
+      case None => // empty source: the clone is just a fresh table
+        new ParquetTableSink(spark, destDir, zero, keys, buckets, retain, combiner)
+      case Some((v, committed)) =>
+        val destData = destRoot.resolve("data")
+        val destMan = destRoot.resolve("manifest")
+        Files.createDirectories(destData)
+        Files.createDirectories(destMan)
+        val entries = readManifest(v).toSeq.sortBy(_._1).map { case (b, d) =>
+          val name = s"b$b-v0"
+          val dst = destData.resolve(name)
+          deleteRecursively(dst) // a crashed previous clone attempt
+          Files.createDirectories(dst)
+          listDirs(dataDir.resolve(d)).filter(Files.isRegularFile(_)).foreach { f =>
+            val t = dst.resolve(f.getFileName.toString)
+            try Files.createLink(t, f)
+            catch { case _: UnsupportedOperationException => Files.copy(f, t) }
+          }
+          b -> name
+        }
+        if (schemaAt(v) != zero.schema)
+          Files.writeString(destMan.resolve("v0.schema"), schemaAt(v).json)
+        Files.writeString(destMan.resolve("v0"),
+          entries.map { case (b, d) => s"$b $d" }.mkString("\n"))
+        Files.writeString(destRoot.resolve("_BUCKETS"), buckets.toString)
+        // the commit: everything above is invisible until this pointer lands
+        val ptrTmp = destRoot.resolve("._CURRENT.tmp")
+        Files.writeString(ptrTmp, s"0,${if (carryBatchId) committed else -1L}")
+        Files.move(ptrTmp, destRoot.resolve("_CURRENT"),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        new ParquetTableSink(spark, destDir, emptyOf(schemaAt(v)), keys,
+          buckets, retain, combiner)
+    }
+  }
+
+  /** Rewrite the table at a new bucket count. The bucket count is pinned
+    * into the on-disk layout at first commit (every merge and point lookup
+    * hashes against it), so a table that outgrows its B — 16 buckets at
+    * 100 TB is 6 TB per touched-bucket rewrite — must REBUCKET: a declared
+    * O(table) offline maintenance pass, the one full rewrite in the sink's
+    * lifecycle. Implemented as a single merge of the current snapshot into a
+    * fresh table at `newBuckets` (reusing the staging/promote/commit
+    * protocol), carrying the replay guard like `cloneTo` so the serving
+    * stream resumes against the new layout without double-applying.
+    */
+  def rebucket(destDir: String, newBuckets: Int,
+               carryBatchId: Boolean = true): ParquetTableSink = synchronized {
+    val dest = new ParquetTableSink(spark, destDir, emptyOf(currentSchema),
+      keys, newBuckets, retain, combiner)
+    require(dest.readPointer().isEmpty,
+      s"rebucket target $destDir already holds a committed table")
+    val committed = readPointer().map(_._2).getOrElse(-1L)
+    dest.merge(current, batchId = 0L)
+    if (carryBatchId) dest.setPointerBatchId(committed)
+    dest
+  }
+
+  /** Restamp the pointer's batch-id watermark, keeping the version (used by
+    * clone/rebucket to carry the source's replay guard). */
+  private def setPointerBatchId(b: Long): Unit = {
+    val (v, _) = readPointer().getOrElse(
+      sys.error(s"setPointerBatchId: no committed version at $dir"))
+    val ptrTmp = root.resolve("._CURRENT.tmp")
+    Files.writeString(ptrTmp, s"$v,$b")
+    Files.move(ptrTmp, pointer, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Keep the last `retain` manifest versions and every data dir they
     * reference (a reader holding `current` from just before this merge can
     * still scan the previous version; `snapshotAt` can reach any kept

@@ -570,7 +570,64 @@ object StreamingOps {
       .orderBy(col("click_id").asc_nulls_first, col("purchase_id").asc_nulls_first)
   }
 
+  /** Shallow clone, graded: two merges build the source table; `cloneTo`
+    * forks it zero-copy (hard links — PersistentSinkSpec pins the shared
+    * inodes); then the two sides DIVERGE — a third window merges into the
+    * source only, a user cohort is deleted from the clone only. The query
+    * returns both sides tagged; the oracle restates each side's set algebra
+    * from raw events. Any copy-on-write isolation leak (clone delete
+    * touching a shared file, source merge bleeding into the fork) breaks
+    * the hash. The clone's delete commits at batchId 2 because the fork
+    * CARRIES the source's replay guard (committed = 1).
+    */
+  private val sinkClone: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val t1 = lit("2024-01-10 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-20 00:00:00").cast("timestamp")
+    val t3 = lit("2024-01-25 00:00:00").cast("timestamp")
+    val work = graft.Scratch.dir("graft-sink-clone")
+    val src = new ParquetTableSink(s, work.resolve("table").toString,
+      ev.limit(0), Seq("event_id"), buckets = 8)
+    src.merge(ev.filter(col("ts") < t1), 0L)
+    src.merge(ev.filter(col("ts") >= t1 && col("ts") < t2), 1L)
+    val fork = src.cloneTo(work.resolve("fork").toString)
+    src.merge(ev.filter(col("ts") >= t2 && col("ts") < t3), 2L)
+    fork.deleteKeys(ev.filter(col("user_id") % 10 === 3).select("event_id"), 2L)
+    fork.current.withColumn("side", lit("clone"))
+      .unionByName(src.current.withColumn("side", lit("src")))
+      .orderBy(col("side").asc_nulls_first, col("event_id").asc_nulls_first)
+  }
+
+  /** Rebucketing, graded: the table outlives its bucket count (B is pinned
+    * into the layout at first commit), so `rebucket` rewrites it once at the
+    * new B — and the serving stream RESUMES against the new layout: a replay
+    * of the last pre-rebucket batch is skipped by the carried guard, the
+    * next batch applies. The final table must equal the full delivered
+    * window; a rebucket that lost rows, double-applied the replayed batch,
+    * or mis-hashed a bucket all break the hash.
+    */
+  private val sinkRebucket: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val t1 = lit("2024-01-10 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-20 00:00:00").cast("timestamp")
+    val t3 = lit("2024-01-25 00:00:00").cast("timestamp")
+    val work = graft.Scratch.dir("graft-sink-rebucket")
+    val narrow = new ParquetTableSink(s, work.resolve("b4").toString,
+      ev.limit(0), Seq("event_id"), buckets = 4)
+    narrow.merge(ev.filter(col("ts") < t1), 0L)
+    narrow.merge(ev.filter(col("ts") >= t1 && col("ts") < t2), 1L)
+    val wide = narrow.rebucket(work.resolve("b16").toString, newBuckets = 16)
+    // the stream resumes: batch 1 re-delivered (must no-op), batch 2 new
+    wide.merge(ev.filter(col("ts") >= t1 && col("ts") < t2), 1L)
+    wide.merge(ev.filter(col("ts") >= t2 && col("ts") < t3), 2L)
+    wide.current.orderBy(col("event_id").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "sink_clone" -> sinkClone,
+    "sink_rebucket" -> sinkRebucket,
     "stream_stream_join" -> streamStreamJoin,
     "sink_merge_delete" -> sinkMergeDelete,
     "jdbc_merge_delete" -> jdbcMergeDelete,
@@ -643,6 +700,21 @@ object StreamingOps {
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
         |ORDER BY click_id ASC NULLS FIRST, purchase_id ASC NULLS FIRST""".stripMargin,
+    // clone side = fork at t2 minus the deleted cohort; src side = all three
+    // windows (the fork's delete never reaches it)
+    "sink_clone" ->
+      """SELECT 'clone' AS side, event_id, ts, user_id, event_type, value
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-20 00:00:00' AND user_id % 10 <> 3
+        |UNION ALL
+        |SELECT 'src' AS side, event_id, ts, user_id, event_type, value
+        |FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00'
+        |ORDER BY side ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
+    // delivered = ts < t3, with the replayed [t1, t2) batch applied once
+    "sink_rebucket" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00'
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     // v0 snapshot = first merge's rows (ts < t1); current = both merges
     "sink_time_travel" ->
       """SELECT 'v0' AS snap, event_id, ts, user_id, event_type, value

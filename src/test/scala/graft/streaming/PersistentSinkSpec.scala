@@ -475,4 +475,75 @@ class PersistentSinkSpec extends SparkTestBase {
     assert(calls == 2, s"must stop at the attempt budget, made $calls attempts")
     assert(e.getMessage != null)
   }
+
+  private def inodes(dir: java.nio.file.Path): Set[Long] = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala.filter(Files.isRegularFile(_))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => Files.getAttribute(p, "unix:ino").asInstanceOf[Long]).toSet
+    finally s.close()
+  }
+
+  test("cloneTo is zero-copy (hard links), isolated both ways, and carries the replay guard") {
+    val srcDir = Files.createTempDirectory("graft-clone-src")
+    val forkDir = Files.createTempDirectory("graft-clone-fork")
+    val sink = new ParquetTableSink(spark, srcDir.toString, events.limit(0),
+      Seq("event_id"), buckets = 4)
+    sink.merge(events.filter(col("event_id") < 400), 0L)
+
+    val clone = sink.cloneTo(forkDir.toString)
+    // zero-copy: every cloned parquet file IS a source file (same inode)
+    val srcInodes = inodes(srcDir.resolve("data"))
+    val cloneInodes = inodes(forkDir.resolve("data"))
+    assert(cloneInodes.nonEmpty && cloneInodes.subsetOf(srcInodes),
+      "cloned data files must be hard links into the source's files")
+    // the fork carries the source's exactly-once watermark
+    assert(clone.lastCommittedBatchId == 0L)
+    clone.merge(events.filter(col("event_id") < 10), 0L) // replay: must no-op
+    assert(sortedIds(clone.current) == sortedIds(events.filter(col("event_id") < 400)))
+
+    // divergence is isolated in BOTH directions
+    val srcFilesBefore = inodes(srcDir.resolve("data"))
+    clone.merge(events.filter(col("event_id") >= 400 && col("event_id") < 500), 1L)
+    sink.merge(events.filter(col("event_id") >= 500 && col("event_id") < 600), 1L)
+    assert(sortedIds(clone.current) == sortedIds(events.filter(col("event_id") < 500)),
+      "source's post-fork merge must not reach the clone")
+    assert(sortedIds(sink.current) == sortedIds(
+      events.filter(col("event_id") < 400 || (col("event_id") >= 500 && col("event_id") < 600))),
+      "clone's post-fork merge must not reach the source")
+    assert(srcFilesBefore.subsetOf(inodes(srcDir.resolve("data")) ++ inodes(forkDir.resolve("data"))),
+      "copy-on-write: no shared file may be rewritten in place")
+
+    // a clone must refuse to land on a committed table
+    val e = intercept[IllegalArgumentException](sink.cloneTo(forkDir.toString))
+    assert(e.getMessage.contains("already holds a committed table"))
+  }
+
+  test("rebucket rewrites at the new bucket count, preserves content, carries the guard") {
+    val srcDir = Files.createTempDirectory("graft-rebucket-src")
+    val dstDir = Files.createTempDirectory("graft-rebucket-dst")
+    val narrow = new ParquetTableSink(spark, srcDir.toString, events.limit(0),
+      Seq("event_id"), buckets = 2)
+    narrow.merge(events.filter(col("event_id") < 300), 0L)
+    narrow.merge(events.filter(col("event_id") >= 300 && col("event_id") < 400), 1L)
+
+    val wide = narrow.rebucket(dstDir.toString, newBuckets = 8)
+    assert(Files.readString(dstDir.resolve("_BUCKETS")).trim == "8")
+    assert(sortedIds(wide.current) == sortedIds(events.filter(col("event_id") < 400)),
+      "rebucket must preserve the exact row set")
+    // the new layout is enforced: re-opening at the old count fails loud
+    val e = intercept[IllegalArgumentException](
+      new ParquetTableSink(spark, dstDir.toString, events.limit(0), Seq("event_id"), buckets = 2))
+    assert(e.getMessage.contains("bucketed with B=8"))
+    // replay guard carried: the last pre-rebucket batch skips, the next applies
+    assert(wide.lastCommittedBatchId == 1L)
+    wide.merge(events.filter(col("event_id") < 10), 1L) // replay: no-op
+    wide.merge(events.filter(col("event_id") >= 400 && col("event_id") < 450), 2L)
+    assert(sortedIds(wide.current) == sortedIds(events.filter(col("event_id") < 450)))
+    // point lookups hash against the NEW count and still resolve
+    val session = spark
+    import session.implicits._
+    val probe = Seq(5L, 123L, 321L, 449L, 9999L).toDF("event_id")
+    assert(sortedIds(wide.lookupKeys(probe)) == Seq(5L, 123L, 321L, 449L))
+  }
 }
