@@ -40,6 +40,7 @@ object SparkEntry {
     (Profiling.queries, Profiling.oracle),
     (Layout.queries, Layout.oracle),
     (EntityResolution.queries, EntityResolution.oracle),
+    (DedupIndex.queries, DedupIndex.oracle),
     (Scd.queries, Scd.oracle),
     (Intervals.queries, Intervals.oracle),
     (Quality.queries, Quality.oracle)

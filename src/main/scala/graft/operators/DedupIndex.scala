@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+import graft.streaming.ParquetTableSink
+
+/** Incremental near-duplicate ADMISSION — the streaming form of the LSH
+  * dedup family: a persistent LSH index lives in a bucket-pruned versioned
+  * table, and each arriving micro-batch of documents is checked against it
+  * (and against itself), admitted or rejected, then folded into the index.
+  * This is how a training-data pipeline dedups a corpus that arrives over
+  * weeks instead of sitting in one scan.
+  *
+  * Index layout: one row per LSH bucket — key (band, sig), value = the
+  * bucket's member list [(doc_id, shingle set)]. Storing the verify payload
+  * beside the signature keeps admission a single lookup (at 100 TB one would
+  * store doc pointers + sketches and verify against the doc store; the
+  * bucket-list layout and the plan shapes are the same). The sink combiner
+  * UNIONs member lists (dedup by member), so replayed batches are idempotent
+  * on top of the batch-id guard.
+  *
+  * Admission rule (graded): a document is REJECTED iff some verified
+  * near-dup partner (band collision + exact Jaccard ≥ τ) with a SMALLER
+  * doc_id exists among already-indexed docs or its own batch. When batches
+  * arrive in nondecreasing doc_id order this equals the global batch rule
+  * ("drop every doc with a smaller near-dup partner" — dedup_drop_list);
+  * under arbitrary arrival it degrades gracefully to "…that was seen no
+  * later than me". ALL banded rows are indexed, admitted or not — a
+  * rejected doc must still reject its own later near-dups, and this is
+  * what keeps the rule batch-split-invariant.
+  *
+  * The MAX_BUCKET boilerplate guard applies to the bucket's CUMULATIVE
+  * population at check time (index members + this batch) — the incremental
+  * counterpart of the batch pipeline's guard, mirrored batch-aware in the
+  * oracle so the cap is graded semantics, not silent truncation.
+  *
+  * Scale design: the index read is `lookupKeys` on the batch's distinct
+  * (band, sig) set — bucket-pruned to O(|batch signatures| / B of the
+  * table), never a full index scan. Candidate generation is equi-joins on
+  * (band, sig) (batch × index-members, batch × batch); the population cap
+  * rides the same keys. Nothing corpus-proportional is broadcast or
+  * collected; the index update is one bucket-pruned merge of
+  * O(|batch| × bands) grouped rows.
+  */
+final class LshAdmissionIndex(spark: SparkSession, dir: String,
+                              threshold: Double, buckets: Int = 16) {
+
+  // all-nullable inner types (the parquet convention): every frame entering
+  // the sink casts `members` to this exact type, because the sink's additive
+  // schema check compares nested dataTypes INCLUDING inner nullability
+  private val memberType = ArrayType(StructType(Seq(
+    StructField("doc_id", LongType, nullable = true),
+    StructField("s", ArrayType(StringType, containsNull = true), nullable = true))),
+    containsNull = true)
+  private val indexSchema = StructType(Seq(
+    StructField("band", IntegerType, nullable = true),
+    StructField("sig", StringType, nullable = true),
+    StructField("members", memberType, nullable = true)))
+
+  /** Bucket-list union: members accumulate across batches, dedup'd so a
+    * replayed batch cannot double-insert a member. Associative + idempotent. */
+  private val unionMembers: ParquetTableSink.Combiner = (target, staged) =>
+    target.select(col("band"), col("sig"), col("members"))
+      .unionByName(staged.select(col("band"), col("sig"), col("members")))
+      .groupBy(col("band"), col("sig"))
+      .agg(array_distinct(flatten(collect_list(col("members")))).cast(memberType).as("members"))
+
+  private val sink = new ParquetTableSink(spark, dir,
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), indexSchema),
+    keys = Seq("band", "sig"), buckets = buckets, combine = unionMembers)
+
+  def lastCommittedBatchId: Long = sink.lastCommittedBatchId
+
+  /** Check `docs` (doc_id, text) against the index and itself, fold the
+    * batch into the index under `batchId`, and return the ADMITTED rows of
+    * `docs`. The index merge happens eagerly (it is the durable state
+    * transition); the returned frame is lazy — consume it within the sink's
+    * retention window (or materialize it) like any versioned-table reader.
+    */
+  def admit(docs: DataFrame, batchId: Long): DataFrame = {
+    val rows = DedupText.lshRows(docs) // doc_id, s, band, sig
+    val sigs = rows.select(col("band"), col("sig")).distinct()
+    val idxRows = sink.lookupKeys(sigs)
+      .select(col("band"), col("sig"), explode(col("members")).as("m"))
+      .select(col("band"), col("sig"),
+        col("m.doc_id").as("pid"), col("m.s").as("ps"))
+
+    // cumulative bucket population at check time = index ∪ this batch
+    val pop = rows.select(col("band"), col("sig"), col("doc_id"))
+      .unionByName(idxRows.select(col("band"), col("sig"), col("pid").as("doc_id")))
+      .distinct()
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= DedupText.MAX_BUCKET)
+      .select(col("band"), col("sig"))
+
+    val okRows = rows.join(pop, Seq("band", "sig"))
+    val okIdx = idxRows.join(pop, Seq("band", "sig"))
+
+    // candidates: batch × indexed (smaller prior id rejects) and batch × batch
+    val candIdx = okRows.join(okIdx, Seq("band", "sig"))
+      .filter(col("pid") < col("doc_id"))
+      .select(col("doc_id"), col("s"), col("pid"), col("ps"))
+    val candNew = okRows.as("a").join(okRows.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("doc_id"), col("b.s").as("s"),
+        col("a.doc_id").as("pid"), col("a.s").as("ps"))
+    val rejected = candIdx.unionByName(candNew)
+      .select(col("doc_id"), col("s"), col("pid"), col("ps")).distinct()
+      .filter(DedupText.jaccard(col("s"), col("ps")) >= threshold)
+      .select(col("doc_id")).distinct()
+
+    // index the WHOLE batch (see admission rule), then hand back the admitted
+    sink.merge(
+      rows.groupBy(col("band"), col("sig"))
+        .agg(array_distinct(collect_list(struct(col("doc_id"), col("s"))))
+          .cast(memberType).as("members")),
+      batchId)
+    docs.join(rejected, Seq("doc_id"), "left_anti")
+  }
+}
+
+/** Graded binding: two id-ordered batches of `documents` stream through a
+  * fresh admission index; the output is every admitted (doc_id, batch). The
+  * oracle replays the same rule globally — banding, the batch-aware
+  * cumulative bucket cap, exact-Jaccard verify, smaller-id rejection — so
+  * any divergence between the incremental path (bucket-pruned lookups,
+  * combiner unions, replay guard) and the declarative semantics breaks the
+  * hash.
+  */
+object DedupIndex {
+
+  private val SPLIT = 250L  // batch boundary: ids < SPLIT arrive first
+  private val TAU = 0.5
+
+  private val dedupAdmit: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val work = graft.Scratch.dir("graft-lsh-admit")
+    val index = new LshAdmissionIndex(s, work.resolve("index").toString, TAU)
+    val a0 = index.admit(docs.filter(col("doc_id") < SPLIT), 0L)
+      .withColumn("batch", lit(0L))
+    val a1 = index.admit(docs.filter(col("doc_id") >= SPLIT), 1L)
+      .withColumn("batch", lit(1L))
+    a0.unionByName(a1).select(col("doc_id"), col("batch"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_admit_incremental" -> dedupAdmit
+  )
+
+  // custom bands CTE: no global cap — the cap is applied per-pair below with
+  // the population the incremental check actually saw (batch-aware)
+  private val bands0Sql: String = {
+    val r = DedupText.K / DedupText.BANDS
+    (0 until DedupText.BANDS).map { g =>
+      val sig = (0 until r).map(k => s"mh_${r * g + k}").mkString("||','||")
+      s"SELECT doc_id, $g AS band, md5($sig) AS sig FROM mh WHERE len(s) > 0"
+    }.mkString("b0 AS (\n  ", " UNION ALL\n  ", ")")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "dedup_admit_incremental" ->
+      s"""WITH ${DedupText.shSql},
+         |${DedupText.mhSql},
+         |$bands0Sql,
+         |bb AS (
+         |  SELECT doc_id, band, sig,
+         |    CASE WHEN doc_id < $SPLIT THEN 0 ELSE 1 END AS batch,
+         |    count(*) FILTER (WHERE doc_id < $SPLIT) OVER (PARTITION BY band, sig) AS bsz1,
+         |    count(*) OVER (PARTITION BY band, sig) AS bszall
+         |  FROM b0),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bb a JOIN bb b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |  WHERE CASE WHEN a.batch = 0 AND b.batch = 0 THEN a.bsz1 ELSE a.bszall END
+         |          <= ${DedupText.MAX_BUCKET}),
+         |rej AS (
+         |  SELECT DISTINCT c.doc_b AS doc_id
+         |  FROM cand c JOIN mh x ON c.doc_a = x.doc_id JOIN mh y ON c.doc_b = y.doc_id
+         |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |          / len(list_distinct(list_concat(x.s, y.s))) >= $TAU)
+         |SELECT d.doc_id, CAST(CASE WHEN d.doc_id < $SPLIT THEN 0 ELSE 1 END AS BIGINT) AS batch
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM rej)
+         |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin
+  )
+}

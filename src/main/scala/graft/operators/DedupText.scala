@@ -28,8 +28,8 @@ import graft.{Q, Tables}
   */
 object DedupText {
 
-  private val K = 8      // minhash permutations
-  private val BANDS = 4  // bands of r = K/BANDS = 2 rows each
+  private[operators] val K = 8      // minhash permutations
+  private[operators] val BANDS = 4  // bands of r = K/BANDS = 2 rows each
 
   /** 60-bit engine-agnostic hash: int(md5("<seed>:" + x)[0:15], 16). */
   private def h60(seed: Int, x: Column): Column =
@@ -48,19 +48,23 @@ object DedupText {
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").repartition(col("doc_id"))
 
-  /** doc_id + distinct word-3-shingle set (empty for docs under 3 tokens). */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(normText, " ")
-    docsSpread(s, dir)
-      .withColumn("t", toks)
-      .withColumn("s",
-        when(size(col("t")) >= 3,
-          array_distinct(transform(sequence(lit(1), size(col("t")) - 2), i =>
-            concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1),
-              element_at(col("t"), i + 2)))))
-          .otherwise(array().cast("array<string>")))
-      .select(col("doc_id"), col("s"))
+  /** The distinct word-3-shingle set of `text` (empty under 3 tokens) —
+    * shared by the batch dedup pipeline and the incremental admission index
+    * so both hash identical sets. */
+  private[operators] def wordShingleSet: Column = {
+    val t = split(normText, " ")
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2)))))
+      .otherwise(array().cast("array<string>"))
   }
+
+  /** doc_id + distinct word-3-shingle set (empty for docs under 3 tokens). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docsSpread(s, dir)
+      .withColumn("s", wordShingleSet)
+      .select(col("doc_id"), col("s"))
 
   /** doc_id + distinct character-6-gram set (the n-gram-Jaccard variant:
     * robust to tokenization differences, standard for CJK-ish corpora).
@@ -112,6 +116,28 @@ object DedupText {
     }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
+
+  /** (doc_id, s, band, sig) LSH rows for an arbitrary (doc_id, text) frame —
+    * the admission-index feed (LshAdmissionIndex): per banded doc, its
+    * shingle set rides along so candidate verification needs no second pass
+    * over the corpus. Shingle-less docs emit no rows (they cannot near-dup).
+    */
+  private[operators] def lshRows(docs: DataFrame): DataFrame = {
+    val mh = minhashedFrom(
+      docs.withColumn("s", wordShingleSet)
+        .filter(size(col("s")) > 0)
+        .select(col("doc_id"), col("s")))
+    val r = K / BANDS
+    mh.select(col("doc_id"), col("s"), explode(array((0 until BANDS).map { g =>
+        struct(lit(g).as("band"),
+          md5(concat_ws(",", (0 until r).map(k => col(s"mh_${r * g + k}")): _*)).as("sig"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("s"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Exact Jaccard of two shingle-set columns (the verify predicate). */
+  private[operators] def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** Boilerplate guard: identical-signature buckets larger than this pair
     * quadratically (Σ bucket² — a shared header/footer across millions of

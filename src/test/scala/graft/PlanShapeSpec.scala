@@ -278,6 +278,15 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_admit_incremental: every candidate join is an equi-join on (band, sig)") {
+    withStaticPlans {
+      val ns = nodes(staticPlan(SparkEntry.queries("dedup_admit_incremental")(spark, sf)))
+      assert(!ns.exists(_.isInstanceOf[CartesianProductExec]) &&
+        !ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        "admission must probe the index by bucket key, never all-pairs")
+    }
+  }
+
   test("text_lm_score joins the df model on the bigram key — distributed, never collected") {
     withStaticPlans {
       val ns = nodes(staticPlan(SparkEntry.queries("text_lm_score")(spark, sf)))
