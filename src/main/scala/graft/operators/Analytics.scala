@@ -329,6 +329,39 @@ object Analytics {
       "event_type")
   }
 
+  // Closed-form OLS trend fit per group (value ~ epoch-day): slope,
+  // intercept, r² from the same exact-decimal moment algebra as agg_corr —
+  // the one-feature regression every metrics pipeline runs ("is this KPI
+  // drifting"), computed without any iterative solver. Moments accumulate
+  // exactly (integer x, DECIMAL(25,6) y-products) so the fit is
+  // partition-order-proof; the closing arithmetic is the identical IEEE
+  // double formula on both engines. Zero-variance guards return NULL like
+  // agg_corr. One partial-aggregated exchange on the group key.
+  private val fitLinear: Q = (s, dir) => {
+    val e = Tables(s, dir, "events")
+      .withColumn("x", expr("unix_micros(ts) DIV 86400000000"))
+    val g = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("value").cast(DecimalType(25, 6))).cast("double").as("sy"),
+      sum((col("x") * col("value")).cast(DecimalType(25, 6))).cast("double").as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum((col("value") * col("value")).cast(DecimalType(25, 6))).cast("double").as("syy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sxx = col("sxx").cast("double")
+    val cov = n * col("sxy") - sx * col("sy")
+    val vx = n * sxx - sx * sx
+    val vy = n * col("syy") - col("sy") * col("sy")
+    val slope = cov / vx
+    ord(
+      g.select(col("event_type"), col("n"),
+        when(vx > 0, round(slope, 6)).as("slope"),
+        when(vx > 0, round((col("sy") - slope * sx) / n, 6)).as("intercept"),
+        when(vx > 0 && vy > 0, round(cov * cov / (vx * vy), 6)).as("r2")),
+      "event_type")
+  }
+
   // Fixed-width histogram — the profiling/distribution primitive: floor-
   // division binning (not width_bucket: arithmetic this plain is identical
   // on every engine), one partial-aggregated exchange on the bucket id.
@@ -456,6 +489,7 @@ object Analytics {
     "window_first_last" -> windowFirstLast,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_corr" -> aggCorr,
+    "fit_linear" -> fitLinear,
     "agg_histogram" -> aggHistogram,
     "anomaly_zscore" -> anomalyZscore,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -556,6 +590,27 @@ object Analytics {
         |      / (sqrt(n * sxx - sx * sx) * sqrt(CAST(n * syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
         |  END AS corr_vh
         |FROM m ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+    "fit_linear" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(epoch_us(ts) // 86400000000) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST((epoch_us(ts) // 86400000000) * value AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+        |    sum((epoch_us(ts) // 86400000000) * (epoch_us(ts) // 86400000000)) AS sxx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE) AS syy
+        |  FROM events GROUP BY event_type),
+        |f AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS vy,
+        |    sy, CAST(sx AS DOUBLE) AS sxd, CAST(n AS DOUBLE) AS nd
+        |  FROM m)
+        |SELECT event_type, n,
+        |  CASE WHEN vx > 0 THEN round(cov / vx, 6) END AS slope,
+        |  CASE WHEN vx > 0 THEN round((sy - (cov / vx) * sxd) / nd, 6) END AS intercept,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN round(cov * cov / (vx * vy), 6) END AS r2
+        |FROM f ORDER BY event_type ASC NULLS FIRST""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,

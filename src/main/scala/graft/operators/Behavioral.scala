@@ -69,9 +69,39 @@ object Behavioral {
       "cohort_wk", "week_offset")
   }
 
+  // ---- rolling_active_users: daily actives + trailing-7-day actives ------
+  //
+  // The product-metrics staple (DAU / rolling WAU) that Spark windows cannot
+  // express (no DISTINCT inside a window frame): instead each DISTINCT
+  // (user, day) activity row SERVES the 7 calendar days it keeps the user
+  // "active within trailing 7" for — a bounded ×7 map-side explode — and the
+  // per-day count(distinct user) collapses the grid. Days = integer
+  // epoch-day arithmetic (engine-agnostic); only days that actually appear
+  // in the data are reported.
+  //
+  // Scale: activity pre-collapses to DISTINCT (user, day) first — O(users ×
+  // active days) regardless of event volume — then the ×7 fan-out and two
+  // partial-aggregated count-distinct exchanges keyed on the day. Nothing
+  // user-proportional broadcasts; the day-grid semi-join is a ≤(days)-row
+  // broadcast.
+  private val DayMicros = 86400000000L
+  private val rollingActiveUsers: Q = (s, dir) => {
+    val act = Tables(s, dir, "events")
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $DayMicros").as("day"))
+      .distinct()
+    val days = act.select(col("day")).distinct()
+    val wau = act
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .join(days, Seq("day"), "left_semi") // only report observed days
+      .groupBy("day").agg(count_distinct(col("user_id")).as("wau_7d"))
+    val dau = act.groupBy("day").agg(count_distinct(col("user_id")).as("dau"))
+    ord(dau.join(wau, Seq("day")).select("day", "dau", "wau_7d"), "day")
+  }
+
   val queries: Map[String, Q] = Map(
     "funnel_steps" -> funnelSteps,
-    "retention_cohorts" -> retentionCohorts
+    "retention_cohorts" -> retentionCohorts,
+    "rolling_active_users" -> rollingActiveUsers
   )
 
   val oracle: Map[String, String] = Map(
@@ -91,6 +121,18 @@ object Behavioral {
         |  1 + CAST(t2 IS NOT NULL AS BIGINT) + CAST(t3 IS NOT NULL AS BIGINT) AS steps
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+    "rolling_active_users" ->
+      s"""WITH act AS (
+         |  SELECT DISTINCT user_id, epoch_us(ts) // $DayMicros AS day FROM events),
+         |days AS (SELECT DISTINCT day FROM act),
+         |served AS (
+         |  SELECT user_id, unnest(range(day, day + 7)) AS day FROM act),
+         |wau AS (
+         |  SELECT s.day, count(DISTINCT s.user_id) AS wau_7d
+         |  FROM served s JOIN days USING (day) GROUP BY s.day),
+         |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM act GROUP BY day)
+         |SELECT day, dau, wau_7d FROM dau JOIN wau USING (day)
+         |ORDER BY day ASC NULLS FIRST""".stripMargin,
     "retention_cohorts" ->
       s"""WITH act AS (
          |  SELECT DISTINCT user_id, epoch_us(ts) // $WeekMicros AS wk FROM events),

@@ -120,6 +120,28 @@ final class LshAdmissionIndex(spark: SparkSession, dir: String,
       batchId)
     docs.join(rejected, Seq("doc_id"), "left_anti")
   }
+
+  /** Drive admission from a STREAM of documents: each micro-batch admits
+    * against the index and the admitted rows merge into `admittedTable`
+    * under the same batch id — so index update and admitted output are each
+    * exactly-once (both tables carry the batch-id guard; a replayed batch
+    * no-ops on both). A restarted process resumes from the two tables plus
+    * the checkpoint alone — the same durability contract as the other
+    * versioned-table pipelines (DedupIndexSpec drives it across restarts
+    * with fresh objects).
+    */
+  def startAdmission(docs: DataFrame, admittedTable: ParquetTableSink,
+                     checkpoint: String,
+                     trigger: org.apache.spark.sql.streaming.Trigger)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        admittedTable.merge(admit(batch.toDF(), id), id)
+      }
+      .start()
 }
 
 /** Graded binding: two id-ordered batches of `documents` stream through a

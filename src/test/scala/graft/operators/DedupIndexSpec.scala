@@ -60,6 +60,36 @@ class DedupIndexSpec extends SparkTestBase {
     assert(ids(last) == Seq.empty, "rejected docs must still be in the index")
   }
 
+  test("streaming drive: file drops admit through the persisted index across restarts") {
+    val src = Files.createTempDirectory("graft-admit-src").toString
+    val ckpt = Files.createTempDirectory("graft-admit-ckpt").toString
+    val idxDir = Files.createTempDirectory("graft-admit-idx").toString
+    val admDir = Files.createTempDirectory("graft-admit-out").toString
+    val schema = docs(0L -> "x").schema
+
+    def run(): Unit = {
+      // NEW objects each run: state must come from the directories alone
+      val index = new LshAdmissionIndex(spark, idxDir, threshold = 0.5)
+      val admitted = new graft.streaming.ParquetTableSink(
+        spark, admDir, docs(0L -> "x").limit(0), Seq("doc_id"))
+      index.startAdmission(
+        spark.readStream.schema(schema).parquet(s"$src/*"),
+        admitted, ckpt,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()
+      ).awaitTermination()
+    }
+
+    docs(1L -> base, 2L -> "a fresh unrelated corpus line about z-order file pruning and symmetric hash join state").repartition(1).write.parquet(s"$src/d1")
+    run()
+    docs(10L -> (base + " suffix"), 11L -> "another novel document mentioning derby staging transactions and watermark eviction").repartition(1).write.parquet(s"$src/d2")
+    run() // second process: resumes index + checkpoint from disk
+
+    val admitted = new graft.streaming.ParquetTableSink(
+      spark, admDir, docs(0L -> "x").limit(0), Seq("doc_id")).current
+    assert(ids(admitted) == Seq(1L, 2L, 11L),
+      "doc 10 must be rejected against the index persisted by the first run")
+  }
+
   test("replaying a committed batch is a no-op for the index state") {
     val dir = Files.createTempDirectory("graft-admit-4").toString
     val index = new LshAdmissionIndex(spark, dir, threshold = 0.5)
