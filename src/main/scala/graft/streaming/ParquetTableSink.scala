@@ -252,6 +252,72 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     }
   }
 
+  /** Row-level CHANGE DATA FEED between version `v` and current, computed
+    * WITHOUT stored version columns: the manifest diff names the churned
+    * buckets, both versions of only those buckets are read, and a null-safe
+    * full-outer join on the merge key classifies each row —
+    *
+    *   - `insert`: key absent at v, present now (row carries new values);
+    *   - `update`: key present in both with any non-key column changed
+    *     (row carries new values);
+    *   - `delete`: key present at v, absent now (row carries the OLD
+    *     values — the tombstoned state, what a downstream mirror must
+    *     retract).
+    *
+    * Rows rewritten with identical content (a bucket rewrite re-emits its
+    * untouched keys) classify as no change and are filtered out. Cost is
+    * O(churned buckets at both versions), never O(table) — the same pruning
+    * argument as `changesSince`, upgraded from bucket- to row-granularity
+    * by paying one keyed join over the churned subset. Requires `v` within
+    * the retention window (fails loud past it, like `snapshotAt`).
+    *
+    * Column set: the CURRENT schema; if the table evolved additively since
+    * `v`, old-side rows read the added columns as NULL (an added column
+    * with a non-null value therefore classifies that row as updated —
+    * exactly right for a downstream mirror).
+    */
+  def changeFeed(v: Long): DataFrame = {
+    require(versions.contains(v),
+      s"version $v is not retained at $dir (retained: ${versions.mkString(",")})")
+    val (cur, _) = readPointer().getOrElse(sys.error(s"no committed version at $dir"))
+    val curSchema = schemaAt(cur)
+    val opField = StructField("_op", org.apache.spark.sql.types.StringType, nullable = false)
+    if (cur == v)
+      return emptyOf(StructType(opField +: curSchema.fields))
+    val oldMan = readManifest(v)
+    val curMan = readManifest(cur)
+    // churned = rewritten in place, newly created, or dropped entirely
+    val churned = (oldMan.keySet ++ curMan.keySet)
+      .filter(b => oldMan.get(b) != curMan.get(b)).toSeq.sorted
+    def side(man: Map[Int, String], schema: StructType): DataFrame = {
+      val paths = churned.flatMap(man.get).map(d => dataDir.resolve(d).toString)
+      if (paths.isEmpty) emptyOf(schema)
+      else spark.read.schema(schema).parquet(paths: _*)
+    }
+    // the old side reads under the CURRENT schema: additive evolution means
+    // added columns are simply NULL in pre-evolution files
+    val oldRows = side(oldMan, curSchema)
+    val newRows = side(curMan, curSchema)
+    val valueCols = curSchema.fieldNames.filterNot(keys.contains).toSeq
+    def tagged(df: DataFrame, tag: String): DataFrame =
+      df.select(keys.map(col) :+
+        org.apache.spark.sql.functions.struct(curSchema.fieldNames.map(col): _*).as(s"_$tag"): _*)
+    val joined = tagged(oldRows, "old")
+      .join(tagged(newRows, "new"), keys, "full_outer")
+    val oldV = col("_old")
+    val newV = col("_new")
+    val op = org.apache.spark.sql.functions.when(oldV.isNull, "insert")
+      .when(newV.isNull, "delete")
+      .otherwise(org.apache.spark.sql.functions.when(
+        valueCols.map(c => !(newV.getField(c) <=> oldV.getField(c)))
+          .reduceOption(_ || _).getOrElse(lit(false)), "update"))
+    val carrier = org.apache.spark.sql.functions.coalesce(newV, oldV)
+    joined
+      .withColumn("_op", op)
+      .filter(col("_op").isNotNull)
+      .select(col("_op") +: curSchema.fieldNames.map(c => carrier.getField(c).as(c)): _*)
+  }
+
   /** Buckets that version `v` had rows in but the current version does not —
     * the deletion-visibility complement of `changesSince` (an emptied bucket
     * has no current data dir, so it cannot appear in a changed-rows read; a

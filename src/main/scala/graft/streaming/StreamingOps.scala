@@ -625,7 +625,38 @@ object StreamingOps {
     wide.current.orderBy(col("event_id").asc_nulls_first)
   }
 
+  /** Row-level change data feed, graded: v0 loads a window, one CDC batch
+    * then updates a cohort (value shifted), inserts the next window, and
+    * tombstones a user cohort — `changeFeed(0)` must classify every row
+    * (insert / update with new values / delete with old values) and emit
+    * NOTHING for keys rewritten with identical content (the co-bucketed
+    * unchanged rows). The oracle restates the three sets from raw events;
+    * a misclassified op, a leaked unchanged row, or delete-wins violated
+    * in-batch all break the hash.
+    */
+  private val sinkChangeFeed: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val t1 = lit("2024-01-10 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-20 00:00:00").cast("timestamp")
+    val work = graft.Scratch.dir("graft-change-feed")
+    val sink = new ParquetTableSink(s, work.resolve("table").toString,
+      ev.limit(0), Seq("event_id"), buckets = 8)
+    sink.merge(ev.filter(col("ts") < t1), 0L)
+    val updates = ev.filter(col("ts") < t1 && col("user_id") % 5 === 0)
+      .withColumn("value", col("value") + 1000.0)
+      .withColumn(ParquetTableSink.DeleteCol, lit(false))
+    val inserts = ev.filter(col("ts") >= t1 && col("ts") < t2)
+      .withColumn(ParquetTableSink.DeleteCol, lit(false))
+    val dels = ev.filter(col("user_id") % 10 === 3)
+      .withColumn(ParquetTableSink.DeleteCol, lit(true))
+    sink.merge(updates.unionByName(inserts).unionByName(dels), 1L)
+    sink.changeFeed(0L)
+      .orderBy(col("_op").asc_nulls_first, col("event_id").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "sink_change_feed" -> sinkChangeFeed,
     "sink_clone" -> sinkClone,
     "sink_rebucket" -> sinkRebucket,
     "stream_stream_join" -> streamStreamJoin,
@@ -700,6 +731,20 @@ object StreamingOps {
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
         |ORDER BY click_id ASC NULLS FIRST, purchase_id ASC NULLS FIRST""".stripMargin,
+    // deletes carry OLD values (the retracted state); updates carry the
+    // shifted value; inserts exclude keys tombstoned in the same batch
+    // (delete wins); %10=3 and %5=0 cohorts are disjoint (3 mod 5 != 0)
+    "sink_change_feed" ->
+      """SELECT 'delete' AS _op, event_id, ts, user_id, event_type, value
+        |FROM events WHERE ts < TIMESTAMP '2024-01-10 00:00:00' AND user_id % 10 = 3
+        |UNION ALL
+        |SELECT 'insert', event_id, ts, user_id, event_type, value
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00' AND user_id % 10 <> 3
+        |UNION ALL
+        |SELECT 'update', event_id, ts, user_id, event_type, value + 1000.0
+        |FROM events WHERE ts < TIMESTAMP '2024-01-10 00:00:00' AND user_id % 5 = 0
+        |ORDER BY _op ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
     // clone side = fork at t2 minus the deleted cohort; src side = all three
     // windows (the fork's delete never reaches it)
     "sink_clone" ->

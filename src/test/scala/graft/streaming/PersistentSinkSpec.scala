@@ -519,6 +519,40 @@ class PersistentSinkSpec extends SparkTestBase {
     assert(e.getMessage.contains("already holds a committed table"))
   }
 
+  test("changeFeed: ops classify, identical rewrites emit nothing, v==current is empty") {
+    val session = spark
+    import session.implicits._
+    val dir = Files.createTempDirectory("graft-cdf").toString
+    val base = events.filter(col("event_id") < 100)
+    // B=2 so the update/delete batch churns buckets holding many unchanged
+    // keys — those identical re-emits must NOT appear in the feed
+    val sink = new ParquetTableSink(spark, dir, events.limit(0), Seq("event_id"), buckets = 2)
+    sink.merge(base, 0L)
+    assert(sink.changeFeed(0L).count() == 0, "no diff against self")
+
+    val upd = base.filter(col("event_id") === 1).withColumn("value", col("value") + 1.0)
+      .withColumn(ParquetTableSink.DeleteCol, lit(false))
+    val ins = events.filter(col("event_id") === 900)
+      .withColumn(ParquetTableSink.DeleteCol, lit(false))
+    val del = base.filter(col("event_id") === 2)
+      .withColumn(ParquetTableSink.DeleteCol, lit(true))
+    sink.merge(upd.unionByName(ins).unionByName(del), 1L)
+
+    val feed = sink.changeFeed(0L)
+      .select("_op", "event_id").as[(String, Long)].collect().toSeq.sorted
+    assert(feed == Seq(("delete", 2L), ("insert", 900L), ("update", 1L)),
+      s"exactly the three changed rows, got $feed")
+    // delete rows carry the OLD values
+    val delVal = sink.changeFeed(0L).filter(col("_op") === "delete").select("value")
+      .as[Double].head()
+    val origVal = base.filter(col("event_id") === 2).select("value").as[Double].head()
+    assert(delVal == origVal, "delete must carry the retracted (old) state")
+    // past retention fails loud like snapshotAt
+    sink.merge(events.filter(col("event_id") === 901), 2L)
+    sink.merge(events.filter(col("event_id") === 902), 3L)
+    intercept[IllegalArgumentException](sink.changeFeed(0L))
+  }
+
   test("rebucket rewrites at the new bucket count, preserves content, carries the guard") {
     val srcDir = Files.createTempDirectory("graft-rebucket-src")
     val dstDir = Files.createTempDirectory("graft-rebucket-dst")
