@@ -362,6 +362,43 @@ object Analytics {
       "event_type")
   }
 
+  // OHLC downsampling — the time-series compaction every metrics store runs
+  // (open/high/low/close per series per bucket). Open/close are min_by /
+  // max_by over the composite (ts, event_id) order, so same-timestamp ties
+  // resolve identically on both engines (arg_min/arg_max with a row value in
+  // DuckDB). One partial-aggregated exchange on (series, bucket); min_by
+  // partials carry one (value, order-key) pair per group — mergeable, so the
+  // map-side combine holds at any scale.
+  private val tsOhlc: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "events")
+        .withColumn("bucket", expr("unix_micros(ts) DIV 3600000000"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close")),
+      "event_type", "bucket")
+
+  // Deterministic mode — most frequent hour-of-day per event type, ties
+  // broken toward the smaller hour (max_by over (count, -hour): Spark's
+  // mode() leaves ties unspecified, which can never pass a hash gate).
+  // Two stacked partial-aggregated exchanges: (type, hour) counts collapse
+  // map-side, then one row per type survives the argmax.
+  private val aggMode: Q = (s, dir) =>
+    ord(
+      Tables(s, dir, "events")
+        .withColumn("hr", hour(col("ts")).cast("long"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("event_type"))
+        .agg(
+          max_by(col("hr"), struct(col("cnt"), -col("hr"))).as("modal_hour"),
+          max(col("cnt")).as("n_at_mode")),
+      "event_type")
+
   // Fixed-width histogram — the profiling/distribution primitive: floor-
   // division binning (not width_bucket: arithmetic this plain is identical
   // on every engine), one partial-aggregated exchange on the bucket id.
@@ -490,6 +527,8 @@ object Analytics {
     "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_corr" -> aggCorr,
     "fit_linear" -> fitLinear,
+    "ts_ohlc" -> tsOhlc,
+    "agg_mode" -> aggMode,
     "agg_histogram" -> aggHistogram,
     "anomaly_zscore" -> anomalyZscore,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -590,6 +629,40 @@ object Analytics {
         |      / (sqrt(n * sxx - sx * sx) * sqrt(CAST(n * syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
         |  END AS corr_vh
         |FROM m ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+    // the oracle states the order semantics with windows (DuckDB's arg_min
+    // takes no composite key); the Spark side is graded on the mergeable
+    // min_by/max_by plan
+    "ts_ohlc" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket, ts, event_id, value
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, bucket, value,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts ASC, event_id ASC) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts DESC, event_id DESC) AS rn_z
+        |  FROM b),
+        |agg AS (
+        |  SELECT event_type, bucket, count(*) AS n, max(value) AS high, min(value) AS low
+        |  FROM b GROUP BY 1, 2)
+        |SELECT a.event_type, a.bucket, a.n, o.value AS open, a.high, a.low, z.value AS close
+        |FROM agg a
+        |JOIN (SELECT event_type, bucket, value FROM w WHERE rn_a = 1) o
+        |  ON a.event_type = o.event_type AND a.bucket = o.bucket
+        |JOIN (SELECT event_type, bucket, value FROM w WHERE rn_z = 1) z
+        |  ON a.event_type = z.event_type AND a.bucket = z.bucket
+        |ORDER BY a.event_type ASC NULLS FIRST, a.bucket ASC NULLS FIRST""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT event_type, EXTRACT(hour FROM ts) AS hr, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, hr, cnt,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, hr ASC) AS rn
+        |  FROM c)
+        |SELECT event_type, CAST(hr AS BIGINT) AS modal_hour, CAST(cnt AS BIGINT) AS n_at_mode
+        |FROM r WHERE rn = 1 ORDER BY event_type ASC NULLS FIRST""".stripMargin,
     "fit_linear" ->
       """WITH m AS (
         |  SELECT event_type, count(*) AS n,
