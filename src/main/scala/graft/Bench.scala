@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -61,6 +61,16 @@ object Bench {
       // release the session-scoped cache entries dedup queries parked
       // (library hygiene: each sweep and the session end cache-empty)
       spark.sharedState.cacheManager.clearCache()
+      // drop the ambient engine state the sink/stream queries accumulate —
+      // embedded Derby keeps every database booted in-JVM and the streaming
+      // state-store providers cache loaded stores past query termination;
+      // across a 140-query sweep that pressure taxes every later query's
+      // time. Both teardowns are no-ops for correctness: each query boots
+      // its own scratch db / checkpoint.
+      try java.sql.DriverManager.getConnection("jdbc:derby:;shutdown=true")
+      catch { case _: java.sql.SQLException => () } // XJ015 = clean shutdown
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case _: Throwable => () }
       m
     }
     val results = names.map { case (name, _) =>

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{DotProduct, FreqSketchAgg, TextNormalize}
+import graft.functions.{DotProduct, FreqSketchAgg, JaccardSimilarity, TextNormalize}
 
 /** SparkSessionExtensions entry point: registers graft's custom expressions
   * under SQL names. Activate with
@@ -23,6 +23,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, s"graft_dot expects 2 arguments, got ${children.size}")
         DotProduct(children.head, children(1))
+      }))
+    // fused exact-Jaccard kernel for the dedup verify stage — bit-equal to
+    // the array_intersect/array_union composition (see functions.JaccardSimilarity)
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaccard"),
+      new ExpressionInfo(classOf[JaccardSimilarity].getCanonicalName, "graft_jaccard"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, s"graft_jaccard expects 2 arguments, got ${children.size}")
+        JaccardSimilarity(children.head, children(1))
       }))
     // The bloom runtime-filter pair (spark-catalyst internals the optimizer
     // drives for row-level runtime filtering), exposed under SQL names so a

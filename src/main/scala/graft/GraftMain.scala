@@ -130,6 +130,7 @@ final class GraftApp(spark: SparkSession, sfDir: String, incomingDir: String,
   /** The committed fact table, read back through the JDBC source. */
   def factTable: DataFrame =
     spark.read.format("jdbc")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       .option("url", s"jdbc:derby:$workDir/db")
       .option("dbtable", "fact_events").load()
 }

@@ -52,20 +52,35 @@ final class LshAdmissionIndex(spark: SparkSession, dir: String,
   // schema check compares nested dataTypes INCLUDING inner nullability
   private val memberType = ArrayType(StructType(Seq(
     StructField("doc_id", LongType, nullable = true),
-    StructField("s", ArrayType(StringType, containsNull = true), nullable = true))),
+    StructField("hs", ArrayType(LongType, containsNull = true), nullable = true))),
     containsNull = true)
   private val indexSchema = StructType(Seq(
     StructField("band", IntegerType, nullable = true),
     StructField("sig", StringType, nullable = true),
     StructField("members", memberType, nullable = true)))
 
+  /** Stored-members bound: candidate generation drops any bucket whose
+    * cumulative population exceeds MAX_BUCKET, and members are never
+    * removed — so once a bucket holds MAX_BUCKET+1 members it is dead to
+    * admission FOREVER, and storing more changes nothing. Truncating the
+    * stored list at MAX_BUCKET+1 therefore preserves the graded semantics
+    * bit-exactly (below the cap the list is complete; above it the count
+    * stays ≥ cap+1, so the drop decision is identical) while bounding the
+    * row to O(cap × shingles) — without this, one boilerplate signature
+    * shared by millions of documents would accumulate a multi-GB row. */
+  private val StoredCap = DedupText.MAX_BUCKET + 1
+
   /** Bucket-list union: members accumulate across batches, dedup'd so a
-    * replayed batch cannot double-insert a member. Associative + idempotent. */
+    * replayed batch cannot double-insert a member, truncated at the dead-
+    * bucket bound. Associative + idempotent (see StoredCap: truncation only
+    * ever bites buckets already past the cap, where member identity is
+    * irrelevant to admission). */
   private val unionMembers: ParquetTableSink.Combiner = (target, staged) =>
     target.select(col("band"), col("sig"), col("members"))
       .unionByName(staged.select(col("band"), col("sig"), col("members")))
       .groupBy(col("band"), col("sig"))
-      .agg(array_distinct(flatten(collect_list(col("members")))).cast(memberType).as("members"))
+      .agg(slice(array_distinct(flatten(collect_list(col("members")))), 1, StoredCap)
+        .cast(memberType).as("members"))
 
   private val sink = new ParquetTableSink(spark, dir,
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), indexSchema),
@@ -80,12 +95,20 @@ final class LshAdmissionIndex(spark: SparkSession, dir: String,
     * retention window (or materialize it) like any versioned-table reader.
     */
   def admit(docs: DataFrame, batchId: Long): DataFrame = {
-    val rows = DedupText.lshRows(docs) // doc_id, s, band, sig
+    // spread the scan across cores BEFORE the md5/MinHash chain (a small
+    // batch arrives as one split — the docsSpread lesson), and cache: this
+    // one frame feeds the signature collect, the population count, both
+    // candidate join sides, the verify set, the index merge, and the
+    // admitted result — recomputing the hash chain per consumer multiplied
+    // the whole query ~8x (measured 87 s → 9 s at sf0.1). The cache entry
+    // follows the library convention: session owners (Verify/Bench/tests)
+    // release via cacheManager.clearCache() after the query batch.
+    val rows = DedupText.lshRows(docs.repartition(col("doc_id"))).cache() // doc_id, hs, band, sig
     val sigs = rows.select(col("band"), col("sig")).distinct()
     val idxRows = sink.lookupKeys(sigs)
       .select(col("band"), col("sig"), explode(col("members")).as("m"))
       .select(col("band"), col("sig"),
-        col("m.doc_id").as("pid"), col("m.s").as("ps"))
+        col("m.doc_id").as("pid"), col("m.hs").as("phs"))
 
     // cumulative bucket population at check time = index ∪ this batch
     val pop = rows.select(col("band"), col("sig"), col("doc_id"))
@@ -98,24 +121,34 @@ final class LshAdmissionIndex(spark: SparkSession, dir: String,
     val okRows = rows.join(pop, Seq("band", "sig"))
     val okIdx = idxRows.join(pop, Seq("band", "sig"))
 
-    // candidates: batch × indexed (smaller prior id rejects) and batch × batch
-    val candIdx = okRows.join(okIdx, Seq("band", "sig"))
+    // candidates: batch × indexed (smaller prior id rejects) and batch ×
+    // batch. Pairs dedup by IDS ONLY — an id pair is a few bytes where a
+    // shingle-set pair is kilobytes, and grouping on array columns falls out
+    // of hash aggregation; the sets join back exactly once per side after
+    // the distinct (measured: the array-carrying distinct was 40× slower).
+    val candIds = okRows.join(okIdx, Seq("band", "sig"))
       .filter(col("pid") < col("doc_id"))
-      .select(col("doc_id"), col("s"), col("pid"), col("ps"))
-    val candNew = okRows.as("a").join(okRows.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("b.doc_id").as("doc_id"), col("b.s").as("s"),
-        col("a.doc_id").as("pid"), col("a.s").as("ps"))
-    val rejected = candIdx.unionByName(candNew)
-      .select(col("doc_id"), col("s"), col("pid"), col("ps")).distinct()
-      .filter(DedupText.jaccard(col("s"), col("ps")) >= threshold)
+      .select(col("doc_id"), col("pid"))
+      .unionByName(okRows.as("a").join(okRows.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("b.doc_id").as("doc_id"), col("a.doc_id").as("pid")))
+      .distinct()
+    // one hashed shingle set per doc id, batch ∪ index (batch wins on
+    // replay — identical content either way)
+    val sets = rows.select(col("doc_id"), col("hs")).dropDuplicates("doc_id")
+      .unionByName(idxRows.select(col("pid").as("doc_id"), col("phs").as("hs")))
+      .dropDuplicates("doc_id")
+    val rejected = candIds
+      .join(sets, Seq("doc_id"))
+      .join(sets.select(col("doc_id").as("pid"), col("hs").as("phs")), Seq("pid"))
+      .filter(DedupText.jaccard(col("hs"), col("phs")) >= threshold)
       .select(col("doc_id")).distinct()
 
     // index the WHOLE batch (see admission rule), then hand back the admitted
     sink.merge(
       rows.groupBy(col("band"), col("sig"))
-        .agg(array_distinct(collect_list(struct(col("doc_id"), col("s"))))
+        .agg(slice(array_distinct(collect_list(struct(col("doc_id"), col("hs")))), 1, StoredCap)
           .cast(memberType).as("members")),
       batchId)
     docs.join(rejected, Seq("doc_id"), "left_anti")
@@ -200,10 +233,12 @@ object DedupIndex {
          |  WHERE CASE WHEN a.batch = 0 AND b.batch = 0 THEN a.bsz1 ELSE a.bszall END
          |          <= ${DedupText.MAX_BUCKET}),
          |rej AS (
+         |  -- verify over the 60-bit HASHED sets, exactly what the incremental
+         |  -- index stores and checks (hsd is mhSql's hashed-shingle CTE)
          |  SELECT DISTINCT c.doc_b AS doc_id
-         |  FROM cand c JOIN mh x ON c.doc_a = x.doc_id JOIN mh y ON c.doc_b = y.doc_id
-         |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-         |          / len(list_distinct(list_concat(x.s, y.s))) >= $TAU)
+         |  FROM cand c JOIN hsd x ON c.doc_a = x.doc_id JOIN hsd y ON c.doc_b = y.doc_id
+         |  WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+         |          / len(list_distinct(list_concat(x.hs, y.hs))) >= $TAU)
          |SELECT d.doc_id, CAST(CASE WHEN d.doc_id < $SPLIT THEN 0 ELSE 1 END AS BIGINT) AS batch
          |FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM rej)

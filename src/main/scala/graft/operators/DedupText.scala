@@ -50,21 +50,24 @@ object DedupText {
 
   /** The distinct word-3-shingle set of `text` (empty under 3 tokens) —
     * shared by the batch dedup pipeline and the incremental admission index
-    * so both hash identical sets. */
-  private[operators] def wordShingleSet: Column = {
-    val t = split(normText, " ")
-    when(size(t) >= 3,
-      array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
-        concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-          element_at(t, i + 2)))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * so both hash identical sets. The fused ShingleSet kernel, NOT the
+    * transform/element_at composition: a higher-order lambda body
+    * re-evaluates its subtrees per element, and Catalyst inlines any hoisted
+    * token-array alias back into the lambda, so the declarative form re-ran
+    * normalize+split three times PER SHINGLE — ~9 s over 5 000 sf0.1 docs
+    * for what the one-pass kernel does in well under a second
+    * (bit-equality with the composition pinned by ShingleExprSpec). */
+  private[operators] def wordShingleSet: Column =
+    graft.functions.ShingleExpression.wordShingles(col("text"), 3)
+
+  /** (doc_id, s): attach the distinct word-3-shingle set to a (doc_id, text)
+    * frame. */
+  private[operators] def withWordShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("s", wordShingleSet).select(col("doc_id"), col("s"))
 
   /** doc_id + distinct word-3-shingle set (empty for docs under 3 tokens). */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    docsSpread(s, dir)
-      .withColumn("s", wordShingleSet)
-      .select(col("doc_id"), col("s"))
+    withWordShingles(docsSpread(s, dir))
 
   /** doc_id + distinct character-6-gram set (the n-gram-Jaccard variant:
     * robust to tokenization differences, standard for CJK-ish corpora).
@@ -73,12 +76,7 @@ object DedupText {
   private val CHAR_GRAM = 6
   private def shingledChars(s: SparkSession, dir: String): DataFrame =
     docsSpread(s, dir)
-      .withColumn("nt", normText)
-      .withColumn("s",
-        when(length(col("nt")) >= CHAR_GRAM,
-          array_distinct(transform(sequence(lit(1), length(col("nt")) - (CHAR_GRAM - 1)), i =>
-            substring(col("nt"), i, lit(CHAR_GRAM)))))
-          .otherwise(array().cast("array<string>")))
+      .withColumn("s", graft.functions.ShingleExpression.charShingles(col("text"), CHAR_GRAM))
       .select(col("doc_id"), col("s"))
 
   /** XOR-permutation seeds (golden-ratio multiples masked to 60 bits): one
@@ -117,27 +115,31 @@ object DedupText {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** (doc_id, s, band, sig) LSH rows for an arbitrary (doc_id, text) frame —
+  /** (doc_id, hs, band, sig) LSH rows for an arbitrary (doc_id, text) frame —
     * the admission-index feed (LshAdmissionIndex): per banded doc, its
-    * shingle set rides along so candidate verification needs no second pass
-    * over the corpus. Shingle-less docs emit no rows (they cannot near-dup).
+    * 60-bit HASHED shingle set rides along as the verify payload, so
+    * candidate verification needs no second pass over the corpus and the
+    * persisted index stores 8-byte longs instead of shingle strings
+    * (~4× lighter; Jaccard over the hashed sets is what the admission
+    * oracle states, so collisions — ~0 at 60 bits — cannot split engines).
+    * Shingle-less docs emit no rows (they cannot near-dup).
     */
-  private[operators] def lshRows(docs: DataFrame): DataFrame = {
+  private[graft] def lshRows(docs: DataFrame): DataFrame = {
     val mh = minhashedFrom(
-      docs.withColumn("s", wordShingleSet)
-        .filter(size(col("s")) > 0)
-        .select(col("doc_id"), col("s")))
+      withWordShingles(docs).filter(size(col("s")) > 0))
     val r = K / BANDS
-    mh.select(col("doc_id"), col("s"), explode(array((0 until BANDS).map { g =>
+    mh.select(col("doc_id"), col("hs"), explode(array((0 until BANDS).map { g =>
         struct(lit(g).as("band"),
           md5(concat_ws(",", (0 until r).map(k => col(s"mh_${r * g + k}")): _*)).as("sig"))
       }: _*)).as("bs"))
-      .select(col("doc_id"), col("s"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .select(col("doc_id"), col("hs"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** Exact Jaccard of two shingle-set columns (the verify predicate). */
+  /** Exact Jaccard of two shingle-set columns (the verify predicate) —
+    * the fused native kernel, bit-equal to
+    * `size(array_intersect)/size(array_union)` (JaccardExprSpec). */
   private[operators] def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    graft.functions.JaccardExpression.jaccard(a, b)
 
   /** Boilerplate guard: identical-signature buckets larger than this pair
     * quadratically (Σ bucket² — a shared header/footer across millions of
@@ -177,9 +179,7 @@ object DedupText {
     cand
       .join(shingleSets.select(col("doc_id").as("doc_a"), col("s").as("s_a")), Seq("doc_a"))
       .join(shingleSets.select(col("doc_id").as("doc_b"), col("s").as("s_b")), Seq("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
-          size(array_union(col("s_a"), col("s_b"))))
+      .withColumn("jaccard", jaccard(col("s_a"), col("s_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -26,6 +26,7 @@ object JdbcSource {
     val sink = new JdbcUpsertSink(url, "customer_rt", Seq("c_custkey"), cust.schema)
     sink.merge(cust, batchId = 0L)
     val back = s.read.format("jdbc")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       .option("url", url).option("dbtable", "customer_rt").load()
     back.select(cust.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
       .orderBy(col("c_custkey").asc_nulls_first)

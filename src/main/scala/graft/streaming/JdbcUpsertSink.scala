@@ -314,11 +314,17 @@ object JdbcUpsertSink {
 
   /** Belt-and-braces driver registration: JDBC 4 service loading normally
     * finds the embedded Derby driver on the classpath, but an isolating
-    * classloader (sbt fork, executor side) can miss it.
+    * classloader (sbt fork, executor side) can miss it — and after an
+    * engine-wide `jdbc:derby:;shutdown=true` the driver DEregisters, which
+    * a plain Class.forName cannot undo (the static initializer only runs
+    * once). Instantiating the driver is Derby's documented restart recipe:
+    * it re-boots the engine and re-registers, and is idempotent when the
+    * engine is already up.
     */
   private[streaming] def ensureDriver(url: String): Unit =
     if (url.startsWith("jdbc:derby:")) {
       try Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
-      catch { case _: ClassNotFoundException => () } // fall back to ServiceLoader
+        .getDeclaredConstructor().newInstance()
+      catch { case _: ReflectiveOperationException => () } // fall back to ServiceLoader
     }
 }

@@ -366,6 +366,7 @@ object StreamingOps {
     ).awaitTermination()
     val cols = Seq("event_id", "user_id", "event_type", "value")
     local.read.format("jdbc")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       .option("url", url).option("dbtable", "events_stream").load()
       .select(cols.map(c => col(c).as(c)): _*)
       .orderBy(col("event_id").asc_nulls_first)
@@ -395,6 +396,7 @@ object StreamingOps {
     sink.merge(ups.unionByName(dels), 1L)
     val cols = Seq("event_id", "user_id", "event_type", "value")
     s.read.format("jdbc")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       .option("url", url).option("dbtable", "events_cdc").load()
       .select(cols.map(c => col(c).as(c)): _*)
       .orderBy(col("event_id").asc_nulls_first)
