@@ -55,14 +55,17 @@ object DataPipeline {
   private val DECONTAM_N = 3
 
   /** (doc_id, gram) fan-out of the corpus — the shared substrate of the
-    * decontamination operator and the corpus_build composite. */
+    * decontamination operator and the corpus_build composite. Grams come
+    * from the fused ShingleSet kernel (one pass per doc; the declarative
+    * transform/slice form re-ran normalize+split per gram — see
+    * DedupText.wordShingleSet). The kernel emits per-doc DISTINCT grams,
+    * which both consumers are invariant to: decontam_ngram aggregates
+    * count_distinct(g) per doc and contaminatedGrams distincts its
+    * broadcast side; corpus_build reduces to a distinct doc_id set. */
   private def gramsOf(s: org.apache.spark.sql.SparkSession, dir: String) =
     docs(s, dir)
-      .withColumn("w", toks)
-      .filter(size(col("w")) >= DECONTAM_N)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("w")) - (DECONTAM_N - 1)),
-          i => concat_ws(" ", slice(col("w"), i, lit(DECONTAM_N))))).as("g"))
+        explode(graft.functions.ShingleExpression.wordShingles(col("text"), DECONTAM_N)).as("g"))
 
   /** Train-side (doc_id, gram) rows whose gram also occurs in the benchmark
     * slice (doc_id % 97 == 0); the benchmark gram set is the broadcast. */

@@ -91,23 +91,21 @@ object Multimodal {
     * samples, frame it into fixed 4-byte windows, and emit per-window energy
     * (sum of sample magnitudes) and peak — the map shape of every audio
     * featurizer (RMS/VAD/silence trim). Integer byte sums, so the oracle is
-    * exact; the fan-out is `posexplode` over n_bytes/4 windows and the
-    * per-window fold is a codegen'd `aggregate` over a 4-element sequence —
-    * per-row work only, zero shuffle at any corpus size.
+    * exact. The per-window stats come from the one-pass BinaryWindowStats
+    * kernel computed BEFORE the fan-out, so the explode carries 16-byte
+    * stat structs — the previous hex/substr composition duplicated the whole
+    * payload's hex into every window row and re-sliced it per byte,
+    * O(payload × windows) per document. Per-row work only, zero shuffle at
+    * any corpus size.
     */
   private val WIN_BYTES = 4
   private val mmAudioEnergy: Q = (s, dir) =>
     media(s, dir)
-      .withColumn("hx", hex(col("payload")))
-      .withColumn("n_win", (col("n_bytes") / WIN_BYTES).cast("int"))
-      .select(col("doc_id"), col("hx"),
-        posexplode(sequence(lit(0), col("n_win") - 1)).as(Seq("pos", "win_idx")))
-      .withColumn("bytes", transform(sequence(lit(0), lit(WIN_BYTES - 1)), i =>
-        conv(col("hx").substr(col("win_idx") * (WIN_BYTES * 2) + i * 2 + 1, lit(2)), 16, 10)
-          .cast("long")))
-      .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
-        aggregate(col("bytes"), lit(0L), (acc, x) => acc + x).as("energy"),
-        array_max(col("bytes")).as("peak"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.BinaryWindowExpression.binaryWindows(
+          col("payload"), WIN_BYTES)).as(Seq("pos", "ws")))
+      .select(col("doc_id"), col("pos").cast("long").as("win_idx"),
+        col("ws.energy").as("energy"), col("ws.peak").as("peak"))
       .orderBy(col("doc_id").asc_nulls_first, col("win_idx").asc_nulls_first)
 
   val queries: Map[String, Q] = Map(

@@ -243,14 +243,15 @@ object TextAnalysis {
   // never collected or broadcast — at 100 TB it's a distributed join, exactly
   // how a sharded n-gram LM scores a corpus.
   private val textLmScore: Q = (s, dir) => {
-    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    // per-doc DISTINCT bigrams straight from the fused ShingleSet kernel
+    // (n=2 word grams): the kernel's per-doc distinct plus doc_id in the
+    // key makes every (doc_id, bg) row unique BY CONSTRUCTION, so the
+    // distinct() shuffle the exploded transform needed is gone — and the
+    // declarative form re-ran normalize+split per bigram on top (see
+    // DedupText.wordShingleSet).
     val db = Tables(s, dir, "documents")
-      .withColumn("t", toks)
-      .filter(size(col("t")) >= 2)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
-          concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1)))).as("bg"))
-      .distinct()
+        explode(graft.functions.ShingleExpression.wordShingles(col("text"), 2)).as("bg"))
     val df = db.groupBy("bg").agg(count(lit(1)).as("df"))
     ord(
       db.join(df, "bg")
