@@ -55,6 +55,19 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
             n_bad += 1
             continue
+        # Dtype parity: the driver's hash path materializes via pandas, where
+        # e.g. a DuckDB HUGEINT (windowed sum of BIGINT) becomes float64 and
+        # hash-mismatches Spark's int64 even though Python int comparison
+        # passes (the round-8 pack_sequences escape). Compare numeric families
+        # per column so that divergence fails HERE, not at the driver.
+        stypes = dict(zip(spark_rel.columns, (str(t) for t in spark_rel.types)))
+        otypes = dict(zip(orel.columns, (str(t) for t in orel.types)))
+        fam_bad = [(c, stypes[c], otypes[c]) for c in scols
+                   if family(stypes[c]) != family(otypes[c])]
+        if fam_bad:
+            print(f"FAIL {name}: dtype divergence (spark vs oracle): {fam_bad}")
+            n_bad += 1
+            continue
         a = sorted([tuple(norm(v) for v in r) for r in srows], key=repr)
         b = sorted([tuple(norm(v) for v in r) for r in orows], key=repr)
         if a == b:
@@ -75,6 +88,24 @@ def main(sf_dir, out_dir):
 
 def q(c):
     return '"' + c.replace('"', '""') + '"'
+
+
+def family(t):
+    """Collapse a DuckDB type name to the family that matters for the
+    driver's pandas-materialized hash: int widths are interchangeable, but
+    HUGEINT and DECIMAL materialize as float64/object and must be flagged
+    against an int/float counterpart."""
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE"):
+        return "float"
+    if t == "HUGEINT":
+        return "hugeint"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return t
 
 
 if __name__ == "__main__":
