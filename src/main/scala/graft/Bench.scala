@@ -87,13 +87,29 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
       s""""n_err":${results.count(_._3.isDefined)},"runs":$runs,"load_before":$loadBefore,"load_after":$loadAvg,""" +
       s""""cpus":"$cpus","sf":"$sfDir"}"""
-    println(json)
-    // Also persist to a file so the harness can parse it without scraping
-    // sbt [info]-prefixed stdout (BENCH_r01.json had "parsed": null).
+    // Full-fidelity artifact first: every query, full precision.
     val out = args.headOption.orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
       .getOrElse("bench_out.json")
     try Files.writeString(Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
+    // The harness keeps only the LAST ~2000 chars of stdout, and every round
+    // so far recorded "parsed": null because the full per-query map pushed
+    // the line past that window (BENCH_r01..r08). So the stdout line must be
+    // compact and bounded: 3-decimal seconds, numeric sf, and per-query
+    // detail capped to the slowest entries that fit a 1500-char budget (the
+    // complete map lives in the file named by "queries_file").
+    def r3(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val sfNum = "sf([0-9.]+)/*$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse(jq(sfDir))
+    val cpusNum = if (cpus.forall(_.isDigit) && cpus.nonEmpty) cpus else jq(cpus)
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""n_err":${results.count(_._3.isDefined)},"errors":$errs,"runs":$runs,""" +
+      s""""load_before":$loadBefore,"load_after":$loadAvg,"cpus":$cpusNum,"sf":$sfNum,""" +
+      s""""queries_file":${jq(out)},"queries":{"""
+    val budget = 1500 - head.length - 2
+    val entries = results.sortBy(-_._2).map { case (k, v, _) => s"\"$k\":${r3(v)}" }
+    val shown = entries.scanLeft(0)(_ + _.length + 1).tail.zip(entries)
+      .takeWhile(_._1 <= budget).map(_._2)
+    println(head + shown.mkString(",") + "}}")
     spark.stop()
   }
 }
