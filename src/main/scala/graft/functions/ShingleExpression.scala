@@ -37,15 +37,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * NULL semantics: NULL text → NULL (nullSafeEval). Distinct keeps first-
   * occurrence order, like array_distinct.
+  *
+  * `dedupe = false` keeps EVERY gram in document order (index = token/char
+  * position), for positional consumers — duplicated-span detection needs
+  * (position, gram) pairs, which a distinct set destroys.
   */
-case class ShingleSet(child: Expression, n: Int, chars: Boolean)
+case class ShingleSet(child: Expression, n: Int, chars: Boolean,
+                      dedupe: Boolean = true)
     extends UnaryExpression {
 
   require(n >= 1, s"shingle width must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
-  override def prettyName: String = if (chars) "graft_char_shingles" else "graft_word_shingles"
+  override def prettyName: String =
+    (if (chars) "graft_char_" else "graft_word_") +
+      (if (dedupe) "shingles" else "grams")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -62,7 +69,11 @@ case class ShingleSet(child: Expression, n: Int, chars: Boolean)
     // Lower) → collapse runs of whitespace (java regex, like RegExpReplace)
     val norm = UTF8String.fromString(
       ShingleSet.WS.matcher(raw.trim().toLowerCase().toString).replaceAll(" "))
-    val out = new java.util.LinkedHashSet[UTF8String]()
+    // LinkedHashSet dedups in first-occurrence order; ArrayList keeps all
+    // grams positionally. Both expose java.util.Collection.
+    val out: java.util.Collection[UTF8String] =
+      if (dedupe) new java.util.LinkedHashSet[UTF8String]()
+      else new java.util.ArrayList[UTF8String]()
     if (chars) {
       val len = norm.numChars()
       var i = 1
@@ -107,4 +118,10 @@ object ShingleExpression {
   /** Distinct character n-gram set of `text` (normalized), [] under n chars. */
   def charShingles(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleSet(ColumnBridge.expression(text), n, chars = true))
+
+  /** ALL word n-grams of `text` in document order (array index = 0-based
+    * token position) — the positional feed for span-level dedup. */
+  def wordGramSeq(text: Column, n: Int): Column =
+    ColumnBridge.column(
+      ShingleSet(ColumnBridge.expression(text), n, chars = false, dedupe = false))
 }

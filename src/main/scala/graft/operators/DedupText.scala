@@ -296,6 +296,55 @@ object DedupText {
       .orderBy(col("doc_id").asc_nulls_first)
   }
 
+  /** Span width for duplicated-substring detection: long enough that a
+    * shared span means real copied text (memorization-grade, à la the
+    * "deduplicating training data" line of work), short enough that the
+    * planted near-dups in the fixture actually share windows. */
+  private[operators] val SPAN_N = 8
+
+  // Duplicated-span detection — the substring-level complement to the
+  // document-level MinHash family: a doc pair can be globally dissimilar yet
+  // share a long verbatim passage (boilerplate, quotes, licenses), which is
+  // exactly what an LLM pretraining pipeline wants scrubbed. Approach: the
+  // positional word-8-gram inverted index. A position is "duplicated" when
+  // its 8-gram occurs in more than one document; consecutive duplicated
+  // positions chain into runs (a run of length r = a verbatim shared span of
+  // r+7 tokens).
+  //
+  // Scale (100 TB): the gram index is O(corpus tokens) rows exchanged on the
+  // gram key — the same cost class as building any inverted index; the
+  // cross-doc filter is a partial-aggregated count-distinct per gram; the
+  // run reconstruction exchanges only the duplicated positions on doc_id.
+  // No similarity join, no cartesian anywhere. (A production variant caps
+  // mega-shared grams the way MAX_BUCKET caps LSH buckets; at this corpus
+  // the hottest gram is in the tens, so the cap would be dead semantics —
+  // noted, not implemented.)
+  private val dedupSpans: Q = (s, dir) => {
+    // n_pos (the doc's total gram count) rides along each exploded gram row
+    // instead of a third corpus scan + re-aggregation + join: it folds
+    // through the two downstream groupBys as a per-doc-constant max()
+    val grams = docsSpread(s, dir)
+      .withColumn("ga", graft.functions.ShingleExpression.wordGramSeq(col("text"), SPAN_N))
+      .select(col("doc_id"), size(col("ga")).cast("long").as("n_pos"),
+        posexplode(col("ga")).as(Seq("pos", "g")))
+    val shared = grams.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("g")
+    val dup = grams.join(shared, Seq("g")).select("doc_id", "n_pos", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("pos").asc)
+    // gaps-and-islands: consecutive duplicated positions share pos - rank
+    val runs = dup
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(max(col("n_pos")).as("n_pos"), count(lit(1)).as("run"))
+    runs.groupBy("doc_id")
+      .agg(max(col("n_pos")).as("n_pos"), sum(col("run")).as("n_dup_pos"),
+        max(col("run")).as("max_run"))
+      .select(col("doc_id"), col("n_pos"), col("n_dup_pos"), col("max_run"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
   private val dedupExact: Q = (s, dir) =>
     Tables(s, dir, "documents")
       .select(md5(normText).as("fp"))
@@ -323,6 +372,7 @@ object DedupText {
     "dedup_lsh_pairs" -> dedupLshPairs,
     "dedup_ngram" -> dedupNgram,
     "dedup_clusters" -> dedupClusters,
+    "dedup_spans" -> dedupSpans,
     "dedup_drop_list" -> dedupDropList,
     "dedup_exact" -> dedupExact,
     "dedup_simhash" -> dedupSimhash
@@ -420,6 +470,29 @@ object DedupText {
       s"""WITH $shSql,\n$mhSql,\n$bandsSql,\n$pairsSql
          |SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jaccard >= 0.5
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "dedup_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |    array_to_string(list_slice(w, i, i + ${SPAN_N - 1}), ' ') AS g
+         |  FROM t, UNNEST(range(1, len(w) - ${SPAN_N - 2})) AS u(i)
+         |  WHERE len(w) >= $SPAN_N),
+         |shared AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+         |d AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos ASC) AS grp
+         |  FROM g JOIN shared USING (g)),
+         |runs AS (SELECT doc_id, grp, count(*) AS run FROM d GROUP BY doc_id, grp),
+         |pd AS (
+         |  SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_dup_pos,
+         |    CAST(max(run) AS BIGINT) AS max_run
+         |  FROM runs GROUP BY doc_id),
+         |np AS (SELECT doc_id, count(*) AS n_pos FROM g GROUP BY doc_id)
+         |SELECT pd.doc_id, np.n_pos, pd.n_dup_pos, pd.max_run
+         |FROM pd JOIN np USING (doc_id)
+         |ORDER BY pd.doc_id ASC NULLS FIRST""".stripMargin,
     "dedup_exact" ->
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct

@@ -295,4 +295,20 @@ class PlanShapeSpec extends SparkTestBase {
         "doc-bigrams ⋈ df must be an equi-join on the bigram")
     }
   }
+
+  test("dedup_spans: inverted-index equi-join + one doc-keyed window, no similarity join") {
+    withStaticPlans {
+      val ns = nodes(staticPlan(SparkEntry.queries("dedup_spans")(spark, sf)))
+      assert(!ns.exists(_.isInstanceOf[CartesianProductExec]) &&
+        !ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        "positions ⋈ shared-grams must be an equi-join on the gram key")
+      // run reconstruction is ONE window over doc-keyed positions, and the
+      // two stacked groupBys ride its partitioning — extra exchanges past
+      // (doc spread, gram index build, gram join side, window, orderBy)
+      // mean a lost partitioning reuse
+      assert(ns.count(_.isInstanceOf[WindowExec]) == 1, "one gaps-and-islands window")
+      val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles <= 6, s"expected ≤6 exchanges, got $shuffles")
+    }
+  }
 }

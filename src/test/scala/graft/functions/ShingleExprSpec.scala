@@ -69,6 +69,31 @@ class ShingleExprSpec extends SparkTestBase {
     assert(diff.count() === 0)
   }
 
+  // positional (dedupe = false) reference: same normalize/split, NO distinct
+  private def wordSeqRef(n: Int) = {
+    val t = split(normText, " ")
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  test("positional word-gram kernel keeps every gram in document order") {
+    val diff = corpus
+      .withColumn("k", ShingleExpression.wordGramSeq(col("text"), 8))
+      .withColumn("r", wordSeqRef(8))
+      .filter(!(col("k") <=> col("r")))
+    assert(diff.count() === 0)
+    // and duplication is really preserved: the repeated-shingle edge doc has
+    // more positional 3-grams than distinct ones
+    val rep = corpus.filter(col("text") === "a b c a b c a b c")
+      .select(size(ShingleExpression.wordGramSeq(col("text"), 3)).as("all"),
+        size(ShingleExpression.wordShingles(col("text"), 3)).as("dist"))
+      .head()
+    assert(rep.getInt(0) === 7)
+    assert(rep.getInt(1) === 3)
+  }
+
   test("NULL text yields NULL, not an empty set") {
     val session = spark
     import session.implicits._

@@ -62,6 +62,24 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(nDocs == 2L && nDistinct == 1L)
   }
 
+  test("duplicated-span detection finds exactly the planted verbatim passage") {
+    val session = spark
+    import session.implicits._
+    // two docs globally dissimilar except a 12-token verbatim passage; with
+    // SPAN_N = 8 the grams fully inside the passage are positions 10..14 in
+    // both docs → one run of 5; every straddling gram mixes in unique
+    // prefix/suffix tokens and must not match
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    val dir = writeDocs(Seq(
+      1L -> s"one two three four five six seven eight nine ten $shared acorn birch cedar dogwood elm fir ginkgo hazel ivy juniper",
+      2L -> s"red orange yellow green blue indigo violet magenta cyan teal $shared mercury venus earth mars jupiter saturn uranus neptune pluto ceres",
+      3L -> "totally distinct filler prose with nothing repeated anywhere else in this corpus at all"))
+    val got = DedupText.queries("dedup_spans")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 25L, 5L, 5L), (2L, 25L, 5L, 5L)),
+      "each doc: 32 tokens -> 25 gram positions, 5 duplicated, one run of 5")
+  }
+
   test("brute-force cosine top-k ranks the colinear vector first") {
     val session = spark
     import session.implicits._
