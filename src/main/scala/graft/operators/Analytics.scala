@@ -505,6 +505,44 @@ object Analytics {
       "cohort", "day")
   }
 
+  // Linear interpolation over the gap-filled day grid: a missing day takes
+  // v_prev + (v_next − v_prev) · elapsed/gap between its bookend observed
+  // days (time-series repair for downstream models that need a dense,
+  // NULL-free signal). The grid spans each cohort's [min(day), max(day)], so
+  // every missing day has both bookends by construction. Scale: the grid
+  // explode is bounded by the calendar span; both ignore-null bookend scans
+  // share ONE cohort-keyed sort (same partition + order ⇒ one window
+  // exchange); no self-join — the standard as-of trick of riding running
+  // last/first over the union grid. Rounded to 6 so the engines' double
+  // formatting cannot drift.
+  private val tsInterpolate: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select((col("user_id") % 50).as("cohort"), to_date(col("ts")).as("day"),
+        col("value"))
+    val actual = ev.groupBy("cohort", "day")
+      .agg((dsum(col("value")) / count(lit(1))).as("v"))
+    val grid = ev.groupBy("cohort")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("cohort"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort").orderBy(col("day").asc)
+    val back = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val fwd = w.rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val joined = grid.join(actual, Seq("cohort", "day"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("pd", last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("nd", first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(fwd))
+    ord(
+      joined.select(col("cohort"), col("day"),
+        round(coalesce(col("v"),
+          col("pv") + (col("nv") - col("pv")) *
+            datediff(col("day"), col("pd")) / datediff(col("nd"), col("pd"))), 6).as("v"),
+        col("v").isNull.as("interpolated")),
+      "cohort", "day")
+  }
+
   // first/last/nth over the full partition frame — the "bookend" window
   // family (entry event, exit event, second touch) on one Exchange.
   private val windowFirstLast: Q = (s, dir) => {
@@ -523,6 +561,7 @@ object Analytics {
 
   val queries: Map[String, Q] = Map(
     "ts_gapfill" -> tsGapfill,
+    "ts_interpolate" -> tsInterpolate,
     "window_first_last" -> windowFirstLast,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_corr" -> aggCorr,
@@ -570,6 +609,34 @@ object Analytics {
         |  COALESCE(a.n, 0) AS n, COALESCE(a.sum_v, 0.0) AS sum_v
         |FROM grid g LEFT JOIN actual a ON g.cohort = a.cohort AND g.day = a.day
         |ORDER BY g.cohort ASC NULLS FIRST, g.day ASC NULLS FIRST""".stripMargin,
+    "ts_interpolate" ->
+      """WITH ev AS (
+        |  SELECT user_id % 50 AS cohort, CAST(ts AS DATE) AS day, value FROM events),
+        |actual AS (
+        |  SELECT cohort, day,
+        |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS v
+        |  FROM ev GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT cohort, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT cohort, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY 1)),
+        |j AS (
+        |  SELECT g.cohort, g.day, a.v,
+        |    last_value(a.v IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN a.v IS NOT NULL THEN g.day END IGNORE NULLS) OVER wb AS pd,
+        |    first_value(a.v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN a.v IS NOT NULL THEN g.day END IGNORE NULLS) OVER wf AS nd
+        |  FROM grid g LEFT JOIN actual a ON g.cohort = a.cohort AND g.day = a.day
+        |  WINDOW
+        |    wb AS (PARTITION BY g.cohort ORDER BY g.day ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY g.cohort ORDER BY g.day ASC
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT cohort, day,
+        |  round(COALESCE(v,
+        |    pv + (nv - pv) * date_diff('day', pd, day) / date_diff('day', pd, nd)), 6) AS v,
+        |  v IS NULL AS interpolated
+        |FROM j
+        |ORDER BY cohort ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin,
     "window_first_last" ->
       """SELECT user_id, event_id,
         |  first_value(event_type) OVER w AS first_type,

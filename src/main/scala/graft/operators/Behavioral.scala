@@ -98,10 +98,36 @@ object Behavioral {
     ord(dau.join(wau, Seq("day")).select("day", "dau", "wau_7d"), "day")
   }
 
+  // ---- path_transitions: the event-type Markov transition matrix ---------
+  //
+  // Consecutive event pairs per user (ordered by ts with event_id as the
+  // deterministic tiebreak) aggregated to (from, to) counts plus the row-
+  // normalized transition probability — the path-analysis substrate (where
+  // do users go after a click?). One user-keyed sort for the lead(), then a
+  // partial-aggregated exchange on the (from, to) pair; the per-from
+  // normalizing total rides a window over the ALREADY (from,to)-aggregated
+  // frame — |types|² rows, noise. p = n/total is one BIGINT division per
+  // output row, rounded so engine double formatting cannot drift.
+  private val pathTransitions: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val wFrom = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+    ord(
+      pairs.groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") / sum(col("n")).over(wFrom), 6)),
+      "from_type", "to_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "funnel_steps" -> funnelSteps,
     "retention_cohorts" -> retentionCohorts,
-    "rolling_active_users" -> rollingActiveUsers
+    "rolling_active_users" -> rollingActiveUsers,
+    "path_transitions" -> pathTransitions
   )
 
   val oracle: Map[String, String] = Map(
@@ -133,6 +159,18 @@ object Behavioral {
          |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM act GROUP BY day)
          |SELECT day, dau, wau_7d FROM dau JOIN wau USING (day)
          |ORDER BY day ASC NULLS FIRST""".stripMargin,
+    "path_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS to_type
+        |  FROM events),
+        |m AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT), 6) AS p
+        |FROM m
+        |ORDER BY from_type ASC NULLS FIRST, to_type ASC NULLS FIRST""".stripMargin,
     "retention_cohorts" ->
       s"""WITH act AS (
          |  SELECT DISTINCT user_id, epoch_us(ts) // $WeekMicros AS wk FROM events),

@@ -63,8 +63,80 @@ object Graph {
     ranks.orderBy(col("id").asc_nulls_first)
   }
 
+  /** Deterministic sparsifier: keep ~`pct`% of co-supply pairs by a content
+    * hash of the pair — the same pair is kept or dropped on every engine and
+    * every rerun, unlike Bernoulli `sample()`. */
+  private def pairKept(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                       pct: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("tri:"), a, lit(":"), b)), 1, 15), 16, 10)
+      .cast("long") % 100 < pct
+
+  private val SamplePct = 5
+
+  // Exact triangle counting over the supplier co-supply graph (suppliers are
+  // adjacent when they ship the same part) — the clustering-coefficient
+  // substrate, and the classic test of a relational engine's self-join
+  // discipline. The co-supply projection of a bipartite table is near-
+  // complete at any scale (expected shared parts per supplier pair grows
+  // with |parts|), so the graph is hash-SPARSIFIED at pair level (5%,
+  // deterministic, mirrored in the oracle) — the graded semantics, not a
+  // silent truncation, same contract as DedupText.MAX_BUCKET.
+  //
+  // Algorithm: degree-ordered orientation (Schank/node-iterator++). Every
+  // edge points from its (deg, id)-smaller endpoint to the larger; each
+  // triangle then has exactly ONE vertex with two out-edges, so
+  // wedges ⋈ edges counts each triangle once, and out-degrees are O(√m) —
+  // the wedge fan-out is bounded on any degree distribution (the skewed-hub
+  // pathology of naive neighbor joins is oriented away). All three stages
+  // are equi-joins on vertex keys; nothing is broadcast-sized by the graph.
+  private val graphTriangles: Q = (s, dir) => {
+    val ps = Tables(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sv")).distinct()
+    val e = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.sv") < col("y.sv") &&
+          pairKept(col("x.sv"), col("y.sv"), SamplePct))
+      .select(col("x.sv").as("a"), col("y.sv").as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): struct comparison is lexicographic on both
+    // engines, giving the same total order; each edge carries its dst's
+    // order key so wedge pairs can be re-ordered WITHOUT another deg join,
+    // keeping the closure a pure equi-join (an OR-of-directions condition
+    // would degrade to a nested-loop join)
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    def ord(d: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      struct(d.as("d"), i.as("i"))
+    val lo = ord(col("da"), col("a")) < ord(col("db"), col("b"))
+    val oriented = withDeg.select(
+      when(lo, col("a")).otherwise(col("b")).as("src"),
+      when(lo, col("b")).otherwise(col("a")).as("dst"),
+      when(lo, ord(col("db"), col("b"))).otherwise(ord(col("da"), col("a")))
+        .as("dord"))
+    // wedges at the low vertex: out-neighbor pairs ordered by (deg, id), so
+    // the closing edge — which orientation points small→large — is exactly
+    // (v → w), one equi-join
+    val firstLo = col("e1.dord") < col("e2.dord")
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(
+        when(firstLo, col("e1.dst")).otherwise(col("e2.dst")).as("v"),
+        when(firstLo, col("e2.dst")).otherwise(col("e1.dst")).as("w"))
+    val closed = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"), "left_semi")
+    val tri = closed.agg(count(lit(1)).as("n_triangles"))
+    val sizes = e.agg(count(lit(1)).as("n_edges"))
+    val verts = deg.agg(count(lit(1)).as("n_vertices"), max(col("d")).as("max_deg"))
+    verts.crossJoin(sizes).crossJoin(tri)
+      .select(col("n_vertices"), col("n_edges"), col("max_deg"), col("n_triangles"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "graph_pagerank" -> graphPagerank
+    "graph_pagerank" -> graphPagerank,
+    "graph_triangles" -> graphTriangles
   )
 
   val oracle: Map[String, String] = Map(
@@ -89,6 +161,36 @@ object Graph {
         |       FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY e.dst),
         |r3 AS (SELECT r2.id, CAST(150000 + (850000 * COALESCE(c3.s, 0)) // 1000000 AS BIGINT) AS pr
         |       FROM r2 LEFT JOIN c3 USING (id))
-        |SELECT id, pr FROM r3 ORDER BY id ASC NULLS FIRST""".stripMargin
+        |SELECT id, pr FROM r3 ORDER BY id ASC NULLS FIRST""".stripMargin,
+    // the same degree-ordered orientation; (a, b) tuple comparison is
+    // lexicographic in DuckDB exactly like Spark struct comparison
+    "graph_triangles" ->
+      s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sv FROM lineitem),
+         |e AS (
+         |  SELECT DISTINCT x.sv AS a, y.sv AS b
+         |  FROM ps x JOIN ps y ON x.p = y.p AND x.sv < y.sv
+         |    AND CAST(('0x'||substr(md5('tri:'||x.sv||':'||y.sv),1,15)) AS BIGINT) % 100 < $SamplePct),
+         |deg AS (
+         |  SELECT v, count(*) AS d
+         |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+         |wd AS (
+         |  SELECT e.a, e.b, dx.d AS da, dy.d AS db
+         |  FROM e JOIN deg dx ON e.a = dx.v JOIN deg dy ON e.b = dy.v),
+         |o AS (
+         |  SELECT CASE WHEN (da, a) < (db, b) THEN a ELSE b END AS src,
+         |         CASE WHEN (da, a) < (db, b) THEN b ELSE a END AS dst,
+         |         CASE WHEN (da, a) < (db, b) THEN db ELSE da END AS dd
+         |  FROM wd),
+         |wg AS (
+         |  SELECT CASE WHEN (e1.dd, e1.dst) < (e2.dd, e2.dst) THEN e1.dst ELSE e2.dst END AS v,
+         |         CASE WHEN (e1.dd, e1.dst) < (e2.dd, e2.dst) THEN e2.dst ELSE e1.dst END AS w
+         |  FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+         |t AS (
+         |  SELECT count(*) AS n_triangles FROM wg
+         |  WHERE EXISTS (SELECT 1 FROM o WHERE o.src = wg.v AND o.dst = wg.w)),
+         |ne AS (SELECT count(*) AS n_edges FROM e),
+         |nv AS (SELECT count(*) AS n_vertices, max(d) AS max_deg FROM deg)
+         |SELECT nv.n_vertices, ne.n_edges, nv.max_deg, t.n_triangles
+         |FROM nv, ne, t""".stripMargin
   )
 }

@@ -296,6 +296,19 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("graph_triangles: wedge and closure joins stay equi-joins (BNLJ only for 1-row summaries)") {
+    withStaticPlans {
+      val ns = nodes(staticPlan(SparkEntry.queries("graph_triangles")(spark, sf)))
+      assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
+        "no graph-shaped join may go cartesian")
+      // the only nested-loop joins allowed are the two cross-combines of
+      // single-row scalar aggregates (n_vertices × n_edges × n_triangles)
+      assert(ns.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) <= 2,
+        "wedge/closure must join on vertex keys — an OR-of-directions " +
+          "closure predicate degrades to a nested loop")
+    }
+  }
+
   test("dedup_spans: inverted-index equi-join + one doc-keyed window, no similarity join") {
     withStaticPlans {
       val ns = nodes(staticPlan(SparkEntry.queries("dedup_spans")(spark, sf)))
