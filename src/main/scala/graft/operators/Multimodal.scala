@@ -108,11 +108,37 @@ object Multimodal {
         col("ws.energy").as("energy"), col("ws.peak").as("peak"))
       .orderBy(col("doc_id").asc_nulls_first, col("win_idx").asc_nulls_first)
 
+  /** Scene-cut detection: the change-point shape of video shot segmentation.
+    * A real pipeline diffs per-frame histograms; the 1-D stand-in is the
+    * window energy the BinaryWindowStats kernel already emits. A cut is a
+    * window whose energy jumps ≥ CUT_THRESH from its predecessor — one
+    * doc-keyed lag window over the fan-out, then a per-doc collapse: count,
+    * cut count, first cut index. Per-row work + one doc-keyed exchange
+    * (lag + groupBy share the doc partitioning); nothing corpus-global.
+    */
+  private val CUT_THRESH = 256L
+  private val mmSceneCuts: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("pos").asc)
+    media(s, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.BinaryWindowExpression.binaryWindows(
+          col("payload"), WIN_BYTES)).as(Seq("pos", "ws")))
+      .select(col("doc_id"), col("pos"), col("ws.energy").as("energy"))
+      .withColumn("delta", abs(col("energy") - lag(col("energy"), 1).over(w)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("delta") >= CUT_THRESH, 1L).otherwise(0L)).as("n_cuts"),
+        min(when(col("delta") >= CUT_THRESH, col("pos"))).cast("long").as("first_cut"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_features" -> mmDecodeFeatures,
     "mm_frame_sample" -> mmFrameSample,
-    "mm_audio_energy" -> mmAudioEnergy
+    "mm_audio_energy" -> mmAudioEnergy,
+    "mm_scene_cuts" -> mmSceneCuts
   )
 
   // NOTE: interpolated into stripMargin'd strings below — no line here may
@@ -160,6 +186,23 @@ object Multimodal {
          |  CAST(list_sum(bytes) AS BIGINT) AS energy,
          |  CAST(list_max(bytes) AS BIGINT) AS peak
          |FROM b ORDER BY doc_id ASC NULLS FIRST, win_idx ASC NULLS FIRST""".stripMargin,
+    "mm_scene_cuts" ->
+      s"""WITH m AS ($hexSql),
+         |w AS (SELECT doc_id, hx,
+         |        CAST(len(hx) / 2 AS BIGINT) // $WIN_BYTES AS n_win FROM m),
+         |f AS (SELECT doc_id, hx, unnest(range(0, n_win)) AS win_idx FROM w),
+         |b AS (SELECT doc_id, win_idx,
+         |        list_transform(range(0, $WIN_BYTES), i ->
+         |          CAST(('0x' || substr(hx, CAST(win_idx * ${WIN_BYTES * 2} + i * 2 + 1 AS INT), 2)) AS BIGINT)) AS bytes
+         |      FROM f),
+         |e AS (SELECT doc_id, win_idx, CAST(list_sum(bytes) AS BIGINT) AS energy FROM b),
+         |d AS (SELECT doc_id, win_idx,
+         |        abs(energy - lag(energy) OVER (PARTITION BY doc_id ORDER BY win_idx ASC)) AS delta
+         |      FROM e)
+         |SELECT doc_id, count(*) AS n_windows,
+         |  CAST(sum(CASE WHEN delta >= $CUT_THRESH THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+         |  CAST(min(CASE WHEN delta >= $CUT_THRESH THEN win_idx END) AS BIGINT) AS first_cut
+         |FROM d GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "mm_frame_sample" ->
       s"""WITH m AS ($hexSql),
          |f AS (SELECT doc_id, CAST(len(hx) / 2 AS BIGINT) AS n_bytes,
