@@ -68,6 +68,36 @@ object Quality {
       .withColumn("pass", col("violations") === 0L)
       .orderBy(col("rule").asc_nulls_first)
 
+  /** Row-level complement of the audit: ROUTE the failing rows, tagged by
+    * the rule they break — what a lake pipeline writes to its quarantine
+    * table while the clean rows continue (the reject-channel pattern; the
+    * reference's Postgres would have rejected these at INSERT). A row
+    * breaking several rules appears once per rule. Each predicate rule is a
+    * map-side filter over the scan; set-shaped rules (duplicate keys) ride
+    * one keyed window exchange.
+    */
+  def quarantine(df: DataFrame, idCol: String,
+                 rules: Seq[(String, Column)]): DataFrame =
+    rules.map { case (name, violated) =>
+      df.filter(violated).select(lit(name).as("rule"), col(idCol))
+    }.reduce(_ unionAll _)
+
+  private val dqQuarantine: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    // duplicate-fingerprint membership is row-level uniqueness: every row of
+    // a fingerprint that occurs more than once quarantines (first included —
+    // which copy survives is a dedup policy, not a DQ verdict)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+    val withDup = docs.withColumn("_fpn", count(lit(1)).over(w))
+    quarantine(withDup, "doc_id", Seq(
+      "domain_lang" -> !col("lang").isin("en", "de", "fr", "es"),
+      "len_mismatch" -> (col("n_chars") =!= length(col("text"))),
+      "short_text" -> (col("n_chars") < 30),
+      "dup_fingerprint" -> (col("_fpn") > 1)))
+      .orderBy(col("rule").asc_nulls_first, col("doc_id").asc_nulls_first)
+  }
+
   private val dqCheck: Q = (s, dir) => {
     val orders = Tables(s, dir, "orders")
     val lineitem = Tables(s, dir, "lineitem")
@@ -86,7 +116,8 @@ object Quality {
   }
 
   val queries: Map[String, Q] = Map(
-    "dq_check" -> dqCheck
+    "dq_check" -> dqCheck,
+    "dq_quarantine" -> dqQuarantine
   )
 
   val oracle: Map[String, String] = Map(
@@ -120,6 +151,22 @@ object Quality {
         |SELECT rule, CAST(checked AS BIGINT) AS checked,
         |       CAST(violations AS BIGINT) AS violations,
         |       violations = 0 AS pass
-        |FROM r ORDER BY rule ASC NULLS FIRST""".stripMargin
+        |FROM r ORDER BY rule ASC NULLS FIRST""".stripMargin,
+    "dq_quarantine" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    count(*) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS fpn
+        |  FROM documents),
+        |q AS (
+        |  SELECT 'domain_lang' AS rule, doc_id FROM fp
+        |  WHERE lang NOT IN ('en','de','fr','es')
+        |  UNION ALL
+        |  SELECT 'len_mismatch', doc_id FROM fp WHERE n_chars <> len(text)
+        |  UNION ALL
+        |  SELECT 'short_text', doc_id FROM fp WHERE n_chars < 30
+        |  UNION ALL
+        |  SELECT 'dup_fingerprint', doc_id FROM fp WHERE fpn > 1)
+        |SELECT rule, doc_id FROM q
+        |ORDER BY rule ASC NULLS FIRST, doc_id ASC NULLS FIRST""".stripMargin
   )
 }
