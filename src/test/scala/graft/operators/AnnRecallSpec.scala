@@ -61,4 +61,39 @@ class AnnRecallSpec extends SparkTestBase {
     assert(r3 >= r1, "multi-probe candidates are a superset of table 0's")
     assert(r3 >= 0.8, f"3-table recall@5 floor is 0.8, measured $r3%.3f")
   }
+
+  test("IVF recall@5 vs brute force: >= 0.8 on the planted clusters") {
+    val session = spark
+    import session.implicits._
+
+    // same planted geometry, but background ids chosen so the modular seed
+    // pick (vec_id % 50 == 7, < CENT_CAP) finds codebook entries: ids
+    // 1000..1199 minus multiples of 100 (those would read as probes) give
+    // seeds {1007, 1057, 1107, 1157} — four cells for Lloyd to train, with
+    // every planted cluster far tighter than any cell boundary.
+    val rnd = new Random(7)
+    def vec(): Array[Float] = Array.fill(DIM)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 10).flatMap { g =>
+      val base = vec()
+      (g * 100L, base, g) +: (1 to 5).map { j =>
+        (g * 100L + j, base.map(x => x + 0.05f * rnd.nextGaussian().toFloat), g)
+      }
+    } ++ (0 until 200).filter(_ % 100 != 0).map(i => (1000L + i, vec(), 99))
+
+    val dir = Files.createTempDirectory("graft-ivf-recall").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val ground = Similarity.queries("sim_topk_brute")(spark, dir)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(ground.size == 50, s"10 probes x top-5 expected, got ${ground.size}")
+
+    val got = Similarity.ivfTopK(spark, dir, 5)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = ground.count(got.contains).toDouble / ground.size
+    info(f"IVF (2 Lloyd rounds, nprobe 2) recall@5: $recall%.3f")
+    assert(recall >= 0.8, f"IVF recall@5 floor is 0.8, measured $recall%.3f")
+  }
 }
