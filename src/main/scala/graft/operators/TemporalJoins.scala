@@ -38,11 +38,17 @@ object TemporalJoins {
     * latest `versions` row with `vTs <= pTs` on the same `key` (ties on
     * vTs broken by the highest `vSeq` — "last write wins").
     * Output = probe columns + `asofCol` (null when no version precedes).
+    *
+    * `toleranceMicros` bounds staleness (the pandas `merge_asof` tolerance
+    * knob / feature-store TTL): a match older than the tolerance reads as
+    * no-match (NULL). The matched version's timestamp rides the SAME
+    * ignore-null window as its value, so the bound costs zero extra
+    * exchanges — still one shuffle on the key.
     */
   def joinAsOf(probes: DataFrame, versions: DataFrame, key: String,
                pTs: String, vTs: String, vSeq: String, vVal: String,
-               asofCol: String): DataFrame = {
-    val reserved = Seq("_ts", "_side", "_seq", "_vval")
+               asofCol: String, toleranceMicros: Option[Long] = None): DataFrame = {
+    val reserved = Seq("_ts", "_side", "_seq", "_vval", "_vtsc")
     val clash = (probes.columns ++ versions.columns).distinct
       .filter(c => reserved.contains(c) || c == asofCol)
     require(clash.isEmpty,
@@ -54,20 +60,28 @@ object TemporalJoins {
     val rest = pCols.filterNot(_ == key).toSeq
     val vTagged = versions.select(
       Seq(col(key), col(vTs).as("_ts"), lit(0).as("_side"),
-        col(vSeq).cast("long").as("_seq"), col(vVal).as("_vval")) ++
+        col(vSeq).cast("long").as("_seq"), col(vVal).as("_vval"),
+        col(vTs).as("_vtsc")) ++
         rest.map(c => lit(null).cast(probes.schema(c).dataType).as(c)): _*)
     val pTagged = probes.select(
       Seq(col(key), col(pTs).as("_ts"), lit(1).as("_side"),
         lit(Long.MaxValue).as("_seq"),
-        lit(null).cast(versions.schema(vVal).dataType).as("_vval")) ++
+        lit(null).cast(versions.schema(vVal).dataType).as("_vval"),
+        lit(null).cast(versions.schema(vTs).dataType).as("_vtsc")) ++
         rest.map(col): _*)
     val w = Window.partitionBy(key)
       .orderBy(col("_ts").asc, col("_side").asc, col("_seq").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    vTagged.unionByName(pTagged)
+    val carried = vTagged.unionByName(pTagged)
       .withColumn(asofCol, last(col("_vval"), ignoreNulls = true).over(w))
+      .withColumn("_vtsc", last(col("_vtsc"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(pCols.map(col) :+ col(asofCol): _*)
+    val bounded = toleranceMicros match {
+      case Some(t) => carried.withColumn(asofCol,
+        when(unix_micros(col("_ts")) - unix_micros(col("_vtsc")) <= t, col(asofCol)))
+      case None => carried
+    }
+    bounded.select(pCols.map(col) :+ col(asofCol): _*)
   }
 
   /** Range join by time-bucketing: rows of `probes` matched to every
@@ -137,8 +151,24 @@ object TemporalJoins {
       .orderBy(col("event_id").asc_nulls_first, col("win_id").asc_nulls_first)
   }
 
+  // asof_tolerance: the same resolution bounded to versions at most 6 hours
+  // old — a version in force but staler than the TTL reads as no-match
+  // (feature-store freshness semantics). Same one-shuffle plan.
+  private val TolMicros = 6L * 3600 * 1000000
+  private val asofTolerance: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events").select("event_id", "user_id", "ts", "value")
+    val vers = Tables(s, dir, "events").filter(col("event_id") % 20 === 0)
+      .select(col("user_id"), col("ts").as("vts"), col("event_id").as("vid"),
+        col("value").as("vvalue"))
+    joinAsOf(ev, vers, key = "user_id", pTs = "ts",
+        vTs = "vts", vSeq = "vid", vVal = "vvalue", asofCol = "asof_value",
+        toleranceMicros = Some(TolMicros))
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "asof_join" -> asofJoin,
+    "asof_tolerance" -> asofTolerance,
     "range_join" -> rangeJoin
   )
 
@@ -152,6 +182,17 @@ object TemporalJoins {
         |SELECT e.event_id, e.user_id, e.ts, e.value,
         |  (SELECT v.vvalue FROM vers v
         |   WHERE v.user_id = e.user_id AND v.vts <= e.ts
+        |   ORDER BY v.vts DESC, v.vid DESC LIMIT 1) AS asof_value
+        |FROM events e
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "asof_tolerance" ->
+      """WITH vers AS (
+        |  SELECT user_id, ts AS vts, event_id AS vid, value AS vvalue
+        |  FROM events WHERE event_id % 20 = 0)
+        |SELECT e.event_id, e.user_id, e.ts, e.value,
+        |  (SELECT v.vvalue FROM vers v
+        |   WHERE v.user_id = e.user_id AND v.vts <= e.ts
+        |     AND v.vts >= e.ts - INTERVAL 6 HOUR
         |   ORDER BY v.vts DESC, v.vid DESC LIMIT 1) AS asof_value
         |FROM events e
         |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
