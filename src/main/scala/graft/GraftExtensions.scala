@@ -15,8 +15,9 @@ import graft.functions.{DotProduct, FreqSketchAgg, JaccardSimilarity, TextNormal
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // length-band short-circuit for edit-distance threshold filters — a
-    // sound, additive rewrite (see plans.LevenshteinBandRule)
+    // sound, additive rewrites (see plans.LevenshteinBandRule / JaccardBandRule)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
+    ext.injectOptimizerRule(_ => graft.plans.JaccardBandRule)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),

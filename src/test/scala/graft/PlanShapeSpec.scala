@@ -156,6 +156,48 @@ class PlanShapeSpec extends SparkTestBase {
       "the graded fuzzy join must carry the band short-circuit")
   }
 
+  test("JaccardBandRule: threshold predicates gain the implied size-band guards") {
+    import org.apache.spark.sql.catalyst.expressions.Size
+    import org.apache.spark.sql.functions.{array_distinct, col, split}
+    val base = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("sa"),
+        array_distinct(split(col("text"), "e")).as("sb"))
+    val df = base.filter(
+      graft.functions.JaccardExpression.jaccard(col("sa"), col("sb")) >= 0.5)
+
+    def sizeGuards(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
+      def sizesIn(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+        var n = 0
+        e.foreach { case _: Size => n += 1; case _ => () }
+        n
+      }
+      plan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => sizesIn(f.condition)
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          j.condition.map(sizesIn).getOrElse(0)
+      }.sum
+    }
+
+    // two guards (each reading two sizes), added once — idempotent under the
+    // fixed-point optimizer
+    assert(sizeGuards(df.queryExecution.optimizedPlan) == 4,
+      "both implied size-band guards must be derived exactly once")
+    // additive: guarded result == unguarded semantics (recompute via the
+    // composition the kernel is pinned to)
+    import org.apache.spark.sql.functions.{array_intersect, array_union, size}
+    val reference = base.filter(
+      size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))) >= 0.5)
+    assert(df.count() == reference.count(),
+      "the size band must not change which rows pass the threshold")
+
+    // integration: the LSH verify filter carries the guard in the graded plan
+    val lsh = SparkEntry.queries("dedup_lsh_pairs")(spark, sf)
+    assert(sizeGuards(lsh.queryExecution.optimizedPlan) >= 2,
+      "the graded LSH verify join must carry the size short-circuit")
+  }
+
   test("join_bloom_prefilter probes the bloom AT THE SCAN, before the semi-join") {
     withStaticPlans {
       val ns = nodes(staticPlan(SparkEntry.queries("join_bloom_prefilter")(spark, sf)))
