@@ -123,11 +123,33 @@ object Behavioral {
       "from_type", "to_type")
   }
 
+  // ---- user_growth: hourly new users + cumulative user count --------------
+  //
+  // "Cumulative distinct" — not expressible as a window DISTINCT — via the
+  // standard two-step: collapse each user to their FIRST active hour (one
+  // user-keyed partial-aggregated exchange), count arrivals per hour, then
+  // a running sum. The running-sum window is global (no partition key) but
+  // runs over the HOUR-GRANULAR aggregate — rows bounded by the calendar,
+  // not the corpus — so the single-partition frame is a few thousand rows
+  // at any scale. Only hours with arrivals appear.
+  private val HourMicros = 3600000000L
+  private val userGrowth: Q = (s, dir) => {
+    val firstHour = Tables(s, dir, "events")
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $HourMicros").as("hr"))
+      .groupBy("user_id").agg(min(col("hr")).as("hr"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("hr").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    firstHour.groupBy("hr").agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(wCum))
+      .orderBy(col("hr").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "funnel_steps" -> funnelSteps,
     "retention_cohorts" -> retentionCohorts,
     "rolling_active_users" -> rollingActiveUsers,
-    "path_transitions" -> pathTransitions
+    "path_transitions" -> pathTransitions,
+    "user_growth" -> userGrowth
   )
 
   val oracle: Map[String, String] = Map(
@@ -159,6 +181,16 @@ object Behavioral {
          |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM act GROUP BY day)
          |SELECT day, dau, wau_7d FROM dau JOIN wau USING (day)
          |ORDER BY day ASC NULLS FIRST""".stripMargin,
+    "user_growth" ->
+      s"""WITH fh AS (
+         |  SELECT user_id, min(epoch_us(ts) // $HourMicros) AS hr
+         |  FROM events GROUP BY user_id),
+         |np AS (SELECT hr, count(*) AS n_new FROM fh GROUP BY hr)
+         |SELECT hr, n_new,
+         |  CAST(sum(n_new) OVER (ORDER BY hr ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+         |FROM np
+         |ORDER BY hr ASC NULLS FIRST""".stripMargin,
     "path_transitions" ->
       """WITH pairs AS (
         |  SELECT event_type AS from_type,
