@@ -367,6 +367,53 @@ object DedupText {
       .orderBy(col("doc_id").asc_nulls_first)
   }
 
+  // ---- dedup_hamming: Manku-style simhash near-dup PAIRS ------------------
+  //
+  // The hamming-distance join the simhash signature exists for (Manku,
+  // Jain & Das Sarma, WWW'07 — Google's web-dedup): two docs are near-dups
+  // when their f-bit simhashes differ in ≤ K bits. The scalable shape is
+  // EXACT-recall banding by pigeonhole: split f = 60 bits into B = 6 bands
+  // of 10; any pair within hamming K = 5 ≤ B−1 agrees on ≥ 1 whole band, so
+  // an equi-join on (band, band-bits) finds every qualifying pair — a
+  // deterministic guarantee, unlike MinHash banding's probabilistic one.
+  // Verify = bit_count(xor) on the candidate pairs only. The MAX_BUCKET
+  // guard caps degenerate bands (near-empty docs hash alike), mirrored in
+  // the oracle as graded semantics.
+  private val SIM_BITS = 60
+  private val SIM_BANDS = 6
+  private val HAM_K = 2
+  private def simhash60(hsCol: Column): Column =
+    (0 until SIM_BITS).map { b =>
+      when(size(filter(hsCol, h => pmod(shiftright(h, b), lit(2)) === 1)) * 2
+        >= size(hsCol), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private val dedupHamming: Q = (s, dir) => {
+    val r = SIM_BITS / SIM_BANDS
+    val sigs = docsSpread(s, dir)
+      .withColumn("hs", transform(array_distinct(split(normText, " ")), t => h60(0, t)))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), simhash60(col("hs")).as("sig"))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bits")
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until SIM_BANDS).map { g =>
+          struct(lit(g).as("band"),
+            shiftright(col("sig"), g * r).bitwiseAND(lit((1L << r) - 1)).as("bits"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+      .withColumn("bsz", count(lit(1)).over(wB))
+      .filter(col("bsz") <= MAX_BUCKET)
+      .drop("bsz")
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HAM_K)
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_minhash_sig" -> dedupMinhashSig,
     "dedup_lsh_pairs" -> dedupLshPairs,
@@ -375,7 +422,8 @@ object DedupText {
     "dedup_spans" -> dedupSpans,
     "dedup_drop_list" -> dedupDropList,
     "dedup_exact" -> dedupExact,
-    "dedup_simhash" -> dedupSimhash
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_hamming" -> dedupHamming
   )
 
   // ---- DuckDB oracle ----
@@ -437,9 +485,10 @@ object DedupText {
       |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
       |  FROM cand c JOIN mh x ON c.doc_a = x.doc_id JOIN mh y ON c.doc_b = y.doc_id)""".stripMargin
 
-  private val simhashBitsSql = (0 until 16).map { b =>
+  private def simhashBitsSqlFor(bits: Int) = (0 until bits).map { b =>
     s"CASE WHEN 2*len(list_filter(hs, h -> (h >> $b) % 2 = 1)) >= len(hs) THEN ${1L << b} ELSE 0 END"
   }.mkString(" + ")
+  private val simhashBitsSql = simhashBitsSqlFor(16)
 
   val oracle: Map[String, String] = Map(
     "dedup_minhash_sig" ->
@@ -497,6 +546,30 @@ object DedupText {
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct
         |FROM documents""".stripMargin,
+    "dedup_hamming" -> {
+      val r = SIM_BITS / SIM_BANDS
+      s"""WITH hs AS (
+         |  SELECT doc_id,
+         |    list_transform(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')),
+         |                   t -> CAST(('0x'||substr(md5('0:'||t),1,15)) AS BIGINT)) AS hs
+         |  FROM documents),
+         |sg AS (
+         |  SELECT doc_id, (${simhashBitsSqlFor(SIM_BITS)}) AS sig
+         |  FROM hs WHERE len(hs) > 0),
+         |b0 AS (
+         |  SELECT doc_id, sig, CAST(g AS INT) AS band, (sig >> (CAST(g AS INT) * $r)) & ${(1L << r) - 1} AS bits
+         |  FROM sg, UNNEST(range(0, $SIM_BANDS)) AS u(g)),
+         |bands AS (
+         |  SELECT doc_id, sig, band, bits FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bits) AS bsz FROM b0)
+         |  WHERE bsz <= $MAX_BUCKET)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= $HAM_K
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin
+    },
     "dedup_simhash" ->
       s"""WITH hs AS (
          |  SELECT doc_id,
