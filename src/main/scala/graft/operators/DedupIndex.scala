@@ -191,9 +191,16 @@ object DedupIndex {
   private val TAU = 0.5
 
   private val dedupAdmit: Q = (s, dir) => {
-    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    // cloned-session scoping (the stream_sink_table convention): admission
+    // batches are poll-sized, and the pipeline runs ~10 exchanges per admit
+    // (candidate joins, population cap, two sink-merge shuffles) — 8
+    // partitions quarters the per-exchange task overhead without touching
+    // any concurrent query on the outer session
+    val local = s.newSession()
+    local.conf.set("spark.sql.shuffle.partitions", "8")
+    val docs = Tables(local, dir, "documents").select(col("doc_id"), col("text"))
     val work = graft.Scratch.dir("graft-lsh-admit")
-    val index = new LshAdmissionIndex(s, work.resolve("index").toString, TAU)
+    val index = new LshAdmissionIndex(local, work.resolve("index").toString, TAU)
     val a0 = index.admit(docs.filter(col("doc_id") < SPLIT), 0L)
       .withColumn("batch", lit(0L))
     val a1 = index.admit(docs.filter(col("doc_id") >= SPLIT), 1L)
