@@ -379,10 +379,13 @@ object DedupText {
   // Verify = bit_count(xor) on the candidate pairs only. The MAX_BUCKET
   // guard caps degenerate bands (near-empty docs hash alike), mirrored in
   // the oracle as graded semantics.
-  private val SIM_BITS = 60
-  private val SIM_BANDS = 6
-  private val HAM_K = 2
-  private def simhash60(hsCol: Column): Column =
+  private[operators] val SIM_BITS = 60
+  private[operators] val SIM_BANDS = 6
+  private[operators] val HAM_K = 2
+  /** Distinct-token 60-bit hashes of `text` (the simhash input). */
+  private[operators] def tokenHashes: Column =
+    transform(array_distinct(split(normText, " ")), t => h60(0, t))
+  private[operators] def simhash60(hsCol: Column): Column =
     (0 until SIM_BITS).map { b =>
       when(size(filter(hsCol, h => pmod(shiftright(h, b), lit(2)) === 1)) * 2
         >= size(hsCol), lit(1L << b)).otherwise(lit(0L))
@@ -391,7 +394,7 @@ object DedupText {
   private val dedupHamming: Q = (s, dir) => {
     val r = SIM_BITS / SIM_BANDS
     val sigs = docsSpread(s, dir)
-      .withColumn("hs", transform(array_distinct(split(normText, " ")), t => h60(0, t)))
+      .withColumn("hs", tokenHashes)
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), simhash60(col("hs")).as("sig"))
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bits")

@@ -80,6 +80,37 @@ class DedupSimilaritySpec extends SparkTestBase {
       "each doc: 32 tokens -> 25 gram positions, 5 duplicated, one run of 5")
   }
 
+  test("hamming banding has EXACT recall vs brute force when no bucket caps") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    // small corpus → every (band, bits) bucket far under MAX_BUCKET, so the
+    // pigeonhole guarantee is testable as strict set equality: 6 bands of 10
+    // bits over 60 must find EVERY pair with hamming <= 2, not just most
+    val dir = writeDocs(Seq(
+      1L -> base,
+      2L -> base,                           // identical → hamming 0
+      3L -> base.replace("clock", "bell"),  // near-identical token set
+      4L -> "completely different content about catalyst optimizer internals",
+      5L -> "yet another unrelated document mentioning parquet row groups",
+      6L -> "the quick brown fox appears here too but with mostly new words around it"))
+    val banded = DedupText.queries("dedup_hamming")(spark, dir)
+      .as[(Long, Long, Int)].collect().toSet
+    val sigs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("hs", DedupText.tokenHashes)
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), DedupText.simhash60(col("hs")).as("sig"))
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("h"))
+      .filter(col("h") <= DedupText.HAM_K)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(brute.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0),
+      "the identical pair must be in the ground truth at hamming 0")
+    assert(banded == brute,
+      s"banding must find exactly the brute-force pairs: banded=$banded brute=$brute")
+  }
+
   test("brute-force cosine top-k ranks the colinear vector first") {
     val session = spark
     import session.implicits._
