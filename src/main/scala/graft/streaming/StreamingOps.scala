@@ -544,6 +544,69 @@ object StreamingOps {
       .orderBy(col("cohort").asc_nulls_first, col("event_type").asc_nulls_first)
   }
 
+  /** The distinct-count MATERIALIZED VIEW — the aggregate `IncrementalAgg`'s
+    * additive partials cannot maintain (distinct doesn't decompose into
+    * add/max), and the reason sketches exist: per micro-batch the view
+    * stores an HLL SKETCH per group, merged by `hll_union_agg` in the sink
+    * combiner. Two scale properties are graded at once:
+    *
+    *   - incremental maintenance: refresh cost is O(batch + touched
+    *     groups × sketch size), never a re-scan of history — the ONLY way
+    *     distinct counts stay maintainable at 100 TB;
+    *   - value idempotence: inserting a user already in the sketch is a
+    *     no-op, so the at-least-once overlap between the two drops flows
+    *     UNDEDUPED into the view and still cannot inflate it (stronger than
+    *     the batch-id replay guard, which only de-dupes whole batches).
+    *
+    * Graded output: the exact per-type distinct count (which the oracle
+    * reproduces) plus a boolean asserting the sketch estimate landed within
+    * HLL's documented tolerance — the approx_distinct grading recipe, so a
+    * sketch gone wrong fails the hash.
+    */
+  private val streamDistinctMv: Q = (s, dir) => {
+    val local = s.newSession()
+    local.conf.set("spark.sql.shuffle.partitions", "8")
+    val ev = Tables(local, dir, "events").select("event_id", "ts", "user_id", "event_type")
+    val t0 = lit("2024-01-10 00:00:00").cast("timestamp")
+    val t1 = lit("2024-01-20 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-28 00:00:00").cast("timestamp")
+    val work = graft.Scratch.dir("graft-stream-hll")
+    val src = work.resolve("drops")
+    ev.filter(col("ts") < t1).repartition(1).write.parquet(s"$src/d1")
+    ev.filter(col("ts") >= t0 && col("ts") < t2).repartition(1).write.parquet(s"$src/d2")
+
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+
+    val combine: ParquetTableSink.Combiner = (target, staged) =>
+      target.select(col("event_type"), col("sketch"))
+        .unionByName(staged.select(col("event_type"), col("sketch")))
+        .groupBy(col("event_type"))
+        .agg(hll_union_agg(col("sketch")).as("sketch"))
+
+    val sink = new ParquetTableSink(local, work.resolve("table").toString,
+      partial(ev).limit(0), Seq("event_type"), buckets = 8, combine = combine)
+    // deliberately NO dedupByKey: the overlap is absorbed by the sketch
+    local.readStream.schema(ev.schema).parquet(s"$src/*")
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[Row], id: Long) => sink.merge(partial(b), id) }
+      .start()
+      .awaitTermination()
+    val exact = Tables(local, dir, "events").filter(col("ts") < t2)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    sink.current
+      .withColumn("est", hll_sketch_estimate(col("sketch")))
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05).as("within_tol"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   /** The REAL stream-stream join path, graded: clicks and purchases drain as
     * two independent file-source streams through a watermarked interval join
     * (purchase within one hour of a same-user click) into a file sink; the
@@ -728,6 +791,7 @@ object StreamingOps {
     "jdbc_merge_delete" -> jdbcMergeDelete,
     "sink_point_lookup" -> sinkPointLookup,
     "stream_rollup_table" -> streamRollupTable,
+    "stream_distinct_mv" -> streamDistinctMv,
     "stream_dedup_replay" -> streamDedupReplay,
     "stream_offsets" -> streamOffsets,
     "stream_sink_table" -> streamSinkTable,
@@ -736,6 +800,13 @@ object StreamingOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // the MV's union of drops is ts < t2; the sketch's estimate is graded
+    // as a tolerance boolean beside the exact count (approx_distinct recipe)
+    "stream_distinct_mv" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_tol
+        |FROM events WHERE ts < TIMESTAMP '2024-01-28 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
     // the declarative form of the stateful sessionizer: gaps-and-islands
     // with the same 6-hour gap (continue iff ts - prev <= gap, same <=)
     "stream_sessions" ->
