@@ -115,9 +115,38 @@ object Quality {
     ))
   }
 
+  /** K-anonymous aggregate release — the governance cousin of
+    * `text_pii_scrub`: a stats table published per (lang, source) must not
+    * expose groups small enough to identify members, so groups under K
+    * generalize into an 'other' bucket before release (suppression by
+    * generalization, the k-anonymity recipe for aggregate tables). Shape:
+    * one grouped partial aggregate, a per-group size gate, and ONE
+    * re-aggregation of only the generalized rows — the big groups pass
+    * through untouched, so the second exchange carries O(rare groups).
+    * Exact decimal sums keep the released averages engine-stable.
+    */
+  private val ANON_K = 10
+  private val dqAnonRelease: Q = (s, dir) => {
+    val g = Tables(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("decimal(25,6)")).as("sum_chars"))
+    val gated = g.select(
+      when(col("n_docs") >= ANON_K, col("lang")).otherwise(lit("other")).as("lang"),
+      when(col("n_docs") >= ANON_K, col("source")).otherwise(lit("other")).as("source"),
+      col("n_docs"), col("sum_chars"))
+    gated.groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        (sum(col("sum_chars")).cast("double") / sum(col("n_docs"))).as("avg_chars"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        round(col("avg_chars"), 6).as("avg_chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "dq_check" -> dqCheck,
-    "dq_quarantine" -> dqQuarantine
+    "dq_quarantine" -> dqQuarantine,
+    "dq_anon_release" -> dqAnonRelease
   )
 
   val oracle: Map[String, String] = Map(
@@ -167,6 +196,20 @@ object Quality {
         |  UNION ALL
         |  SELECT 'dup_fingerprint', doc_id FROM fp WHERE fpn > 1)
         |SELECT rule, doc_id FROM q
-        |ORDER BY rule ASC NULLS FIRST, doc_id ASC NULLS FIRST""".stripMargin
+        |ORDER BY rule ASC NULLS FIRST, doc_id ASC NULLS FIRST""".stripMargin,
+    "dq_anon_release" ->
+      s"""WITH g AS (
+         |  SELECT lang, source, count(*) AS n_docs,
+         |    sum(CAST(n_chars AS DECIMAL(25,6))) AS sum_chars
+         |  FROM documents GROUP BY lang, source),
+         |gated AS (
+         |  SELECT CASE WHEN n_docs >= $ANON_K THEN lang ELSE 'other' END AS lang,
+         |         CASE WHEN n_docs >= $ANON_K THEN source ELSE 'other' END AS source,
+         |         n_docs, sum_chars
+         |  FROM g)
+         |SELECT lang, source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  round(CAST(sum(sum_chars) AS DOUBLE) / CAST(sum(n_docs) AS BIGINT), 6) AS avg_chars
+         |FROM gated GROUP BY lang, source
+         |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
   )
 }
