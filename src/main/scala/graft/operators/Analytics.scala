@@ -543,6 +543,38 @@ object Analytics {
       "cohort", "day")
   }
 
+  // Market-basket association mining: part pairs co-purchased within an
+  // order, with support counts and LIFT (observed co-occurrence over the
+  // independence expectation) — the retail-analytics staple. The pair
+  // fan-out is bounded by the basket: C(items-per-order, 2) per order (≤ ~21
+  // for TPC-H-shaped data), generated by a within-order self-join on the
+  // order key — never a global product. Part frequencies join back on the
+  // part key; lift = n_ab·N / (n_a·n_b) is one exact integer ratio per pair,
+  // computed in DOUBLE and rounded. Top-K by (support, pair) keeps the
+  // released table bounded.
+  private val BASKET_TOP = 25
+  private val basketPairs: Q = (s, dir) => {
+    val items = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    // 1-row scalar rides a broadcast cross-combine (the graph_triangles
+    // pattern) — no driver-side action at query-construction time
+    val nOrders = items.agg(count_distinct(col("o")).as("n_orders"))
+    val freq = items.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p_a"), col("b.p").as("p_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(freq.select(col("p").as("p_a"), col("n_p").as("n_a")), Seq("p_a"))
+      .join(freq.select(col("p").as("p_b"), col("n_p").as("n_b")), Seq("p_b"))
+      .crossJoin(nOrders)
+      .select(col("p_a"), col("p_b"), col("n_ab"),
+        round(col("n_ab").cast("double") * col("n_orders") / (col("n_a") * col("n_b")), 6)
+          .as("lift"))
+      .orderBy(col("n_ab").desc, col("p_a").asc_nulls_first, col("p_b").asc_nulls_first)
+      .limit(BASKET_TOP)
+  }
+
   // first/last/nth over the full partition frame — the "bookend" window
   // family (entry event, exit event, second touch) on one Exchange.
   private val windowFirstLast: Q = (s, dir) => {
@@ -561,6 +593,7 @@ object Analytics {
 
   val queries: Map[String, Q] = Map(
     "ts_gapfill" -> tsGapfill,
+    "basket_pairs" -> basketPairs,
     "ts_interpolate" -> tsInterpolate,
     "window_first_last" -> windowFirstLast,
     "agg_heavy_hitters" -> aggHeavyHitters,
@@ -609,6 +642,23 @@ object Analytics {
         |  COALESCE(a.n, 0) AS n, COALESCE(a.sum_v, 0.0) AS sum_v
         |FROM grid g LEFT JOIN actual a ON g.cohort = a.cohort AND g.day = a.day
         |ORDER BY g.cohort ASC NULLS FIRST, g.day ASC NULLS FIRST""".stripMargin,
+    "basket_pairs" ->
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |no AS (SELECT count(DISTINCT o) AS n_orders FROM items),
+         |freq AS (SELECT p, count(*) AS n_p FROM items GROUP BY p),
+         |pairs AS (
+         |  SELECT a.p AS p_a, b.p AS p_b, count(*) AS n_ab
+         |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY a.p, b.p)
+         |SELECT p_a, p_b, CAST(n_ab AS BIGINT) AS n_ab,
+         |  round(CAST(n_ab AS DOUBLE) * no.n_orders / (fa.n_p * fb.n_p), 6) AS lift
+         |FROM pairs
+         |JOIN freq fa ON pairs.p_a = fa.p
+         |JOIN freq fb ON pairs.p_b = fb.p
+         |CROSS JOIN no
+         |ORDER BY n_ab DESC, p_a ASC NULLS FIRST, p_b ASC NULLS FIRST
+         |LIMIT $BASKET_TOP""".stripMargin,
     "ts_interpolate" ->
       """WITH ev AS (
         |  SELECT user_id % 50 AS cohort, CAST(ts AS DATE) AS day, value FROM events),
