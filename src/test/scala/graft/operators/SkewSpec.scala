@@ -27,4 +27,38 @@ class SkewSpec extends SparkTestBase {
       .agg(max("count")).as[Long].collect().head
     assert(maxGroup < 300, s"hot key insufficiently split: max group $maxGroup of 900")
   }
+
+  test("AQE skew join splits the hot partition at runtime (the built-in salting)") {
+    val session = spark
+    import session.implicits._
+    // AQE's OptimizeSkewedJoin is the runtime answer to the same hot-key
+    // problem saltedJoin solves statically: after the map stage it sees the
+    // actual partition sizes and splits oversized ones into subpartitions.
+    // Thresholds are tuned down so micro-batch-sized test data crosses them
+    // the way a hot key crosses the 256 MB default at corpus scale.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = ((1 to 20000).map(i => (1L, i.toLong)) ++
+        (1 to 200).map(i => (2L, i.toLong))).toDF("k", "payload")
+      val dim = (1L to 3L).map(k => (k, s"name$k")).toDF("k", "name")
+      val joined = fact.join(dim.hint("shuffle_merge"), Seq("k"), "inner")
+      // materialize THIS QueryExecution (count() would build another one) so
+      // the adaptive plan below is the final, post-reoptimization plan
+      assert(joined.collect().length == 20200)
+      // after execution the adaptive plan must record a skewed-join split:
+      // the SMJ is marked isSkew and its shuffle read shows skewed specs
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew="), s"expected a skew-marked join in:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
