@@ -231,12 +231,18 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("asof_join shuffles once on the key (union + ordered window, no row blowup)") {
     withStaticPlans {
-      val ns = nodes(staticPlan(SparkEntry.queries("asof_join")(spark, sf)))
-      assert(!ns.exists(_.isInstanceOf[CartesianProductExec]) &&
-        !ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
-        "as-of must not be a non-equi join")
-      val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
-      assert(shuffles <= 2, s"expect key-window shuffle (+ oracle orderBy), got $shuffles")
+      // the tolerance variant must pay NOTHING extra: its TTL bound rides
+      // the same ignore-null window as the value
+      Seq("asof_join", "asof_tolerance").foreach { q =>
+        val ns = nodes(staticPlan(SparkEntry.queries(q)(spark, sf)))
+        assert(!ns.exists(_.isInstanceOf[CartesianProductExec]) &&
+          !ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+          s"$q must not be a non-equi join")
+        val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
+        assert(shuffles <= 2, s"$q: expect key-window shuffle (+ oracle orderBy), got $shuffles")
+        assert(ns.count(_.isInstanceOf[WindowExec]) == 1,
+          s"$q: both carried columns must share ONE window operator")
+      }
     }
   }
 
