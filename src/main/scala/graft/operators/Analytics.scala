@@ -575,6 +575,40 @@ object Analytics {
       .limit(BASKET_TOP)
   }
 
+  // RFM segmentation (recency / frequency / monetary quintiles) — the CRM
+  // staple. The scale-honest quintile assignment: NOT a global ntile (a
+  // single-partition sort of every customer), but exact percentile
+  // BOUNDARIES from one aggregate (a 1-row, 12-value side) broadcast back
+  // over the per-customer frame — per-row CASE comparisons, the
+  // anomaly_zscore pattern. Boundaries round to 6 dp on both engines before
+  // comparison so an interpolation ULP cannot flip a bucket.
+  private val customerRfm: Q = (s, dir) => {
+    val o = Tables(s, dir, "orders")
+    val per = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_d"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+    val ref = o.agg(max(col("o_orderdate")).as("ref_d"))
+    val base = per.crossJoin(ref)
+      .withColumn("recency_days", datediff(col("ref_d"), col("last_d")).cast("long"))
+    val qs = base.agg(
+      expr("percentile(recency_days, array(0.2D, 0.4D, 0.6D, 0.8D))").as("rq"),
+      expr("percentile(n_orders, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fq"),
+      expr("percentile(total, array(0.2D, 0.4D, 0.6D, 0.8D))").as("mq"))
+    def exceeded(m: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
+      (1 to 4).map(i => when(m > round(element_at(q, i), 6), 1).otherwise(0))
+        .reduce(_ + _)
+    base.crossJoin(broadcast(qs))
+      .select(col("o_custkey"), col("recency_days"), col("n_orders"),
+        round(col("total"), 6).as("total"),
+        (lit(5) - exceeded(col("recency_days"), col("rq"))).as("r"),
+        (lit(1) + exceeded(col("n_orders"), col("fq"))).as("f"),
+        (lit(1) + exceeded(col("total"), col("mq"))).as("m"))
+      .withColumn("segment",
+        concat(col("r").cast("string"), col("f").cast("string"), col("m").cast("string")))
+      .orderBy(col("o_custkey").asc_nulls_first)
+  }
+
   // first/last/nth over the full partition frame — the "bookend" window
   // family (entry event, exit event, second touch) on one Exchange.
   private val windowFirstLast: Q = (s, dir) => {
@@ -594,6 +628,7 @@ object Analytics {
   val queries: Map[String, Q] = Map(
     "ts_gapfill" -> tsGapfill,
     "basket_pairs" -> basketPairs,
+    "customer_rfm" -> customerRfm,
     "ts_interpolate" -> tsInterpolate,
     "window_first_last" -> windowFirstLast,
     "agg_heavy_hitters" -> aggHeavyHitters,
@@ -642,6 +677,40 @@ object Analytics {
         |  COALESCE(a.n, 0) AS n, COALESCE(a.sum_v, 0.0) AS sum_v
         |FROM grid g LEFT JOIN actual a ON g.cohort = a.cohort AND g.day = a.day
         |ORDER BY g.cohort ASC NULLS FIRST, g.day ASC NULLS FIRST""".stripMargin,
+    "customer_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_d, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY o_custkey),
+        |ref AS (SELECT max(o_orderdate) AS ref_d FROM orders),
+        |base AS (
+        |  SELECT p.o_custkey, p.n_orders, p.total,
+        |    CAST(date_diff('day', CAST(p.last_d AS DATE), CAST(r.ref_d AS DATE)) AS BIGINT) AS recency_days
+        |  FROM per p CROSS JOIN ref r),
+        |qs AS (
+        |  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rq,
+        |         quantile_cont(n_orders, [0.2, 0.4, 0.6, 0.8]) AS fq,
+        |         quantile_cont(total, [0.2, 0.4, 0.6, 0.8]) AS mq
+        |  FROM base),
+        |scored AS (
+        |  SELECT b.o_custkey, b.recency_days, b.n_orders, round(b.total, 6) AS total,
+        |    CAST(5 - (CASE WHEN b.recency_days > round(rq[1], 6) THEN 1 ELSE 0 END
+        |            + CASE WHEN b.recency_days > round(rq[2], 6) THEN 1 ELSE 0 END
+        |            + CASE WHEN b.recency_days > round(rq[3], 6) THEN 1 ELSE 0 END
+        |            + CASE WHEN b.recency_days > round(rq[4], 6) THEN 1 ELSE 0 END) AS INT) AS r,
+        |    CAST(1 + (CASE WHEN b.n_orders > round(fq[1], 6) THEN 1 ELSE 0 END
+        |            + CASE WHEN b.n_orders > round(fq[2], 6) THEN 1 ELSE 0 END
+        |            + CASE WHEN b.n_orders > round(fq[3], 6) THEN 1 ELSE 0 END
+        |            + CASE WHEN b.n_orders > round(fq[4], 6) THEN 1 ELSE 0 END) AS INT) AS f,
+        |    CAST(1 + (CASE WHEN b.total > round(mq[1], 6) THEN 1 ELSE 0 END
+        |            + CASE WHEN b.total > round(mq[2], 6) THEN 1 ELSE 0 END
+        |            + CASE WHEN b.total > round(mq[3], 6) THEN 1 ELSE 0 END
+        |            + CASE WHEN b.total > round(mq[4], 6) THEN 1 ELSE 0 END) AS INT) AS m
+        |  FROM base b CROSS JOIN qs)
+        |SELECT o_custkey, recency_days, n_orders, total, r, f, m,
+        |  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment
+        |FROM scored
+        |ORDER BY o_custkey ASC NULLS FIRST""".stripMargin,
     "basket_pairs" ->
       s"""WITH items AS (
          |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
