@@ -144,12 +144,40 @@ object Behavioral {
       .orderBy(col("hr").asc_nulls_first)
   }
 
+  // ---- attribution_touch: first/last-touch marketing attribution ----------
+  //
+  // Each purchase is attributed to the FIRST and LAST non-purchase event of
+  // the same user inside a trailing 3-day lookback — the two classic
+  // attribution models, in one pass: a single user-keyed event-time RANGE
+  // frame (the window_range_frame machinery) carries conditional
+  // first/last(ignoreNulls) over the lookback, so both models ride ONE
+  // exchange and there is no per-purchase join. Purchases with an empty
+  // lookback attribute to NULL (organic).
+  private val LookbackMicros = 3L * 86400000000L
+  private val attributionTouch: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("us").asc)
+      .rangeBetween(-LookbackMicros, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    ord(
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+        .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("first_touch"), col("last_touch")),
+      "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "funnel_steps" -> funnelSteps,
     "retention_cohorts" -> retentionCohorts,
     "rolling_active_users" -> rollingActiveUsers,
     "path_transitions" -> pathTransitions,
-    "user_growth" -> userGrowth
+    "user_growth" -> userGrowth,
+    "attribution_touch" -> attributionTouch
   )
 
   val oracle: Map[String, String] = Map(
@@ -181,6 +209,18 @@ object Behavioral {
          |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM act GROUP BY day)
          |SELECT day, dau, wau_7d FROM dau JOIN wau USING (day)
          |ORDER BY day ASC NULLS FIRST""".stripMargin,
+    "attribution_touch" ->
+      s"""SELECT event_id, user_id, first_touch, last_touch FROM (
+         |  SELECT event_id, user_id, event_type,
+         |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+         |      OVER w AS first_touch,
+         |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+         |      OVER w AS last_touch
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+         |               RANGE BETWEEN $LookbackMicros PRECEDING AND 1 PRECEDING))
+         |WHERE event_type = 'purchase'
+         |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     "user_growth" ->
       s"""WITH fh AS (
          |  SELECT user_id, min(epoch_us(ts) // $HourMicros) AS hr
