@@ -101,8 +101,15 @@ object Bench {
     def r3(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val sfNum = "sf([0-9.]+)/*$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse(jq(sfDir))
     val cpusNum = if (cpus.forall(_.isDigit) && cpus.nonEmpty) cpus else jq(cpus)
+    // errors in the compact line are BOUNDED too (≤3 entries, ≤80-char
+    // messages): the full object is in the file, and an unbounded errs here
+    // would blow the same tail window this line exists to fit — exactly in
+    // the many-failures case where the artifact matters most
+    val errsCompact = results.collect { case (k, _, Some(m)) => (k, m) }.take(3)
+      .map { case (k, m) => s"${jq(k)}:${jq(m.take(80))}" }
+      .mkString("{", ",", "}")
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
-      s""""n_err":${results.count(_._3.isDefined)},"errors":$errs,"runs":$runs,""" +
+      s""""n_err":${results.count(_._3.isDefined)},"errors":$errsCompact,"runs":$runs,""" +
       s""""load_before":$loadBefore,"load_after":$loadAvg,"cpus":$cpusNum,"sf":$sfNum,""" +
       s""""queries_file":${jq(out)},"queries":{"""
     val budget = 1500 - head.length - 2

@@ -148,24 +148,29 @@ object Behavioral {
   //
   // Each purchase is attributed to the FIRST and LAST non-purchase event of
   // the same user inside a trailing 3-day lookback — the two classic
-  // attribution models, in one pass: a single user-keyed event-time RANGE
-  // frame (the window_range_frame machinery) carries conditional
-  // first/last(ignoreNulls) over the lookback, so both models ride ONE
-  // exchange and there is no per-purchase join. Purchases with an empty
-  // lookback attribute to NULL (organic).
+  // attribution models, in one pass over a single user-keyed event-time
+  // RANGE frame, so both models ride ONE exchange and there is no
+  // per-purchase join. The bookends are min/max of an ORDERED STRUCT
+  // (us, event_id, event_type), NOT positional first/last: a RANGE frame
+  // cannot carry a tiebreak column, and positional bookends among
+  // same-microsecond peers would be partition-order-dependent — min/max
+  // are order-free, so ties resolve by event_id identically on every
+  // engine and every rerun. Purchases with an empty lookback attribute to
+  // NULL (organic).
   private val LookbackMicros = 3L * 86400000000L
   private val attributionTouch: Q = (s, dir) => {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id")
       .orderBy(col("us").asc)
       .rangeBetween(-LookbackMicros, -1)
-    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val touch = when(col("event_type") =!= "purchase",
+      struct(col("us"), col("event_id"), col("event_type")))
     ord(
       Tables(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("unix_micros(ts)").as("us"))
-        .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
-        .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+        .withColumn("first_touch", min(touch).over(w).getField("event_type"))
+        .withColumn("last_touch", max(touch).over(w).getField("event_type"))
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("first_touch"), col("last_touch")),
       "event_id")
@@ -212,10 +217,12 @@ object Behavioral {
     "attribution_touch" ->
       s"""SELECT event_id, user_id, first_touch, last_touch FROM (
          |  SELECT event_id, user_id, event_type,
-         |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
-         |      OVER w AS first_touch,
-         |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
-         |      OVER w AS last_touch
+         |    (min(CASE WHEN event_type <> 'purchase'
+         |          THEN {'us': epoch_us(ts), 'id': event_id, 'typ': event_type} END)
+         |      OVER w).typ AS first_touch,
+         |    (max(CASE WHEN event_type <> 'purchase'
+         |          THEN {'us': epoch_us(ts), 'id': event_id, 'typ': event_type} END)
+         |      OVER w).typ AS last_touch
          |  FROM events
          |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
          |               RANGE BETWEEN $LookbackMicros PRECEDING AND 1 PRECEDING))

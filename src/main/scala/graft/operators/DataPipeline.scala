@@ -35,8 +35,7 @@ object DataPipeline {
   private def toks: Column =
     split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
 
-  private def md5long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def md5long(c: Column): Column = Hashing.h60(c)
 
   // ---- decontam_ngram: benchmark decontamination ----------------------------
   //

@@ -31,9 +31,9 @@ object DedupText {
   private[operators] val K = 8      // minhash permutations
   private[operators] val BANDS = 4  // bands of r = K/BANDS = 2 rows each
 
-  /** 60-bit engine-agnostic hash: int(md5("<seed>:" + x)[0:15], 16). */
+  /** 60-bit engine-agnostic hash of "<seed>:" + x (shared Hashing kernel). */
   private def h60(seed: Int, x: Column): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), x)), 1, 15), 16, 10).cast("long")
+    Hashing.h60(concat(lit(s"$seed:"), x))
 
   private def normText: Column = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
 
@@ -322,11 +322,18 @@ object DedupText {
   private val dedupSpans: Q = (s, dir) => {
     // n_pos (the doc's total gram count) rides along each exploded gram row
     // instead of a third corpus scan + re-aggregation + join: it folds
-    // through the two downstream groupBys as a per-doc-constant max()
+    // through the two downstream groupBys as a per-doc-constant max().
+    // cache(): the gram index feeds BOTH the shared-gram aggregate and the
+    // join side, whose differing subtrees defeat exchange reuse — without it
+    // the normalize/8-gram/explode map stage runs twice (the multi-consumer
+    // recompute pathology; same convention as verifiedPairsFrom's mh cache,
+    // released by the session owner). Production materializes the inverted
+    // index to storage for the same reason.
     val grams = docsSpread(s, dir)
       .withColumn("ga", graft.functions.ShingleExpression.wordGramSeq(col("text"), SPAN_N))
       .select(col("doc_id"), size(col("ga")).cast("long").as("n_pos"),
         posexplode(col("ga")).as(Seq("pos", "g")))
+      .cache()
     val shared = grams.groupBy("g")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1).select("g")

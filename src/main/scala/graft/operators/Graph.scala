@@ -68,8 +68,7 @@ object Graph {
     * every rerun, unlike Bernoulli `sample()`. */
   private def pairKept(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
                        pct: Int): org.apache.spark.sql.Column =
-    conv(substring(md5(concat(lit("tri:"), a, lit(":"), b)), 1, 15), 16, 10)
-      .cast("long") % 100 < pct
+    Hashing.h60(concat(lit("tri:"), a, lit(":"), b)) % 100 < pct
 
   private val SamplePct = 5
 

@@ -138,6 +138,10 @@ object Quality {
     gated.groupBy(col("lang"), col("source"))
       .agg(sum(col("n_docs")).as("n_docs"),
         (sum(col("sum_chars")).cast("double") / sum(col("n_docs"))).as("avg_chars"))
+      // the merged 'other' bucket must ITSELF meet K or be suppressed —
+      // releasing a 3-member 'other' row would leak exactly the small-group
+      // statistics the generalization exists to hide
+      .filter(col("n_docs") >= ANON_K)
       .select(col("lang"), col("source"), col("n_docs"),
         round(col("avg_chars"), 6).as("avg_chars"))
       .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
@@ -210,6 +214,7 @@ object Quality {
          |SELECT lang, source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
          |  round(CAST(sum(sum_chars) AS DOUBLE) / CAST(sum(n_docs) AS BIGINT), 6) AS avg_chars
          |FROM gated GROUP BY lang, source
+         |HAVING sum(n_docs) >= $ANON_K
          |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
   )
 }

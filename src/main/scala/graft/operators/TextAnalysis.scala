@@ -86,7 +86,7 @@ object TextAnalysis {
       Tables(s, dir, "documents").select(
         col("doc_id"),
         md5(norm).as("fp_md5"),
-        conv(substring(md5(norm), 1, 15), 16, 10).cast("long").as("fp64")),
+        Hashing.h60(norm).as("fp64")),
       "doc_id")
   }
 
@@ -170,7 +170,7 @@ object TextAnalysis {
   // Deterministic train/val/test assignment: hash-bucket the stable key so
   // the split is reproducible across runs and engines (never random()).
   private val textSplitAssign: Q = (s, dir) => {
-    val bucket = conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 15), 16, 10)
+    val bucket = Hashing.h60(concat(lit("split:"), col("doc_id")))
       .cast("long") % 100
     ord(
       Tables(s, dir, "documents")
@@ -186,7 +186,7 @@ object TextAnalysis {
   // pre-filter by hash threshold before the exact rank, same as any top-N.
   private val DOMAIN_CAP = 15
   private val textDomainCap: Q = (s, dir) => {
-    val pref = conv(substring(md5(concat(lit("mix:"), col("doc_id"))), 1, 15), 16, 10)
+    val pref = Hashing.h60(concat(lit("mix:"), col("doc_id")))
       .cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("pref").asc, col("doc_id").asc)

