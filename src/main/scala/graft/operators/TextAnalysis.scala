@@ -264,7 +264,35 @@ object TextAnalysis {
       "doc_id")
   }
 
+  // ---- sql_api_pipeline: the SQL string surface, end to end ---------------
+  //
+  // Everything above uses the Dataset API; a SQL-only consumer gets the same
+  // engine through `spark.sql` + the functions GraftExtensions registers.
+  // This query is ONE SQL string exercising the custom-expression surface —
+  // graft_nfc → graft_unaccent (Unicode canonicalization, no Spark builtin)
+  // feeding graft_jaccard (the fused set kernel) — against each language's
+  // reference document. Same Catalyst plan discipline as the API form: the
+  // per-lang reference is a ≤|langs|-row broadcast side, everything else is
+  // per-row map work.
+  private val sqlApiPipeline: Q = (s, dir) => {
+    Tables(s, dir, "documents").createOrReplaceTempView("graft_sql_docs")
+    s.sql("""
+      WITH t AS (
+        SELECT doc_id, lang,
+          array_distinct(split(graft_unaccent(graft_nfc(lower(text))), ' ')) AS toks
+        FROM graft_sql_docs),
+      refd AS (SELECT lang, min(doc_id) AS ref_id FROM t GROUP BY lang),
+      refs AS (
+        SELECT refd.lang, t.toks AS ref_toks
+        FROM refd JOIN t ON t.doc_id = refd.ref_id)
+      SELECT t.doc_id, t.lang,
+        round(graft_jaccard(t.toks, refs.ref_toks), 6) AS sim_to_ref
+      FROM t JOIN refs ON t.lang = refs.lang
+      ORDER BY t.doc_id ASC NULLS FIRST""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_api_pipeline" -> sqlApiPipeline,
     "text_lm_score" -> textLmScore,
     "text_chunks" -> textChunks,
     "text_normalize" -> textNormalize,
@@ -294,6 +322,22 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // nfc_normalize/strip_accents mirror graft_nfc/graft_unaccent (parity
+    // pinned by text_normalize); list set ops mirror the jaccard kernel
+    "sql_api_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(string_split(strip_accents(nfc_normalize(lower(text))), ' ')) AS toks
+        |  FROM documents),
+        |refd AS (SELECT lang, min(doc_id) AS ref_id FROM t GROUP BY lang),
+        |refs AS (
+        |  SELECT refd.lang, t.toks AS ref_toks
+        |  FROM refd JOIN t ON t.doc_id = refd.ref_id)
+        |SELECT t.doc_id, t.lang,
+        |  round(CAST(len(list_intersect(t.toks, refs.ref_toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(t.toks, refs.ref_toks))), 6) AS sim_to_ref
+        |FROM t JOIN refs ON t.lang = refs.lang
+        |ORDER BY t.doc_id ASC NULLS FIRST""".stripMargin,
     "text_lm_score" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
