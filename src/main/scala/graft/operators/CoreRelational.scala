@@ -127,6 +127,25 @@ object CoreRelational {
         .except(t(s, dir, "customer").filter(col("c_custkey") < 8).select(col("c_custkey").as("user_id"))),
       "user_id")
 
+  // U2b: the BAG-semantics set operations (EXCEPT ALL / INTERSECT ALL) —
+  // multiplicity-preserving difference and intersection, which the distinct
+  // forms above cannot express (removing one occurrence per match matters
+  // whenever rows are observations, not identities). Spark plans both as an
+  // aggregate-of-counts + generate, all keyed on the row value — no join.
+  private val exceptAll: Q = (s, dir) => {
+    val ev = t(s, dir, "events").select((col("user_id") % 40).as("k"))
+    val probe = t(s, dir, "customer").filter(col("c_custkey") < 100)
+      .select((col("c_custkey") % 40).as("k"))
+    ord(ev.exceptAll(probe).groupBy("k").agg(count(lit(1)).as("n")), "k")
+  }
+
+  private val intersectAll: Q = (s, dir) => {
+    val ev = t(s, dir, "events").select((col("user_id") % 40).as("k"))
+    val probe = t(s, dir, "customer").filter(col("c_custkey") < 100)
+      .select((col("c_custkey") % 40).as("k"))
+    ord(ev.intersectAll(probe).groupBy("k").agg(count(lit(1)).as("n")), "k")
+  }
+
   // W2: total sort on composite key (reference: .sort(key=(tag,lon,lat,name,route_id)),
   // agency.py:146-151). (l_orderkey,l_linenumber,l_partkey,l_suppkey) is unique.
   private val sortMulti: Q = (s, dir) =>
@@ -254,6 +273,8 @@ object CoreRelational {
     "join_anti" -> joinAnti,
     "distinct" -> distinctQ,
     "union_all" -> unionAll,
+    "except_all" -> exceptAll,
+    "intersect_all" -> intersectAll,
     "except_diff" -> exceptDiff,
     "sort_multi" -> sortMulti,
     "topk_limit" -> topkLimit,
@@ -318,6 +339,16 @@ object CoreRelational {
         |UNION ALL
         |SELECT event_id, event_type, user_id FROM events WHERE event_type = 'view'
         |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "except_all" ->
+      """WITH a AS (SELECT user_id % 40 AS k FROM events),
+        |b AS (SELECT c_custkey % 40 AS k FROM customer WHERE c_custkey < 100)
+        |SELECT k, count(*) AS n FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+        |GROUP BY k ORDER BY k ASC NULLS FIRST""".stripMargin,
+    "intersect_all" ->
+      """WITH a AS (SELECT user_id % 40 AS k FROM events),
+        |b AS (SELECT c_custkey % 40 AS k FROM customer WHERE c_custkey < 100)
+        |SELECT k, count(*) AS n FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+        |GROUP BY k ORDER BY k ASC NULLS FIRST""".stripMargin,
     "except_diff" ->
       """SELECT user_id FROM events
         |EXCEPT
