@@ -94,15 +94,24 @@ final class LshAdmissionIndex(spark: SparkSession, dir: String,
     * transition); the returned frame is lazy — consume it within the sink's
     * retention window (or materialize it) like any versioned-table reader.
     */
-  def admit(docs: DataFrame, batchId: Long): DataFrame = {
+  def admit(docs: DataFrame, batchId: Long): DataFrame = admitCore(docs, batchId)._1
+
+  /** The admission computation plus the cached per-batch LSH frame backing
+    * the returned (lazy) admitted result. The caller that consumes the
+    * admitted frame OWNS the release: `startAdmission` unpersists right
+    * after the admitted merge materializes it; the batch `admit` entry
+    * point leaves release to session owners (Verify/Bench/tests) via
+    * `cacheManager.clearCache()`, because its result is handed back lazy.
+    * Without the hand-off a long-lived admission stream would pin one cache
+    * entry per micro-batch until executor storage is exhausted.
+    */
+  private def admitCore(docs: DataFrame, batchId: Long): (DataFrame, DataFrame) = {
     // spread the scan across cores BEFORE the md5/MinHash chain (a small
     // batch arrives as one split — the docsSpread lesson), and cache: this
     // one frame feeds the signature collect, the population count, both
     // candidate join sides, the verify set, the index merge, and the
     // admitted result — recomputing the hash chain per consumer multiplied
-    // the whole query ~8x (measured 87 s → 9 s at sf0.1). The cache entry
-    // follows the library convention: session owners (Verify/Bench/tests)
-    // release via cacheManager.clearCache() after the query batch.
+    // the whole query ~8x (measured 87 s → 9 s at sf0.1).
     val rows = DedupText.lshRows(docs.repartition(col("doc_id"))).cache() // doc_id, hs, band, sig
     val sigs = rows.select(col("band"), col("sig")).distinct()
     val idxRows = sink.lookupKeys(sigs)
@@ -151,7 +160,7 @@ final class LshAdmissionIndex(spark: SparkSession, dir: String,
         .agg(slice(array_distinct(collect_list(struct(col("doc_id"), col("hs")))), 1, StoredCap)
           .cast(memberType).as("members")),
       batchId)
-    docs.join(rejected, Seq("doc_id"), "left_anti")
+    (docs.join(rejected, Seq("doc_id"), "left_anti"), rows)
   }
 
   /** Drive admission from a STREAM of documents: each micro-batch admits
@@ -172,7 +181,12 @@ final class LshAdmissionIndex(spark: SparkSession, dir: String,
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        admittedTable.merge(admit(batch.toDF(), id), id)
+        val (admitted, cached) = admitCore(batch.toDF(), id)
+        // the admitted merge is the eager consumer of this batch's cached
+        // LSH frame — release it immediately after (leak finding, r9): a
+        // stream that never unpersists pins one entry per micro-batch
+        try admittedTable.merge(admitted, id)
+        finally cached.unpersist()
       }
       .start()
 }

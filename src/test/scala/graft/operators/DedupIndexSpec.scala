@@ -90,6 +90,45 @@ class DedupIndexSpec extends SparkTestBase {
       "doc 10 must be rejected against the index persisted by the first run")
   }
 
+  test("startAdmission releases the per-batch LSH cache after each admitted merge") {
+    val src = Files.createTempDirectory("graft-admit-leak-src").toString
+    val ckpt = Files.createTempDirectory("graft-admit-leak-ckpt").toString
+    val idxDir = Files.createTempDirectory("graft-admit-leak-idx").toString
+    val admDir = Files.createTempDirectory("graft-admit-leak-out").toString
+    val schema = docs(0L -> "x").schema
+
+    // three drop files with strictly increasing mtimes → three one-file
+    // micro-batches under maxFilesPerTrigger=1 (semantics below are also
+    // order-robust: 2 rejects against 1 and 3 is unrelated, whatever the
+    // batch order)
+    Seq(
+      "d1" -> docs(1L -> base),
+      "d2" -> docs(2L -> (base + " suffix")),
+      "d3" -> docs(3L -> "an unrelated line about manifest diffing and churned bucket replay")
+    ).zipWithIndex.foreach { case ((name, df), i) =>
+      df.repartition(1).write.parquet(s"$src/$name")
+      val t = java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L)
+      Files.walk(java.nio.file.Paths.get(src, name)).forEach(p => Files.setLastModifiedTime(p, t))
+    }
+
+    // start from a clean slate: sibling tests use the batch admit() entry
+    // point, whose cache release is deferred to the session owner
+    spark.sharedState.cacheManager.clearCache()
+    val index = new LshAdmissionIndex(spark, idxDir, threshold = 0.5)
+    val admitted = new graft.streaming.ParquetTableSink(
+      spark, admDir, docs(0L -> "x").limit(0), Seq("doc_id"))
+    index.startAdmission(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(s"$src/*"),
+      admitted, ckpt,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()
+    ).awaitTermination()
+
+    assert(admitted.lastCommittedBatchId == 2L, "three one-file micro-batches expected")
+    assert(ids(admitted.current) == Seq(1L, 3L), "near-dup 2 rejected through the index")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "per-batch LSH cache must be unpersisted after each admitted merge")
+  }
+
   test("replaying a committed batch is a no-op for the index state") {
     val dir = Files.createTempDirectory("graft-admit-4").toString
     val index = new LshAdmissionIndex(spark, dir, threshold = 0.5)
