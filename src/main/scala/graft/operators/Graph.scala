@@ -72,14 +72,28 @@ object Graph {
 
   private val SamplePct = 5
 
+  /** Per-part enumeration bound: at most CapK suppliers per part enter the
+    * pair self-join. The pair-level sparsifier alone bounds the OUTPUT but
+    * not the ENUMERATION — the join still evaluates all C(s,2) pairs of a
+    * hot part before the predicate fires, the classic skewed-self-join bomb
+    * at 100×. Capping the per-part fanout BEFORE the join (deterministic
+    * bottom-k by content hash, ties by supplier id — same engine-replayable
+    * recipe as the sparsifier) drops that to C(CapK,2) per part. CapK=16
+    * bites at test scale (mean co-supply fanout ~26, max 41 at sf0.01), so
+    * the oracle mirror is genuinely exercised, not vacuously green.
+    */
+  private val CapK = 16
+
   // Exact triangle counting over the supplier co-supply graph (suppliers are
   // adjacent when they ship the same part) — the clustering-coefficient
   // substrate, and the classic test of a relational engine's self-join
   // discipline. The co-supply projection of a bipartite table is near-
   // complete at any scale (expected shared parts per supplier pair grows
-  // with |parts|), so the graph is hash-SPARSIFIED at pair level (5%,
-  // deterministic, mirrored in the oracle) — the graded semantics, not a
-  // silent truncation, same contract as DedupText.MAX_BUCKET.
+  // with |parts|), so the graph is bounded twice, both as GRADED semantics
+  // mirrored in the oracle (the DedupText.MAX_BUCKET contract, not silent
+  // truncation): per-part fanout capped at CapK before the self-join (the
+  // enumeration bound) and hash-SPARSIFIED at pair level (5%, the output
+  // bound).
   //
   // Algorithm: degree-ordered orientation (Schank/node-iterator++). Every
   // edge points from its (deg, id)-smaller endpoint to the larger; each
@@ -88,26 +102,40 @@ object Graph {
   // the wedge fan-out is bounded on any degree distribution (the skewed-hub
   // pathology of naive neighbor joins is oriented away). All three stages
   // are equi-joins on vertex keys; nothing is broadcast-sized by the graph.
-  private val graphTriangles: Q = (s, dir) => {
-    // one part-keyed exchange serves BOTH the (p, sv) dedup (partitioning on
-    // p clusters (p, sv)) and the self-join on p — a plain distinct() would
-    // hash on (p, sv) and force a second exchange of each join side
+  /** The co-supply edge build, pre-checkpoint — exposed so PlanShapeSpec can
+    * assert the fanout cap compiles to a WindowGroupLimit BELOW the pair
+    * self-join (the final query's plan starts at the checkpoint). */
+  private[graft] def coSupplyEdges(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): DataFrame = {
+    // one part-keyed exchange serves the (p, sv) dedup (partitioning on p
+    // clusters (p, sv)), the fanout-cap window, AND the self-join on p — a
+    // plain distinct() would hash on (p, sv) and force extra exchanges
     val ps = Tables(s, dir, "lineitem")
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sv"))
       .repartition(col("p"))
       .dropDuplicates("p", "sv")
+    // enumeration bound (see CapK): rank<=k compiles to WindowGroupLimit,
+    // trimming each part to CapK rows before any pair is formed
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("p"))
+      .orderBy(Hashing.h60(concat(lit("tricap:"), col("p"), lit(":"), col("sv"))).asc,
+        col("sv").asc)
+    val capped = ps.withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") <= CapK).drop("rn")
+    capped.as("x").join(capped.as("y"),
+        col("x.p") === col("y.p") && col("x.sv") < col("y.sv") &&
+          pairKept(col("x.sv"), col("y.sv"), SamplePct))
+      .select(col("x.sv").as("a"), col("y.sv").as("b"))
+      .distinct()
+  }
+
+  private val graphTriangles: Q = (s, dir) => {
     // localCheckpoint (the pagerank convention): the per-part pair join is
     // the expensive stage (|parts| × fanout² candidate rows, each paying the
     // sparsifier hash) and e feeds FOUR consumers (deg, the orientation
     // join, n_edges, and transitively every wedge) — materialize it once
     // instead of recomputing the join per branch (measured 7.1 s → the join
     // ran ~3×)
-    val e = ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.sv") < col("y.sv") &&
-          pairKept(col("x.sv"), col("y.sv"), SamplePct))
-      .select(col("x.sv").as("a"), col("y.sv").as("b"))
-      .distinct()
-      .localCheckpoint()
+    val e = coSupplyEdges(s, dir).localCheckpoint()
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     // orient by (degree, id): struct comparison is lexicographic on both
@@ -176,7 +204,15 @@ object Graph {
     // the same degree-ordered orientation; (a, b) tuple comparison is
     // lexicographic in DuckDB exactly like Spark struct comparison
     "graph_triangles" ->
-      s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sv FROM lineitem),
+      s"""WITH ps0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sv FROM lineitem),
+         |ps AS (
+         |  -- the CapK fanout bound: deterministic bottom-k by the same
+         |  -- engine-replayable hash, ties by supplier id
+         |  SELECT p, sv FROM (
+         |    SELECT p, sv, row_number() OVER (PARTITION BY p
+         |      ORDER BY CAST(('0x'||substr(md5('tricap:'||p||':'||sv),1,15)) AS BIGINT), sv) AS rn
+         |    FROM ps0)
+         |  WHERE rn <= $CapK),
          |e AS (
          |  SELECT DISTINCT x.sv AS a, y.sv AS b
          |  FROM ps x JOIN ps y ON x.p = y.p AND x.sv < y.sv

@@ -360,6 +360,23 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("graph_triangles: per-part fanout cap trims BELOW the pair self-join") {
+    withStaticPlans {
+      // the pair-level sparsifier bounds the output, not the enumeration — a
+      // hot part must be trimmed to CapK rows BEFORE any C(s,2) pair forms
+      val ns = nodes(staticPlan(graft.operators.Graph.coSupplyEdges(spark, sf)))
+      val joins = ns.filter(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec] ||
+          n.isInstanceOf[BroadcastHashJoinExec])
+      assert(joins.nonEmpty, "the pair build must be an equi-join on p")
+      assert(joins.forall(j => j.children.forall(c =>
+          nodes(c).exists(_.getClass.getSimpleName == "WindowGroupLimitExec"))),
+        "rank<=CapK must compile to a WindowGroupLimit on BOTH join inputs " +
+          "(the enumeration bound, below the join)")
+    }
+  }
+
   test("dedup_spans: inverted-index equi-join + one doc-keyed window, no similarity join") {
     withStaticPlans {
       val ns = nodes(staticPlan(SparkEntry.queries("dedup_spans")(spark, sf)))
