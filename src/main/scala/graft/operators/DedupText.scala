@@ -380,15 +380,19 @@ object DedupText {
   // Jain & Das Sarma, WWW'07 — Google's web-dedup): two docs are near-dups
   // when their f-bit simhashes differ in ≤ K bits. The scalable shape is
   // EXACT-recall banding by pigeonhole: split f = 60 bits into B = 6 bands
-  // of 10; any pair within hamming K = 5 ≤ B−1 agrees on ≥ 1 whole band, so
-  // an equi-join on (band, band-bits) finds every qualifying pair — a
-  // deterministic guarantee, unlike MinHash banding's probabilistic one.
+  // of 10; any pair within hamming K ≤ B−1 = 5 (shipped HAM_K = 2) agrees
+  // on ≥ 1 whole band, so an equi-join on (band, band-bits) finds every
+  // qualifying pair — a deterministic guarantee, unlike MinHash banding's
+  // probabilistic one. The require below pins the bound: raising HAM_K past
+  // B−1 would silently lose recall.
   // Verify = bit_count(xor) on the candidate pairs only. The MAX_BUCKET
   // guard caps degenerate bands (near-empty docs hash alike), mirrored in
   // the oracle as graded semantics.
   private[operators] val SIM_BITS = 60
   private[operators] val SIM_BANDS = 6
   private[operators] val HAM_K = 2
+  require(HAM_K <= SIM_BANDS - 1,
+    s"hamming radius $HAM_K breaks the pigeonhole exact-recall bound (B-1 = ${SIM_BANDS - 1})")
   /** Distinct-token 60-bit hashes of `text` (the simhash input). */
   private[operators] def tokenHashes: Column =
     transform(array_distinct(split(normText, " ")), t => h60(0, t))

@@ -763,6 +763,15 @@ object StreamingOps {
     Seq((-1L, java.sql.Timestamp.valueOf("2024-02-15 00:00:00")),
         (-1L, java.sql.Timestamp.valueOf("2024-02-16 00:00:00")))
       .toDF("user_id", "ts").repartition(1).write.parquet(s"$src/d3")
+    // the file source orders batches by file mtime: pin strictly increasing
+    // times so d1 < d2 < d3 is deterministic — two drops written within one
+    // clock tick would otherwise race, and processing d2 first advances the
+    // watermark past d1's events (nondeterministic late-drop)
+    Seq("d1", "d2", "d3").zipWithIndex.foreach { case (d, i) =>
+      val t = java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L)
+      java.nio.file.Files.walk(src.resolve(d)).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, t))
+    }
     val stream = local.readStream.schema(week.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$src/*").as[SEvent]
     val out = work.resolve("sessions")
