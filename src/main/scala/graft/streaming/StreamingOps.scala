@@ -733,6 +733,52 @@ object StreamingOps {
       .orderBy(col("_op").asc_nulls_first, col("event_id").asc_nulls_first)
   }
 
+  /** Change-feed CONSUMPTION, graded: a downstream mirror table is
+    * maintained PURELY from the upstream's row-level change feed — it never
+    * reads upstream data files — and its final state must hash-equal
+    * recomputing the upstream from raw events. The loop is the real CDC
+    * consumer shape: upstream commits version v, the consumer calls
+    * `changeFeed(lastSynced)` and merges the classified rows into the
+    * mirror as a CDC batch (`_op == 'delete'` → the sink's `_deleted`
+    * tombstone; insert/update carry new values → upsert), with the
+    * upstream version as the mirror's batch id — so sync replay inherits
+    * the sink's exactly-once guard (re-applied here and required to no-op).
+    * Upstream version 0 is an EMPTY commit, so even the initial load
+    * arrives through the feed. Cost per sync: O(churned upstream buckets)
+    * read (the changeFeed pruning argument) + the mirror's own
+    * bucket-pruned merge — never O(table) on either side.
+    */
+  private val cdfApply: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val t1 = lit("2024-01-10 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-20 00:00:00").cast("timestamp")
+    val work = graft.Scratch.dir("graft-cdf-apply")
+    val src = new ParquetTableSink(s, work.resolve("src").toString,
+      ev.limit(0), Seq("event_id"), buckets = 8)
+    val mirror = new ParquetTableSink(s, work.resolve("mirror").toString,
+      ev.limit(0), Seq("event_id"), buckets = 8)
+    def sync(sinceVersion: Long): Unit = mirror.merge(
+      src.changeFeed(sinceVersion)
+        .withColumn(ParquetTableSink.DeleteCol, col("_op") === "delete")
+        .drop("_op"),
+      sinceVersion + 1)
+    src.merge(ev.limit(0), 0L)                     // v0: empty initial commit
+    src.merge(ev.filter(col("ts") < t1), 1L)       // v1: initial load
+    sync(0L)                                       // mirror catches up to v1
+    src.merge(                                     // v2: one CDC batch
+      ev.filter(col("ts") < t1 && col("user_id") % 5 === 0)
+        .withColumn("value", col("value") + 1000.0)
+        .withColumn(ParquetTableSink.DeleteCol, lit(false))
+        .unionByName(ev.filter(col("ts") >= t1 && col("ts") < t2)
+          .withColumn(ParquetTableSink.DeleteCol, lit(false)))
+        .unionByName(ev.filter(col("user_id") % 10 === 3)
+          .withColumn(ParquetTableSink.DeleteCol, lit(true))), 2L)
+    sync(1L)                                       // mirror catches up to v2
+    sync(1L)                                       // replayed sync must no-op
+    mirror.current.orderBy(col("event_id").asc_nulls_first)
+  }
+
   /** GRADED custom-state sessionization: a real file-source stream drains
     * through `sessionize` (flatMapGroupsWithState + event-time timeout) into
     * a parquet file sink, and the closed sessions are graded against the
@@ -793,6 +839,7 @@ object StreamingOps {
   val queries: Map[String, Q] = Map(
     "stream_sessions" -> streamSessions,
     "sink_change_feed" -> sinkChangeFeed,
+    "cdf_apply" -> cdfApply,
     "sink_clone" -> sinkClone,
     "sink_rebucket" -> sinkRebucket,
     "stream_stream_join" -> streamStreamJoin,
@@ -909,6 +956,21 @@ object StreamingOps {
         |SELECT 'update', event_id, ts, user_id, event_type, value + 1000.0
         |FROM events WHERE ts < TIMESTAMP '2024-01-10 00:00:00' AND user_id % 5 = 0
         |ORDER BY _op ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
+    // the mirror's final state = replaying the upstream's two commits
+    // declaratively: initial window with the update applied, minus the
+    // deleted cohort, plus the inserted window (delete-wins in-batch; the
+    // %5=0 and %10=3 cohorts are disjoint)
+    "cdf_apply" ->
+      """SELECT event_id, ts, user_id, event_type,
+        |  CASE WHEN user_id % 5 = 0 THEN value + 1000.0 ELSE value END AS value
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-10 00:00:00' AND user_id % 10 <> 3
+        |UNION ALL
+        |SELECT event_id, ts, user_id, event_type, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00' AND user_id % 10 <> 3
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     // clone side = fork at t2 minus the deleted cohort; src side = all three
     // windows (the fork's delete never reaches it)
     "sink_clone" ->

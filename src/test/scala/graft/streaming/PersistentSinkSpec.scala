@@ -553,6 +553,52 @@ class PersistentSinkSpec extends SparkTestBase {
     intercept[IllegalArgumentException](sink.changeFeed(0L))
   }
 
+  test("CDC mirror maintained purely from the change feed converges, prunes, and replays as no-op") {
+    val session = spark
+    import session.implicits._
+    val srcDir = Files.createTempDirectory("graft-cdf-src").toString
+    val mirDir = Files.createTempDirectory("graft-cdf-mir").toString
+    val src = new ParquetTableSink(spark, srcDir, events.limit(0), Seq("event_id"))
+    val mirror = new ParquetTableSink(spark, mirDir, events.limit(0), Seq("event_id"))
+    def sync(since: Long): Unit = mirror.merge(
+      src.changeFeed(since)
+        .withColumn(ParquetTableSink.DeleteCol, col("_op") === "delete")
+        .drop("_op"),
+      since + 1)
+
+    src.merge(events.limit(0), 0L)                       // v0: empty
+    src.merge(events.filter(col("event_id") < 200), 1L)  // v1: load
+    sync(0L)
+    assert(sortedIds(mirror.current) == sortedIds(src.current),
+      "initial load must arrive through the feed")
+
+    // one-key churn upstream → the sync must rewrite exactly one mirror bucket
+    src.merge(events.filter(col("event_id") === 5)
+      .withColumn("value", col("value") + 1.0), 2L)      // v2
+    sync(1L)
+    assert(sortedIds(mirror.current) == sortedIds(src.current))
+    val mirrored = mirror.current.filter(col("event_id") === 5).select("value").as[Double].head()
+    val upstream = src.current.filter(col("event_id") === 5).select("value").as[Double].head()
+    assert(mirrored == upstream, "update must propagate new values")
+    val b5 = events.filter(col("event_id") === 5)
+      .select(pmod(hash(col("event_id")), lit(16))).as[Int].head()
+    val touched = mirror.changesSince(0)  // mirror buckets churned by the 2nd sync
+      .select(pmod(hash(col("event_id")), lit(16))).as[Int].collect().toSet
+    assert(touched == Set(b5),
+      s"a one-key upstream churn must rewrite one mirror bucket, got $touched")
+
+    // a replayed sync (same upstream version, same mirror batch id) no-ops
+    sync(1L)
+    assert(mirror.lastCommittedBatchId == 2L && mirror.versions.size == 2,
+      "replayed sync must not commit a new mirror version")
+
+    // deletes retract through the feed
+    src.deleteKeys(events.filter(col("event_id") < 50).select("event_id"), 3L) // v3
+    sync(2L)
+    assert(sortedIds(mirror.current) == sortedIds(src.current),
+      "tombstones must retract mirrored rows")
+  }
+
   test("rebucket rewrites at the new bucket count, preserves content, carries the guard") {
     val srcDir = Files.createTempDirectory("graft-rebucket-src")
     val dstDir = Files.createTempDirectory("graft-rebucket-dst")
