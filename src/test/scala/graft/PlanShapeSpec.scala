@@ -360,6 +360,16 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("join_skew_adaptive: the final adaptive plan carries the skew-split marker") {
+    // runtime property, not a static shape: AQE only marks the join after
+    // the map stage exposes real partition sizes, so execute then inspect
+    val df = SparkEntry.queries("join_skew_adaptive")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew="),
+      s"the hot partition must be split by OptimizeSkewedJoin:\n$finalPlan")
+  }
+
   test("graph_triangles: per-part fanout cap trims BELOW the pair self-join") {
     withStaticPlans {
       // the pair-level sparsifier bounds the output, not the enumeration — a
