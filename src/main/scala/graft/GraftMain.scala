@@ -136,14 +136,47 @@ final class GraftApp(spark: SparkSession, sfDir: String, incomingDir: String,
 }
 
 /** Runnable smoke-main: two simulated days of the testdata feed.
-  * `runMain graft.GraftMain [sfDir workDir]` — prints the refresh log and
-  * the final fact-table count.
+  * `runMain graft.GraftMain [sfDir workDir] [-z tz] [-r resttime]` — prints
+  * the refresh log and the final fact-table count.
+  *
+  * The reference's two operational knobs (run.py:50-62) are wired through:
+  * `-z` names the user timezone whose MIDNIGHT is the dimension-refresh
+  * rollover boundary (run.py:104,111 — `utc_now.astimezone(user_tz)
+  * .date()`), and `-r` is the rest interval in seconds slept between poll
+  * ticks (run.py:113, fractional allowed).
   */
 object GraftMain {
+
+  /** run.py's date recipe: the rollover calendar is the USER zone's, not
+    * UTC's — a pipeline run for a Pacific transit agency rolls its dims at
+    * Pacific midnight. The UTC instant source is injected so tests advance
+    * simulated time deterministically. */
+  def zonedClock(utcNow: () => java.time.Instant,
+                 zone: java.time.ZoneId): () => LocalDate =
+    () => utcNow().atZone(zone).toLocalDate
+
+  /** run.py:30-46 getopts: "-flag value" pairs anywhere in argv; everything
+    * else stays positional (sfDir, workDir). */
+  private[graft] def parseArgs(args: Array[String]): (Map[String, String], Seq[String]) = {
+    var opts = Map.empty[String, String]
+    val positional = Seq.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      if (args(i).startsWith("-") && i + 1 < args.length) {
+        opts += (args(i) -> args(i + 1)); i += 2
+      } else { positional += args(i); i += 1 }
+    }
+    (opts, positional.result())
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val work = args.lift(1).getOrElse(
+    val (opts, positional) = parseArgs(args)
+    val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.001")
+    val work = positional.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-main").toString)
+    val zone = java.time.ZoneId.of(opts.getOrElse("-z", "UTC"))
+    val restMillis = (opts.getOrElse("-r", "0").toDouble * 1000).toLong
+    require(restMillis >= 0, s"-r must be non-negative seconds, got ${opts("-r")}")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -153,21 +186,27 @@ object GraftMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    var today = LocalDate.of(2024, 1, 1)
+    // simulated UTC clock, viewed through -z (mid-day start, so the one-day
+    // advance crosses midnight in every timezone)
+    var utcNow = java.time.Instant.parse("2024-01-01T12:00:00Z")
     val incoming = s"$work/incoming"
-    val app = new GraftApp(spark, sfDir, incoming, s"$work/state", () => today)
+    val app = new GraftApp(spark, sfDir, incoming, s"$work/state",
+      zonedClock(() => utcNow, zone))
 
     def drop(name: String, pred: org.apache.spark.sql.Column): Unit =
       Tables(spark, sfDir, "events")
         .select("event_id", "ts", "user_id", "value")
         .filter(pred).write.parquet(s"$incoming/$name")
 
+    // -r: the reference's sleep(resttime) between polls (run.py:113)
+    def rest(): Unit = if (restMillis > 0) Thread.sleep(restMillis)
+
     app.tick()                                   // day-1 startup: dim snapshot
-    drop("d1", col("event_id") < 400); app.tick() // poll 1
-    drop("d2", col("event_id") >= 300 && col("event_id") < 700); app.tick()
-    today = today.plusDays(1)
+    drop("d1", col("event_id") < 400); rest(); app.tick() // poll 1
+    drop("d2", col("event_id") >= 300 && col("event_id") < 700); rest(); app.tick()
+    utcNow = utcNow.plus(java.time.Duration.ofDays(1))
     app.tick()                                   // day-2 rollover: dim refresh
-    drop("d3", col("event_id") >= 700 && col("event_id") < 900); app.tick()
+    drop("d3", col("event_id") >= 700 && col("event_id") < 900); rest(); app.tick()
 
     println(s"refresh log: ${app.refreshLog.mkString(", ")}")
     println(s"fact rows: ${app.factTable.count()} (expect 900 distinct events)")

@@ -101,4 +101,36 @@ class GraftMainSpec extends SparkTestBase {
       .select(col("EVENT_ID")).first().getLong(0) == 990L,
       "the unmatched event must land with a NULL dimension attribute")
   }
+
+  test("-z: the rollover boundary is the user zone's midnight, not UTC's") {
+    val work = Files.createTempDirectory("graft-app-tz").toString
+    // UTC-8 in winter: UTC midnight falls mid-afternoon Pacific
+    val zone = java.time.ZoneId.of("America/Los_Angeles")
+    var utcNow = java.time.Instant.parse("2024-02-29T23:00:00Z") // LA: Feb 29, 15:00
+    val app = new GraftApp(spark, sf, s"$work/incoming", s"$work/state",
+      graft.GraftMain.zonedClock(() => utcNow, zone))
+
+    app.tick() // startup refresh, dated Feb 29 in LA
+    assert(app.refreshLog.map(_._1).distinct == Seq(LocalDate.of(2024, 2, 29)))
+
+    // cross UTC midnight but NOT LA midnight: still the same LA day, so the
+    // tick must POLL, not refresh (run.py:104 uses the user zone's date)
+    utcNow = java.time.Instant.parse("2024-03-01T01:00:00Z") // LA: Feb 29, 17:00
+    app.tick()
+    assert(app.refreshLog.size == 3, "no refresh while the LA date is unchanged")
+
+    // cross LA midnight: now the chain re-runs, dated Mar 1
+    utcNow = java.time.Instant.parse("2024-03-01T09:00:00Z") // LA: Mar 1, 01:00
+    app.tick()
+    assert(app.refreshLog.map(_._1).distinct ==
+      Seq(LocalDate.of(2024, 2, 29), LocalDate.of(2024, 3, 1)),
+      "the LA midnight crossing must trigger the refresh chain")
+  }
+
+  test("getopts: '-flag value' pairs parse anywhere; bare args stay positional") {
+    val (opts, pos) = graft.GraftMain.parseArgs(
+      Array("/data/sf1", "-z", "America/Los_Angeles", "/tmp/w", "-r", "2.5"))
+    assert(opts == Map("-z" -> "America/Los_Angeles", "-r" -> "2.5"))
+    assert(pos == Seq("/data/sf1", "/tmp/w"))
+  }
 }
