@@ -46,7 +46,12 @@ object Bench {
     // intra-sweep cache sharing (the dedup family) matches earlier rounds'
     // single-sweep semantics.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // optional comma-separated query filter: quiet-machine control re-runs
+    // of flagged queries (tools/bench_delta.py) without paying a full sweep
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val sweeps: Seq[Map[String, (Double, Option[String])]] = (1 to runs).map { sweep =>
       val m = names.map { case (name, fn) =>
         val t0 = System.nanoTime()
