@@ -374,6 +374,60 @@ object DedupText {
       .orderBy(col("doc_id").asc_nulls_first)
   }
 
+  // ---- dedup_containment: asymmetric quote/inclusion detection ------------
+  //
+  // Symmetric Jaccard — and the MinHash bands that estimate it — is blind
+  // to a snippet embedded in a much larger host document: J collapses as
+  // the size ratio grows even when EVERY shingle of the snippet appears in
+  // the host (J ≤ |A|/|B|). The asymmetric measure is containment
+  // C = |A∩B| / min(|A|, |B|); the corpus-pipeline use is pulling quoted /
+  // mirrored / template-wrapped text that exact and near dedup both miss.
+  //
+  // Candidates come from a RARE-shingle inverted index, not MinHash bands
+  // (whose recall is a function of J, exactly the measure containment
+  // exists to escape): explode hashed shingles, keep grams with document
+  // frequency ≤ DF_MAX, pair docs sharing ≥ 1 rare gram. Recall is EXACT
+  // for pairs sharing a rare gram; pairs whose entire overlap is
+  // boilerplate grams (df > DF_MAX) are out of scope by declared,
+  // oracle-mirrored semantics — the MAX_BUCKET contract again, and the
+  // same reasoning: overlap made solely of ubiquitous grams is template
+  // noise, not quotation. Candidate volume is structurally bounded at
+  // C(DF_MAX, 2) pairs per gram, so the self-join cannot go quadratic in
+  // corpus size; the df count and the pair join ride one gram-key
+  // partitioning.
+  private[operators] val CONTAIN_TAU = 0.8
+  private[operators] val DF_MAX = 10
+
+  private val dedupContainment: Q = (s, dir) => {
+    val sets = withWordShingles(docsSpread(s, dir))
+      .filter(size(col("s")) > 0)
+      .select(col("doc_id"),
+        array_distinct(transform(col("s"), x => h60(0, x))).as("hs"))
+      .cache() // feeds the inverted index and both verify sides; session
+               // owners release via clearCache (the dedup-family convention)
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val rare = sets.select(col("doc_id"), explode(col("hs")).as("g"))
+      .withColumn("df", count(lit(1)).over(wG))
+      .filter(col("df") <= DF_MAX)
+      .drop("df")
+    val cand = rare.as("a").join(rare.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("hs_a")).cast("long").as("n_a"),
+        size(col("hs_b")).cast("long").as("n_b"),
+        (size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          least(size(col("hs_a")), size(col("hs_b")))).as("c"))
+      .filter(col("c") >= CONTAIN_TAU)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        round(col("c"), 6).as("containment"))
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+  }
+
   // ---- dedup_hamming: Manku-style simhash near-dup PAIRS ------------------
   //
   // The hamming-distance join the simhash signature exists for (Manku,
@@ -437,7 +491,8 @@ object DedupText {
     "dedup_drop_list" -> dedupDropList,
     "dedup_exact" -> dedupExact,
     "dedup_simhash" -> dedupSimhash,
-    "dedup_hamming" -> dedupHamming
+    "dedup_hamming" -> dedupHamming,
+    "dedup_containment" -> dedupContainment
   )
 
   // ---- DuckDB oracle ----
@@ -518,6 +573,29 @@ object DedupText {
       s"""WITH $chShSql,\n$mhSql,\n${bandsSqlFor(2)},\n$pairsSql
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
          |WHERE jaccard >= 0.6
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+    // the rare-gram inverted index + asymmetric containment, replayed
+    // declaratively (hsd is mhSql's hashed-shingle CTE; list_distinct
+    // mirrors the Spark side's array_distinct over hashed grams)
+    "dedup_containment" ->
+      s"""WITH $shSql,\n$mhSql,
+         |hsets AS (SELECT doc_id, list_distinct(hs) AS hs FROM hsd WHERE len(s) > 0),
+         |inv AS (SELECT doc_id, UNNEST(hs) AS g FROM hsets),
+         |rare AS (
+         |  SELECT doc_id, g FROM (
+         |    SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM inv)
+         |  WHERE df <= $DF_MAX),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |cont AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(x.hs) AS BIGINT) AS n_a, CAST(len(y.hs) AS BIGINT) AS n_b,
+         |    CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+         |      / least(len(x.hs), len(y.hs)) AS c
+         |  FROM cand c JOIN hsets x ON c.doc_a = x.doc_id JOIN hsets y ON c.doc_b = y.doc_id)
+         |SELECT doc_a, doc_b, n_a, n_b, round(c, 6) AS containment
+         |FROM cont WHERE c >= $CONTAIN_TAU
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $shSql,\n$mhSql,\n$bandsSql,\n$pairsSql,

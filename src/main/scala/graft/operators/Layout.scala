@@ -87,8 +87,63 @@ object Layout {
       .orderBy(col("event_id").asc_nulls_first)
   }
 
+  /** Hive-style partition pruning, graded: events land partitioned by day
+    * (`partitionBy` directory layout — the coarsest and cheapest pruning
+    * tool at 100 TB: a date-ranged query lists only matching directories,
+    * the other 360 days of a year-long table are never even stat'd, which
+    * no row-group min/max can do for you). Read back through a day-range
+    * predicate; Catalyst turns it into PartitionFilters (asserted in
+    * PlanShapeSpec — the filter prunes at LISTING time, before any file
+    * opens). The hash proves the layout+restore is lossless including the
+    * partition column's value reconstruction from directory names.
+    */
+  private val partitionPruneScan: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        to_date(col("ts")).as("day"))
+    val out = graft.Scratch.dir("graft-partprune").resolve("events_by_day").toString
+    ev.write.partitionBy("day").parquet(out)
+    s.read.parquet(out)
+      .filter(col("day") >= lit("2024-01-05").cast("date") &&
+        col("day") <= lit("2024-01-09").cast("date"))
+      .select("event_id", "ts", "user_id", "value", "day")
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
+  /** Bucketed CO-LOCATED join, graded: both sides are written as bucketed
+    * datasource tables (8 buckets on the join key, one file per bucket,
+    * sorted), so the sort-merge join consumes the layout's partitioning —
+    * ZERO exchanges below the join (asserted in PlanShapeSpec; a LOCAL
+    * per-bucket sort remains because modern Spark no longer trusts written
+    * sort order at scan time, SPARK-28346 — shuffle-free and cheap).
+    * This is the shuffle-free repeated-join story at 100 TB:
+    * pay the bucketed write once, then every key-join against the table
+    * skips its shuffle forever — what `repartition` can't give you across
+    * jobs, because only the catalog's bucket metadata survives the session.
+    * The merge hint pins SMJ so the demonstration isn't silently replaced
+    * by a broadcast (which would also be exchange-free, but trivially).
+    */
+  private val bucketedJoin: Q = (s, dir) => {
+    val scratch = graft.Scratch.dir("graft-bucketed")
+    val ev = Tables(s, dir, "events").select("event_id", "user_id", "value")
+      .repartition(8, col("user_id")) // one file per bucket (same hash as bucketBy)
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      .repartition(8, col("user_id"))
+    ev.write.mode("overwrite").option("path", scratch.resolve("ev").toString)
+      .bucketBy(8, "user_id").sortBy("user_id").saveAsTable("graft_bkt_events")
+    cust.write.mode("overwrite").option("path", scratch.resolve("cust").toString)
+      .bucketBy(8, "user_id").sortBy("user_id").saveAsTable("graft_bkt_customer")
+    s.table("graft_bkt_events")
+      .join(s.table("graft_bkt_customer").hint("merge"), Seq("user_id"))
+      .select("event_id", "user_id", "value", "c_mktsegment")
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
-    "zorder_scan" -> zorderScan
+    "zorder_scan" -> zorderScan,
+    "partition_prune_scan" -> partitionPruneScan,
+    "bucketed_join" -> bucketedJoin
   )
 
   val oracle: Map[String, String] = Map(
@@ -96,6 +151,15 @@ object Layout {
       """SELECT event_id, ts, user_id, event_type, value
         |FROM events
         |WHERE user_id % 50 = 7 AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "partition_prune_scan" ->
+      """SELECT event_id, ts, user_id, value, CAST(ts AS DATE) AS day
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "bucketed_join" ->
+      """SELECT event_id, user_id, value, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey
         |ORDER BY event_id ASC NULLS FIRST""".stripMargin
   )
 }

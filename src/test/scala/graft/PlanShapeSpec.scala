@@ -360,6 +360,33 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("partition_prune_scan: the day predicate prunes at directory-listing time") {
+    withStaticPlans {
+      val plan = staticPlan(SparkEntry.queries("partition_prune_scan")(spark, sf)).toString
+      assert(plan.contains("PartitionFilters") && plan.contains("day"),
+        s"the day range must become PartitionFilters, not a row filter:\n$plan")
+      // and it must NOT degrade to a post-scan Filter on the partition column
+      assert(!plan.contains("PartitionFilters: []"),
+        s"partition filters must be non-empty:\n$plan")
+    }
+  }
+
+  test("bucketed_join: both sides consume the bucket layout — no exchange below the join") {
+    withStaticPlans {
+      val ns = nodes(staticPlan(SparkEntry.queries("bucketed_join")(spark, sf)))
+      val smjs = ns.collect { case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(smjs.size == 1, "the merge hint must pin a sort-merge join")
+      val below = smjs.head.children.flatMap(nodes)
+      assert(!below.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        "bucketed sides must join WITHOUT shuffling")
+      // modern Spark ignores the written sortBy order at scan time
+      // (SPARK-28346), so a LOCAL per-bucket sort remains — cheap and
+      // shuffle-free; the exchange elision above is the scale win
+      val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles <= 1, s"only the final orderBy may exchange, got $shuffles")
+    }
+  }
+
   test("join_skew_adaptive: the final adaptive plan carries the skew-split marker") {
     // runtime property, not a static shape: AQE only marks the join after
     // the map stage exposes real partition sizes, so execute then inspect
