@@ -607,6 +607,86 @@ object StreamingOps {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** Mergeable QUANTILE materialized view, graded: per-event-type fixed-bin
+    * value histograms maintained incrementally in the versioned sink — the
+    * percentile companion to `stream_distinct_mv`'s HLL. Histogram counts
+    * are mergeable (bin-wise SUM combiner) but NOT replay-absorbing the way
+    * a sketch union is, so exactly-once is layered: watermark dedup whose
+    * horizon covers the re-delivery window upstream (the overlapping drop
+    * is dropped by state, not absorbed), the batch-id guard at the sink.
+    * Estimator contract: with B equi-width bins over the DECLARED value
+    * domain [0, QMAX), a bin-midpoint estimate is within one bin width of
+    * the exact interpolated percentile — graded as that deterministic
+    * tolerance boolean beside the exact value (the approx_distinct recipe).
+    * At 100 TB the MV is O(types × B) rows however large the stream; the
+    * read is one windowed cumsum over it.
+    */
+  private val streamQuantileMv: Q = (s, dir) => {
+    val local = s.newSession()
+    local.conf.set("spark.sql.shuffle.partitions", "8")
+    val ev = Tables(local, dir, "events").select("event_id", "ts", "event_type", "value")
+    val t0 = lit("2024-01-10 00:00:00").cast("timestamp")
+    val t1 = lit("2024-01-20 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-28 00:00:00").cast("timestamp")
+    val Bins = 500
+    val QMax = 500.0
+    val width = QMax / Bins
+    val work = graft.Scratch.dir("graft-stream-quant")
+    val src = work.resolve("drops")
+    ev.filter(col("ts") < t1).repartition(1).write.parquet(s"$src/d1")
+    ev.filter(col("ts") >= t0 && col("ts") < t2).repartition(1).write.parquet(s"$src/d2")
+
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"),
+          least(floor(col("value") / width), lit(Bins - 1)).cast("int").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+
+    val combine: ParquetTableSink.Combiner = (target, staged) =>
+      target.select(col("event_type"), col("bin"), col("cnt"))
+        .unionByName(staged.select(col("event_type"), col("bin"), col("cnt")))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("cnt")).as("cnt"))
+
+    val sink = new ParquetTableSink(local, work.resolve("table").toString,
+      partial(ev).limit(0), Seq("event_type", "bin"), buckets = 8, combine = combine)
+    // the dedup rides the STREAMING frame (cross-batch state store), horizon
+    // covering the whole re-delivery window: histogram counts need TRUE
+    // exactly-once delivery — the overlapping drop must be dropped by
+    // state, not absorbed (at scale: horizon = max re-delivery lag)
+    dedupByKey(local.readStream.schema(ev.schema).parquet(s"$src/*"),
+        "ts", "30 days", Seq("event_id"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[Row], id: Long) => sink.merge(partial(b.toDF()), id) }
+      .start()
+      .awaitTermination()
+
+    // read: one cumsum window over the O(types × B) MV
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val hist = sink.current
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wTot))
+    def estOf(q: Double) =
+      min(when(col("cum") >= lit(q) * col("total"), col("bin"))) * width + width / 2
+    val est = hist.groupBy("event_type")
+      .agg(estOf(0.5).as("e50"), estOf(0.95).as("e95"))
+    val exact = Tables(local, dir, "events").filter(col("ts") < t2)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"),
+        round(col("p50"), 6).as("p50"), round(col("p95"), 6).as("p95"),
+        (abs(col("e50") - col("p50")) <= width).as("t50"),
+        (abs(col("e95") - col("p95")) <= width).as("t95"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   /** The REAL stream-stream join path, graded: clicks and purchases drain as
     * two independent file-source streams through a watermarked interval join
     * (purchase within one hour of a same-user click) into a file sink; the
@@ -848,6 +928,7 @@ object StreamingOps {
     "sink_point_lookup" -> sinkPointLookup,
     "stream_rollup_table" -> streamRollupTable,
     "stream_distinct_mv" -> streamDistinctMv,
+    "stream_quantile_mv" -> streamQuantileMv,
     "stream_dedup_replay" -> streamDedupReplay,
     "stream_offsets" -> streamOffsets,
     "stream_sink_table" -> streamSinkTable,
@@ -860,6 +941,16 @@ object StreamingOps {
     // as a tolerance boolean beside the exact count (approx_distinct recipe)
     "stream_distinct_mv" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_tol
+        |FROM events WHERE ts < TIMESTAMP '2024-01-28 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+    // the histogram MV's estimates are graded as deterministic one-bin-width
+    // tolerance booleans beside the exact interpolated percentiles
+    "stream_quantile_mv" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  TRUE AS t50, TRUE AS t95
         |FROM events WHERE ts < TIMESTAMP '2024-01-28 00:00:00'
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
