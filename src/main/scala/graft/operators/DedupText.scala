@@ -246,27 +246,28 @@ object DedupText {
       .distinct()
   }
 
-  // Connected components over the verified near-dup pairs: cluster id = min
-  // doc_id reachable. Alternating large-star/small-star (Kiveris et al.,
-  // "Connected Components in MapReduce and Beyond"): each round contracts
-  // chains toward the component minimum from BOTH ends, converging in
-  // O(log n) rounds vs O(diameter) for plain label propagation — a 3-chain
-  // is a star after ONE round. Per round: one materialization
-  // (localCheckpoint cuts lineage) and one O(1)-row convergence probe
-  // (count + order-free xxhash64 sum — stable metric ⇒ stable edge set,
-  // with the round bound as the collision-paranoia backstop). The driver
-  // loop runs only actions; no row ever crosses to the driver.
-  private val dedupClusters: Q = (s, dir) => {
-    val pairs = verifiedPairs(s, dir).select("doc_a", "doc_b")
-    // bit_xor: order-free AND overflow-free under ANSI (a sum of full-range
-    // hashes would overflow); xor-cancellation needs duplicate rows, which
-    // the distinct() in each round rules out
+  /** Connected components over distinct undirected pairs (`doc_a` < `doc_b`
+    * columns): (node, component = min reachable id); isolated nodes absent
+    * by construction. Alternating large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"): each round contracts
+    * chains toward the component minimum from BOTH ends, converging in
+    * O(log n) rounds vs O(diameter) for plain label propagation — a 3-chain
+    * is a star after ONE round. Per round: one materialization
+    * (localCheckpoint cuts lineage) and one O(1)-row convergence probe
+    * (count + order-free xxhash64 XOR — stable metric ⇒ stable edge set,
+    * with the round bound as the collision-paranoia backstop; bit_xor is
+    * overflow-free under ANSI where a hash SUM is not, and xor-cancellation
+    * needs duplicate rows, which each round's distinct() rules out). The
+    * driver loop runs only actions; no row ever crosses to the driver.
+    * Shared by the near-dup clusterer and the co-supply graph query.
+    */
+  private[operators] def connectedComponents(pairs: DataFrame): DataFrame = {
     def metricOf(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    // doc_a < doc_b by construction → canonical (a, b) = (larger, smaller);
-    // verified pairs are already distinct, no dedup shuffle needed.
+    // doc_a < doc_b by contract → canonical (a, b) = (larger, smaller);
+    // input pairs are distinct by contract, no dedup shuffle needed.
     // localCheckpoint(eager = false): the convergence probe is the round's
     // ONE action — it materializes the checkpoint (truncating lineage for
     // the next round) and computes the metric in the same job, instead of
@@ -287,14 +288,20 @@ object DedupText {
     }
     // fail loud rather than silently emit unconverged labels (the oracle's
     // recursive CTE always converges)
-    require(converged, s"dedup_clusters did not converge within $MaxRounds rounds")
+    require(converged, s"connectedComponents did not converge within $MaxRounds rounds")
     // at the fixed point every edge is (node, component-min); roots label
     // themselves
-    edges.select(col("a").as("doc_id"), col("b").as("cluster"))
-      .unionByName(edges.select(col("b").as("doc_id"), col("b").as("cluster")))
+    edges.select(col("a").as("node"), col("b").as("component"))
+      .unionByName(edges.select(col("b").as("node"), col("b").as("component")))
       .distinct()
-      .orderBy(col("doc_id").asc_nulls_first)
   }
+
+  // Connected components over the verified near-dup pairs: cluster id = min
+  // doc_id reachable (the shared large-star/small-star kernel above).
+  private val dedupClusters: Q = (s, dir) =>
+    connectedComponents(verifiedPairs(s, dir).select("doc_a", "doc_b"))
+      .select(col("node").as("doc_id"), col("component").as("cluster"))
+      .orderBy(col("doc_id").asc_nulls_first)
 
   /** Span width for duplicated-substring detection: long enough that a
     * shared span means real copied text (memorization-grade, à la the

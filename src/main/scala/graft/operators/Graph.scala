@@ -173,10 +173,41 @@ object Graph {
       .select(col("n_vertices"), col("n_edges"), col("max_deg"), col("n_triangles"))
   }
 
+  /** Connected components over the same bounded co-supply graph, labeling
+    * each supplier with the min supplier id reachable — the shared
+    * large-star/small-star kernel (O(log n) rounds, see
+    * DedupText.connectedComponents), applied to a second edge source: the
+    * kernel is input-agnostic, so the near-dup clusterer and the supplier
+    * graph grade the same iterative machinery against two different
+    * declarative recursions.
+    */
+  private val graphComponents: Q = (s, dir) =>
+    DedupText.connectedComponents(
+        coSupplyEdges(s, dir).select(col("a").as("doc_a"), col("b").as("doc_b")))
+      .select(col("node").as("supp"), col("component"))
+      .orderBy(col("supp").asc_nulls_first)
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> graphPagerank,
-    "graph_triangles" -> graphTriangles
+    "graph_triangles" -> graphTriangles,
+    "graph_components" -> graphComponents
   )
+
+  /** Shared oracle CTE: the bounded co-supply edge set — CapK fanout bound
+    * (deterministic bottom-k by the engine-replayable hash, ties by
+    * supplier id) then the 5% pair sparsifier. */
+  private def coSupplySql: String =
+    s"""ps0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sv FROM lineitem),
+       |ps AS (
+       |  SELECT p, sv FROM (
+       |    SELECT p, sv, row_number() OVER (PARTITION BY p
+       |      ORDER BY CAST(('0x'||substr(md5('tricap:'||p||':'||sv),1,15)) AS BIGINT), sv) AS rn
+       |    FROM ps0)
+       |  WHERE rn <= $CapK),
+       |e AS (
+       |  SELECT DISTINCT x.sv AS a, y.sv AS b
+       |  FROM ps x JOIN ps y ON x.p = y.p AND x.sv < y.sv
+       |    AND CAST(('0x'||substr(md5('tri:'||x.sv||':'||y.sv),1,15)) AS BIGINT) % 100 < $SamplePct)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the same three unrolled fixed-point iterations; CAST(sum AS BIGINT)
@@ -204,19 +235,7 @@ object Graph {
     // the same degree-ordered orientation; (a, b) tuple comparison is
     // lexicographic in DuckDB exactly like Spark struct comparison
     "graph_triangles" ->
-      s"""WITH ps0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sv FROM lineitem),
-         |ps AS (
-         |  -- the CapK fanout bound: deterministic bottom-k by the same
-         |  -- engine-replayable hash, ties by supplier id
-         |  SELECT p, sv FROM (
-         |    SELECT p, sv, row_number() OVER (PARTITION BY p
-         |      ORDER BY CAST(('0x'||substr(md5('tricap:'||p||':'||sv),1,15)) AS BIGINT), sv) AS rn
-         |    FROM ps0)
-         |  WHERE rn <= $CapK),
-         |e AS (
-         |  SELECT DISTINCT x.sv AS a, y.sv AS b
-         |  FROM ps x JOIN ps y ON x.p = y.p AND x.sv < y.sv
-         |    AND CAST(('0x'||substr(md5('tri:'||x.sv||':'||y.sv),1,15)) AS BIGINT) % 100 < $SamplePct),
+      s"""WITH $coSupplySql,
          |deg AS (
          |  SELECT v, count(*) AS d
          |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
@@ -238,6 +257,16 @@ object Graph {
          |ne AS (SELECT count(*) AS n_edges FROM e),
          |nv AS (SELECT count(*) AS n_vertices, max(d) AS max_deg FROM deg)
          |SELECT nv.n_vertices, ne.n_edges, nv.max_deg, t.n_triangles
-         |FROM nv, ne, t""".stripMargin
+         |FROM nv, ne, t""".stripMargin,
+    // min-reachable labels as a recursive walk over the same bounded edges
+    "graph_components" ->
+      s"""WITH RECURSIVE $coSupplySql,
+         |ee AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+         |walk(node, comp) AS (
+         |  SELECT DISTINCT src, src FROM ee
+         |  UNION
+         |  SELECT ee.src, w.comp FROM ee JOIN walk w ON ee.dst = w.node)
+         |SELECT node AS supp, min(comp) AS component FROM walk GROUP BY node
+         |ORDER BY supp ASC NULLS FIRST""".stripMargin
   )
 }
