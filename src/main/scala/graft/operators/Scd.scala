@@ -39,7 +39,8 @@ object Scd {
     * era per key is current (valid_to NULL).
     */
   def buildScd2(changes: DataFrame, key: String, tsCol: String,
-                tieCol: String, attrCol: String): DataFrame = {
+                tieCol: String, attrCol: String,
+                carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(key)
       .orderBy(col(tsCol).asc_nulls_first, col(tieCol).asc_nulls_first)
     changes
@@ -48,11 +49,15 @@ object Scd {
       .filter(!(col(attrCol) <=> col("_prev")))
       .drop("_prev")
       .select(
-        col(key),
-        row_number().over(w).cast("long").as("version"),
-        col(attrCol),
-        col(tsCol).as("valid_from"),
-        lead(col(tsCol), 1).over(w).as("valid_to"))
+        col(key) +:
+        row_number().over(w).cast("long").as("version") +:
+        col(attrCol) +:
+        col(tsCol).as("valid_from") +:
+        lead(col(tsCol), 1).over(w).as("valid_to") +:
+        // carry: extra columns of the era-opening change row (e.g. the
+        // tiebreak id, so an incremental merge can REPLAY eras as change
+        // records with the original ordering intact)
+        carry.map(col): _*)
       .withColumn("is_current", col("valid_to").isNull)
   }
 
@@ -86,13 +91,68 @@ object Scd {
       .orderBy(col("event_id").asc_nulls_first)
   }
 
+  /** INCREMENTAL SCD2 maintenance, graded: fold a new change batch into a
+    * standing history without rebuilding unchanged keys. The standing table
+    * holds pre-cutoff eras (carrying each era's opening tiebreak id); the
+    * batch is everything after. Untouched keys pass through VERBATIM (anti
+    * join); touched keys replay their surviving eras — an era row IS its
+    * surviving change record — unioned with the batch through the same era
+    * build. Replaying survivors is sound because echo-collapse is
+    * idempotent over its own survivors, and a batch row echoing the key's
+    * last era still collapses (lag sees it). Cost: O(touched keys' history
+    * + batch) through two key exchanges, never O(dimension) — the
+    * incremental-fold-equals-recompute contract (IncrementalAggSpec's
+    * invariant) applied to dimension history, and the hash grades exactly
+    * that: the output must equal the full rebuild over all changes, which
+    * is the scd2_build oracle itself.
+    */
+  private val scd2Merge: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val cut = lit("2024-01-20 00:00:00").cast("timestamp")
+    val hist = buildScd2(ev.filter(col("ts") < cut),
+      key = "user_id", tsCol = "ts", tieCol = "event_id",
+      attrCol = "event_type", carry = Seq("event_id"))
+    val batch = ev.filter(col("ts") >= cut)
+    val touched = batch.select("user_id").distinct()
+    val replayed = hist.join(touched, Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("valid_from").as("ts"),
+        col("event_id"), col("event_type"))
+    val rebuilt = buildScd2(replayed.unionByName(batch),
+      key = "user_id", tsCol = "ts", tieCol = "event_id", attrCol = "event_type")
+    hist.join(touched, Seq("user_id"), "left_anti").drop("event_id")
+      .unionByName(rebuilt)
+      .orderBy(col("user_id").asc_nulls_first, col("version").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "scd2_build" -> scd2Build,
-    "scd2_point_in_time" -> scd2PointInTime
+    "scd2_point_in_time" -> scd2PointInTime,
+    "scd2_merge" -> scd2Merge
   )
 
   val oracle: Map[String, String] = Map(
     "scd2_build" ->
+      """WITH ord AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, ts, event_id, event_type FROM ord
+        |       WHERE event_type IS DISTINCT FROM prev)
+        |SELECT user_id,
+        |  row_number() OVER w AS version,
+        |  event_type,
+        |  ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+        |ORDER BY user_id ASC NULLS FIRST, version ASC NULLS FIRST""".stripMargin,
+    // incremental == full rebuild: the oracle IS the scd2_build recursion
+    // over all changes — any divergence in the touched/untouched split, the
+    // era replay, or the cross-cutoff echo collapse breaks the hash
+    "scd2_merge" ->
       """WITH ord AS (
         |  SELECT user_id, ts, event_id, event_type,
         |         lag(event_type) OVER (PARTITION BY user_id

@@ -615,9 +615,13 @@ object StreamingOps {
     * horizon covers the re-delivery window upstream (the overlapping drop
     * is dropped by state, not absorbed), the batch-id guard at the sink.
     * Estimator contract: with B equi-width bins over the DECLARED value
-    * domain [0, QMAX), a bin-midpoint estimate is within one bin width of
-    * the exact interpolated percentile — graded as that deterministic
-    * tolerance boolean beside the exact value (the approx_distinct recipe).
+    * domain [0, QMAX), the first bin whose cumulative count reaches q·n
+    * provably CONTAINS the discrete q-percentile (the ceil(q·n)-th order
+    * statistic), so the bin-midpoint estimate is within width/2 of it —
+    * graded as that deterministic tolerance boolean beside the exact
+    * discrete percentile (the approx_distinct recipe). The INTERPOLATED
+    * percentile carries no such bound on sparse data: it sits between two
+    * order statistics that can be many bins apart.
     * At 100 TB the MV is O(types × B) rows however large the stream; the
     * read is one windowed cumsum over it.
     */
@@ -677,13 +681,13 @@ object StreamingOps {
       .agg(estOf(0.5).as("e50"), estOf(0.95).as("e95"))
     val exact = Tables(local, dir, "events").filter(col("ts") < t2)
       .groupBy("event_type")
-      .agg(expr("percentile(value, 0.5)").as("p50"),
-        expr("percentile(value, 0.95)").as("p95"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("p95"))
     est.join(exact, Seq("event_type"))
       .select(col("event_type"),
         round(col("p50"), 6).as("p50"), round(col("p95"), 6).as("p95"),
-        (abs(col("e50") - col("p50")) <= width).as("t50"),
-        (abs(col("e95") - col("p95")) <= width).as("t95"))
+        (abs(col("e50") - col("p50")) <= width / 2).as("t50"),
+        (abs(col("e95") - col("p95")) <= width / 2).as("t95"))
       .orderBy(col("event_type").asc_nulls_first)
   }
 
@@ -944,12 +948,14 @@ object StreamingOps {
         |FROM events WHERE ts < TIMESTAMP '2024-01-28 00:00:00'
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
-    // the histogram MV's estimates are graded as deterministic one-bin-width
-    // tolerance booleans beside the exact interpolated percentiles
+    // the histogram MV's estimates are graded as deterministic half-bin-width
+    // tolerance booleans beside the exact DISCRETE percentiles (the chosen
+    // bin provably contains the order statistic; interpolation has no such
+    // bound on sparse data)
     "stream_quantile_mv" ->
       """SELECT event_type,
-        |  round(quantile_cont(value, 0.5), 6) AS p50,
-        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  round(quantile_disc(value, 0.5), 6) AS p50,
+        |  round(quantile_disc(value, 0.95), 6) AS p95,
         |  TRUE AS t50, TRUE AS t95
         |FROM events WHERE ts < TIMESTAMP '2024-01-28 00:00:00'
         |GROUP BY event_type
