@@ -463,12 +463,14 @@ object DedupText {
         >= size(hsCol), lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private val dedupHamming: Q = (s, dir) => {
+  /** Pigeonhole hamming-band pairs over a (doc_id, sig) frame: all pairs
+    * within HAM_K bits, exact recall (K ≤ B−1), MAX_BUCKET guard riding the
+    * band-join key. Shared by the text and binary-payload simhash dedups —
+    * the kernel is signature-source-agnostic. */
+  private[operators] def hammingPairs(sigs: DataFrame, k: Int = HAM_K): DataFrame = {
+    require(k <= SIM_BANDS - 1,
+      s"hamming radius $k breaks the pigeonhole exact-recall bound (B-1 = ${SIM_BANDS - 1})")
     val r = SIM_BITS / SIM_BANDS
-    val sigs = docsSpread(s, dir)
-      .withColumn("hs", tokenHashes)
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), simhash60(col("hs")).as("sig"))
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bits")
     val bands = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until SIM_BANDS).map { g =>
@@ -485,9 +487,15 @@ object DedupText {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= HAM_K)
-      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+      .filter(col("hamming") <= k)
   }
+
+  private val dedupHamming: Q = (s, dir) =>
+    hammingPairs(docsSpread(s, dir)
+        .withColumn("hs", tokenHashes)
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), simhash60(col("hs")).as("sig")))
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
 
   val queries: Map[String, Q] = Map(
     "dedup_minhash_sig" -> dedupMinhashSig,
@@ -565,6 +573,28 @@ object DedupText {
     s"CASE WHEN 2*len(list_filter(hs, h -> (h >> $b) % 2 = 1)) >= len(hs) THEN ${1L << b} ELSE 0 END"
   }.mkString(" + ")
   private val simhashBitsSql = simhashBitsSqlFor(16)
+
+  /** Oracle mirror of `hammingPairs`: expects an `hs(doc_id, hs)` CTE in
+    * scope, yields the banded verified pair SELECT (caller appends ORDER
+    * BY). Shared by the text and binary-payload hamming dedups. */
+  private[operators] def hammingPairsSql(k: Int = HAM_K): String = {
+    val r = SIM_BITS / SIM_BANDS
+    s"""sg AS (
+       |  SELECT doc_id, (${simhashBitsSqlFor(SIM_BITS)}) AS sig
+       |  FROM hs WHERE len(hs) > 0),
+       |b0 AS (
+       |  SELECT doc_id, sig, CAST(g AS INT) AS band, (sig >> (CAST(g AS INT) * $r)) & ${(1L << r) - 1} AS bits
+       |  FROM sg, UNNEST(range(0, $SIM_BANDS)) AS u(g)),
+       |bands AS (
+       |  SELECT doc_id, sig, band, bits FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bits) AS bsz FROM b0)
+       |  WHERE bsz <= $MAX_BUCKET)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $k""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "dedup_minhash_sig" ->
@@ -645,30 +675,14 @@ object DedupText {
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct
         |FROM documents""".stripMargin,
-    "dedup_hamming" -> {
-      val r = SIM_BITS / SIM_BANDS
+    "dedup_hamming" ->
       s"""WITH hs AS (
          |  SELECT doc_id,
          |    list_transform(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')),
          |                   t -> CAST(('0x'||substr(md5('0:'||t),1,15)) AS BIGINT)) AS hs
          |  FROM documents),
-         |sg AS (
-         |  SELECT doc_id, (${simhashBitsSqlFor(SIM_BITS)}) AS sig
-         |  FROM hs WHERE len(hs) > 0),
-         |b0 AS (
-         |  SELECT doc_id, sig, CAST(g AS INT) AS band, (sig >> (CAST(g AS INT) * $r)) & ${(1L << r) - 1} AS bits
-         |  FROM sg, UNNEST(range(0, $SIM_BANDS)) AS u(g)),
-         |bands AS (
-         |  SELECT doc_id, sig, band, bits FROM (
-         |    SELECT *, count(*) OVER (PARTITION BY band, bits) AS bsz FROM b0)
-         |  WHERE bsz <= $MAX_BUCKET)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sig, b.sig)) <= $HAM_K
-         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin
-    },
+         |${hammingPairsSql()}
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
     "dedup_simhash" ->
       s"""WITH hs AS (
          |  SELECT doc_id,

@@ -31,13 +31,24 @@ object Multimodal {
 
   // Deterministic payload: magic prefix by doc_id%3 + md5 body + variable
   // even-length tail, as a hex string; the binary column is its unhex.
+  // The BODY hashes the text's leading 64 chars, so the near-dup document
+  // families (long shared prefix) carry the SAME media body behind
+  // different wrappers — the planted relationship mm_payload_dedup detects
+  // (re-containered copies of one image), invisible to whole-text hashing.
   private val magicCol: Column =
     when(col("doc_id") % 3 === 0, lit("89504E47"))   // PNG  \x89PNG
       .when(col("doc_id") % 3 === 1, lit("FFD8FFE0")) // JPEG SOI/APP0
       .otherwise(lit("47494638"))                      // GIF  GIF8
+  // body = three chained md5s of the prefix (96 hex chars): long enough
+  // that the shared body dominates the wrapper in the payload's gram set,
+  // the way a real image's bytes dominate its container metadata
   private val payloadHex: Column = concat(
-    magicCol, md5(col("text")),
-    substring(md5(concat(col("text"), lit("!"))), lit(1), (col("doc_id") % 8).cast("int") * 2))
+    magicCol,
+    md5(substring(col("text"), 1, 64)),
+    md5(concat(substring(col("text"), 1, 64), lit("a"))),
+    md5(concat(substring(col("text"), 1, 64), lit("b"))),
+    substring(md5(concat(substring(col("text"), 1, 64), lit("!"))),
+      lit(1), (col("doc_id") % 8).cast("int") * 2))
 
   /** documents + payload BINARY + n_bytes + sniffed format. */
   private def media(s: SparkSession, dir: String): DataFrame =
@@ -133,12 +144,38 @@ object Multimodal {
       .orderBy(col("doc_id").asc_nulls_first)
   }
 
+  /** Binary-payload NEAR-dup: the same media body behind a different
+    * container — here literally, since the fixture payload is one md5 body
+    * wrapped by a doc-dependent magic prefix and tail length (the
+    * deterministic stand-in for a re-containered image). Signature = 60-bit
+    * simhash over byte-4-grams (8 hex chars of the payload), then the
+    * shared pigeonhole hamming-band kernel from the text family — radius 5
+    * (the full B−1 pigeonhole bound: wrapper variants differ in a larger
+    * gram fraction than token-level text edits), MAX_BUCKET guard, exact
+    * recall. Zero new machinery: only the signature SOURCE changed, which
+    * is the kernel contract. At 100 TB the hex/gram/simhash chain is
+    * per-row map work over the media scan; candidates stay an equi-join on
+    * (band, bits).
+    */
+  private val mmPayloadDedup: Q = (s, dir) =>
+    DedupText.hammingPairs(
+        media(s, dir).repartition(col("doc_id"))
+          .withColumn("hx", hex(col("payload")))
+          .withColumn("hs", transform(
+            graft.functions.ShingleExpression.charShingles(col("hx"), 8),
+            g => Hashing.h60(concat(lit("0:"), g))))
+          .filter(size(col("hs")) > 0)
+          .select(col("doc_id"), DedupText.simhash60(col("hs")).as("sig")),
+        k = 5)
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+
   val queries: Map[String, Q] = Map(
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_features" -> mmDecodeFeatures,
     "mm_frame_sample" -> mmFrameSample,
     "mm_audio_energy" -> mmAudioEnergy,
-    "mm_scene_cuts" -> mmSceneCuts
+    "mm_scene_cuts" -> mmSceneCuts,
+    "mm_payload_dedup" -> mmPayloadDedup
   )
 
   // NOTE: interpolated into stripMargin'd strings below — no line here may
@@ -150,11 +187,28 @@ object Multimodal {
       |    CASE WHEN doc_id % 3 = 0 THEN '89504E47'
       |         WHEN doc_id % 3 = 1 THEN 'FFD8FFE0'
       |         ELSE '47494638' END,
-      |    md5(text),
-      |    substr(md5(concat(text, '!')), 1, CAST(doc_id % 8 AS INT) * 2))) AS hx
+      |    md5(substr(text, 1, 64)),
+      |    md5(concat(substr(text, 1, 64), 'a')),
+      |    md5(concat(substr(text, 1, 64), 'b')),
+      |    substr(md5(concat(substr(text, 1, 64), '!')), 1, CAST(doc_id % 8 AS INT) * 2))) AS hx
       |FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // byte-4-gram simhash + the shared hamming-band mirror at radius 5
+    "mm_payload_dedup" ->
+      s"""WITH m AS ($hexSql),
+         |hs AS (
+         |  -- lower(hx): the Spark-side shingle kernel normalizes (lowercases)
+         |  -- its input; hex case is irrelevant to gram identity
+         |  SELECT doc_id,
+         |    list_transform(
+         |      CASE WHEN len(hx) >= 8
+         |        THEN list_distinct(list_transform(range(1, len(hx)-6), i -> substr(lower(hx), i, 8)))
+         |        ELSE [] END,
+         |      g -> CAST(('0x'||substr(md5('0:'||g),1,15)) AS BIGINT)) AS hs
+         |  FROM m),
+         |${DedupText.hammingPairsSql(k = 5)}
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
     "mm_binary_meta" ->
       s"""WITH m AS ($hexSql)
          |SELECT doc_id,
