@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{DotProduct, FreqSketchAgg, JaccardSimilarity, TextNormalize}
+import graft.functions.{DotProduct, FreqSketchAgg, JaccardSimilarity, SimHash, TextNormalize}
 
 /** SparkSessionExtensions entry point: registers graft's custom expressions
   * under SQL names. Activate with
@@ -80,6 +80,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, s"graft_unaccent expects 1 argument, got ${children.size}")
         TextNormalize(children.head, fold = true)
+      }))
+    // Fused majority-bit SimHash over a hash array — one pass instead of
+    // the per-bit filter/size composition; see functions.SimHash.
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash].getCanonicalName, "graft_simhash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, s"graft_simhash expects (hashes, bits), got ${children.size} args")
+        require(children(1).foldable, "graft_simhash: bits must be a literal")
+        val bits = children(1).eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_simhash: bits must be an integer literal, got $other")
+        }
+        SimHash(children.head, bits)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_might_contain"),

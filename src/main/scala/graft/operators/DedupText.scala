@@ -373,10 +373,7 @@ object DedupText {
     Tables(s, dir, "documents")
       .withColumn("hs", hs)
       .withColumn("simhash16",
-        (0 until 16).map { b =>
-          when(size(filter(col("hs"), h => pmod(shiftright(h, b), lit(2)) === 1)) * 2
-            >= size(col("hs")), lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _))
+        graft.functions.SimHashExpression.simhash(col("hs"), 16))
       .select(col("doc_id"), col("simhash16"))
       .orderBy(col("doc_id").asc_nulls_first)
   }
@@ -457,11 +454,13 @@ object DedupText {
   /** Distinct-token 60-bit hashes of `text` (the simhash input). */
   private[operators] def tokenHashes: Column =
     transform(array_distinct(split(normText, " ")), t => h60(0, t))
+  /** 60-bit majority signature — the fused native kernel (one pass over the
+    * hash array; see functions.SimHash), bit-equal to the declarative
+    * per-bit filter/size composition the DuckDB oracle states
+    * (SimHashExprSpec pins the equality, including null elements and the
+    * empty-array all-bits edge). */
   private[operators] def simhash60(hsCol: Column): Column =
-    (0 until SIM_BITS).map { b =>
-      when(size(filter(hsCol, h => pmod(shiftright(h, b), lit(2)) === 1)) * 2
-        >= size(hsCol), lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.SimHashExpression.simhash(hsCol, SIM_BITS)
 
   /** Pigeonhole hamming-band pairs over a (doc_id, sig) frame: all pairs
     * within HAM_K bits, exact recall (K ≤ B−1), MAX_BUCKET guard riding the
