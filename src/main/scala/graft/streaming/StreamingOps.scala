@@ -691,6 +691,92 @@ object StreamingOps {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
+  /** Heavy-hitters materialized view, graded: per-event-type Misra-Gries
+    * sketches maintained incrementally in the sink — the third mergeable-MV
+    * family member beside the HLL distinct view and the histogram quantile
+    * view. The combiner is the Agarwal et al. "Mergeable Summaries" MG
+    * merge, stated declaratively: union both sketches' counters, sum per
+    * item, subtract the (k+1)-th largest combined count from every item,
+    * keep the positive top-k — which preserves the three MG guarantees the
+    * read side gates on (any item with n·(k+1) > total is COVERED; the
+    * sketch never overcounts; undercount ≤ total/(k+1)). Exactly-once rows
+    * via the wide-horizon watermark dedup + batch guard (the quantile MV's
+    * layering — counters are mergeable but not replay-absorbing). The MV
+    * is O(types × k) rows at any stream size; each batch contributes one
+    * partial-aggregated sketch row per type.
+    */
+  private val streamTopkMv: Q = (s, dir) => {
+    val local = s.newSession()
+    local.conf.set("spark.sql.shuffle.partitions", "8")
+    val HHK = 16
+    val ev = Tables(local, dir, "events").select("event_id", "ts", "event_type")
+    val t0 = lit("2024-01-10 00:00:00").cast("timestamp")
+    val t1 = lit("2024-01-20 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-28 00:00:00").cast("timestamp")
+    val work = graft.Scratch.dir("graft-stream-topk")
+    val src = work.resolve("drops")
+    ev.filter(col("ts") < t1).repartition(1).write.parquet(s"$src/d1")
+    ev.filter(col("ts") >= t0 && col("ts") < t2).repartition(1).write.parquet(s"$src/d2")
+
+    // the planted skew of agg_heavy_hitters: one hot key, one warm, a cold tail
+    def keyed(df: DataFrame): DataFrame = df.select(col("event_type"),
+      when((col("event_id") % 4).isin(0, 2), lit("hot"))
+        .when(col("event_id") % 4 === 1, lit("warm"))
+        .otherwise(concat(lit("cold"), col("event_id"))).as("k"))
+
+    // the parquet all-nullable convention (the DedupIndex memberType
+    // lesson): both the per-batch sketch (valueContainsNull=false from the
+    // aggregate) and the combiner's rebuilt map cast to ONE nullable type,
+    // because the sink's additive schema check compares inner nullability
+    val mapT = org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType,
+      valueContainsNull = true)
+    def partial(df: DataFrame): DataFrame =
+      keyed(df).groupBy("event_type")
+        .agg(expr(s"graft_topk_freq(k, $HHK)").cast(mapT).as("sketch"))
+
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("cnt").desc, col("k").asc)
+    val wType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val combine: ParquetTableSink.Combiner = (target, staged) =>
+      target.select(col("event_type"), col("sketch"))
+        .unionByName(staged.select(col("event_type"), col("sketch")))
+        .select(col("event_type"), explode(col("sketch")).as(Seq("k", "cnt")))
+        .groupBy(col("event_type"), col("k")).agg(sum(col("cnt")).as("cnt"))
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("sub", max(when(col("rn") === HHK + 1, col("cnt"))).over(wType))
+        .withColumn("cnt2", col("cnt") - coalesce(col("sub"), lit(0L)))
+        .filter(col("rn") <= HHK && col("cnt2") > 0)
+        .groupBy("event_type")
+        .agg(map_from_entries(collect_list(struct(col("k"), col("cnt2"))))
+          .cast(mapT).as("sketch"))
+
+    val sink = new ParquetTableSink(local, work.resolve("table").toString,
+      partial(ev).limit(0), Seq("event_type"), buckets = 8, combine = combine)
+    dedupByKey(local.readStream.schema(ev.schema).parquet(s"$src/*"),
+        "ts", "30 days", Seq("event_id"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[Row], id: Long) => sink.merge(partial(b.toDF()), id) }
+      .start()
+      .awaitTermination()
+
+    val window = keyed(ev.filter(col("ts") < t2))
+    val exact = window.groupBy("event_type", "k").agg(count(lit(1)).as("n"))
+    val tot = window.groupBy("event_type").agg(count(lit(1)).as("total"))
+    val est = coalesce(element_at(col("sketch"), col("k")), lit(0L))
+    exact.join(tot, Seq("event_type"))
+      .filter(col("n") * (HHK + 1) > col("total"))
+      .join(sink.current, Seq("event_type"))
+      .select(col("event_type"), col("k").as("hot_key"), col("n"),
+        map_contains_key(col("sketch"), col("k")).as("covered"),
+        (est <= col("n")).as("no_overcount"),
+        ((col("n") - est) * (HHK + 1) <= col("total")).as("bounded_err"))
+      .orderBy(col("event_type").asc_nulls_first, col("hot_key").asc_nulls_first)
+  }
+
   /** The REAL stream-stream join path, graded: clicks and purchases drain as
     * two independent file-source streams through a watermarked interval join
     * (purchase within one hour of a same-user click) into a file sink; the
@@ -933,6 +1019,7 @@ object StreamingOps {
     "stream_rollup_table" -> streamRollupTable,
     "stream_distinct_mv" -> streamDistinctMv,
     "stream_quantile_mv" -> streamQuantileMv,
+    "stream_topk_mv" -> streamTopkMv,
     "stream_dedup_replay" -> streamDedupReplay,
     "stream_offsets" -> streamOffsets,
     "stream_sink_table" -> streamSinkTable,
@@ -948,6 +1035,21 @@ object StreamingOps {
         |FROM events WHERE ts < TIMESTAMP '2024-01-28 00:00:00'
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+    // the MG guarantees as gates: covered / no-overcount / bounded undercount
+    "stream_topk_mv" ->
+      """WITH keyed AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 4 IN (0, 2) THEN 'hot'
+        |         WHEN event_id % 4 = 1 THEN 'warm'
+        |         ELSE 'cold' || event_id END AS k
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-28 00:00:00'),
+        |exact AS (SELECT event_type, k, count(*) AS n FROM keyed GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*) AS total FROM keyed GROUP BY 1)
+        |SELECT event_type, k AS hot_key, n,
+        |  true AS covered, true AS no_overcount, true AS bounded_err
+        |FROM exact JOIN tot USING (event_type)
+        |WHERE n * 17 > total
+        |ORDER BY event_type ASC NULLS FIRST, hot_key ASC NULLS FIRST""".stripMargin,
     // the histogram MV's estimates are graded as deterministic half-bin-width
     // tolerance booleans beside the exact DISCRETE percentiles (the chosen
     // bin provably contains the order statistic; interpolation has no such
