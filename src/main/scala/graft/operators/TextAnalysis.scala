@@ -167,6 +167,58 @@ object TextAnalysis {
       "doc_id", "rk")
   }
 
+  // BM25 retrieval ranking — the classic probabilistic relevance score
+  // (Robertson/Spärck Jones), here the top-20 corpus documents for a fixed
+  // query term set. Log-free idf ((N−df+0.5)/(df+0.5), the argument of the
+  // usual ln): per-term the reshaping is monotone, and the per-doc sum over
+  // a FIXED 4-term query keeps cross-engine totals bit-equal because every
+  // step is the same IEEE op in the same syntactic order on both engines
+  // (libm ln is not bit-portable — same discipline as text_tfidf). The
+  // saturation constants are spelled as the literals 2.2 (= k1+1), 1.2
+  // (= k1), 0.25 (= 1−b) and 0.75 (= b) on BOTH sides: computing k1+1 at
+  // runtime lands on a half-ulp rounding tie that the literal avoids.
+  //
+  // FP-sum discipline: the per-doc total is NOT a sum() over scored rows
+  // (order-dependent float addition) — each term's score pivots into its
+  // own column via a single-element conditional aggregate (exact), and the
+  // total adds the four columns in fixed syntactic order.
+  //
+  // Scale: tf collapses (doc, term) map-side after the query-term filter
+  // (≤|terms| rows per doc cross the one fan-out exchange); df and the
+  // (N, Σdl) corpus stats are tiny broadcast sides; top-k is
+  // TakeOrderedAndProject (per-partition heads, never a global sort).
+  private val BM25_TERMS = Seq("vector", "hash", "window", "merge")
+  private val BM25_K = 20
+  private val textBm25: Q = (s, dir) => {
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"), col("t"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(BM25_TERMS: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = d.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    val idf = (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val norm = lit(1.2) * (lit(0.25) + lit(0.75) *
+      (col("dl").cast("double") / (col("sum_dl").cast("double") / col("n").cast("double"))))
+    val perDoc = tf.join(broadcast(df), "term").join(broadcast(stats))
+      .withColumn("score",
+        idf * ((col("tf").cast("double") * lit(2.2)) / (col("tf").cast("double") + norm)))
+      .groupBy("doc_id")
+      .agg(first(col("dl")).as("dl"), BM25_TERMS.map(t =>
+        coalesce(sum(when(col("term") === t, col("score"))), lit(0.0)).as(s"s_$t")): _*)
+    val total = BM25_TERMS.map(t => col(s"s_$t")).reduceLeft(_ + _)
+    ord(
+      perDoc.withColumn("bm25", total)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(BM25_K)
+        .select(col("doc_id") +: col("dl") +:
+          BM25_TERMS.map(t => round(col(s"s_$t"), 6).as(s"s_$t")) :+
+          round(col("bm25"), 6).as("bm25"): _*),
+      "doc_id")
+  }
+
   // Deterministic train/val/test assignment: hash-bucket the stable key so
   // the split is reproducible across runs and engines (never random()).
   private val textSplitAssign: Q = (s, dir) => {
@@ -297,6 +349,7 @@ object TextAnalysis {
     "text_chunks" -> textChunks,
     "text_normalize" -> textNormalize,
     "text_tfidf" -> textTfidf,
+    "text_bm25" -> textBm25,
     "text_split_assign" -> textSplitAssign,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
@@ -375,6 +428,43 @@ object TextAnalysis {
         |SELECT doc_id, length(raw) AS n_raw, nfc_normalize(raw) AS nfc,
         |  length(nfc_normalize(raw)) AS n_nfc, strip_accents(raw) AS folded
         |FROM r ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    // same log-free idf / literal-constant / fixed-order-sum discipline as
+    // the Spark side (see textBm25's scaladoc) — every arithmetic token in
+    // the same order, so the hash gate holds on raw doubles
+    "text_bm25" -> {
+      val terms = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+      val sCols = BM25_TERMS.map(t =>
+        s"coalesce(sum(score) FILTER (WHERE term = '$t'), 0.0) AS s_$t").mkString(",\n         |    ")
+      val totalExpr = BM25_TERMS.map(t => s"s_$t").mkString(" + ")
+      val roundCols = BM25_TERMS.map(t => s"round(s_$t, 6) AS s_$t").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM t),
+         |tok AS (SELECT doc_id, dl, unnest(t) AS term FROM d),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM tok
+         |  WHERE term IN ($terms) GROUP BY 1, 2, 3),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM d),
+         |sc AS (
+         |  SELECT doc_id, dl, tf.term,
+         |    ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |    * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+         |        (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS score
+         |  FROM tf JOIN df ON df.term = tf.term CROSS JOIN n),
+         |agg AS (
+         |  SELECT doc_id, min(dl) AS dl,
+         |    $sCols
+         |  FROM sc GROUP BY doc_id),
+         |top AS (
+         |  SELECT doc_id, dl, ${BM25_TERMS.map(t => s"s_$t").mkString(", ")},
+         |    $totalExpr AS bm25
+         |  FROM agg ORDER BY bm25 DESC, doc_id ASC LIMIT $BM25_K)
+         |SELECT doc_id, dl, $roundCols, round(bm25, 6) AS bm25
+         |FROM top ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+    },
     "text_tfidf" ->
       s"""WITH t AS (
          |  SELECT doc_id,

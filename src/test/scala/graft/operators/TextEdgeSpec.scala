@@ -59,4 +59,28 @@ class TextEdgeSpec extends SparkTestBase {
     // split("", " ") yields [""] on both engines: 1 token for the empty doc
     assert(toks == Map(1L -> 1L, 2L -> 3L))
   }
+
+  test("bm25: rarity raises idf, tf saturates, termless docs drop out") {
+    val session = spark
+    import session.implicits._
+    // "vector" appears in 1 doc, "hash" in 3 → equal-tf docs must rank the
+    // rare term higher; doc 4 repeats "hash" 4× — saturation keeps its
+    // score under 4× doc 2's single-occurrence score; doc 5 has no query
+    // term at all and must not appear.
+    val dir = writeDocs(Seq(
+      1L -> "vector pad pad pad",
+      2L -> "hash pad pad pad",
+      3L -> "hash pad pad pad",
+      4L -> "hash hash hash hash",
+      5L -> "pad pad pad pad"))
+    val rows = TextAnalysis.queries("text_bm25")(spark, dir)
+      .select("doc_id", "s_vector", "s_hash", "bm25")
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!rows.contains(5L), "doc without query terms must be excluded")
+    assert(rows(1L)._2 > rows(2L)._3,
+      "rare term (df=1) must outscore common term (df=3) at equal tf/dl")
+    assert(rows(4L)._3 < 4 * rows(2L)._3,
+      "tf=4 must score sublinearly vs tf=1 (BM25 saturation)")
+    assert(rows(4L)._3 > rows(3L)._3, "higher tf still scores higher")
+  }
 }
