@@ -257,7 +257,38 @@ object DataPipeline {
       "source")
   }
 
+  // ---- corpus_shuffle: deterministic global training order -----------------
+  //
+  // The step after corpus_build: training consumes examples in "random"
+  // order, but the order must be REPLAYABLE — resume from step N, audit
+  // which examples preceded a checkpoint, reproduce a run bit-for-bit. So
+  // the draw is a content hash, never rand(): shard = h60("shuf:"+doc_id)
+  // mod SHARDS picks the output shard (the training-file unit), and the
+  // within-shard position orders by the INDEPENDENT draw h60("ord:"+doc_id)
+  // (reusing the shard hash would sort each shard by the same residue
+  // classes that formed it — correlated, not shuffled).
+  //
+  // Scale: one exchange, hash-partitioned on shard. The within-shard
+  // row_number is single-task per shard BY DESIGN: a shard IS the bounded
+  // training-file unit, and a production run sets SHARDS so each shard is
+  // one file-sized slice (~1 GB ⇒ 100 TB ≈ 100k shards) — the per-shard
+  // sort is exactly the work of writing that one output file. SHARDS is
+  // the parallelism knob, not a hidden constant.
+  private val SHUFFLE_SHARDS = 16
+  private val corpusShuffle: Q = (s, dir) => {
+    val shard = md5long(concat(lit("shuf:"), col("doc_id"))) % SHUFFLE_SHARDS
+    val draw = md5long(concat(lit("ord:"), col("doc_id")))
+    val w = Window.partitionBy("shard").orderBy(col("draw").asc, col("doc_id").asc)
+    ord(
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), shard.as("shard"), draw.as("draw"))
+        .withColumn("seq", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("seq"), col("source")),
+      "doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "corpus_shuffle" -> corpusShuffle,
     "decontam_ngram" -> decontamNgram,
     "sample_mixture" -> sampleMixture,
     "sample_stratified" -> sampleStratified,
@@ -267,6 +298,16 @@ object DataPipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "corpus_shuffle" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(('0x' || substr(md5('shuf:' || doc_id), 1, 15)) AS BIGINT) % $SHUFFLE_SHARDS AS shard,
+         |    CAST(('0x' || substr(md5('ord:' || doc_id), 1, 15)) AS BIGINT) AS draw
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY draw ASC, doc_id ASC) AS BIGINT) AS seq,
+         |  source
+         |FROM d ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "decontam_ngram" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w

@@ -122,4 +122,25 @@ class DataPipelineSpec extends SparkTestBase {
     val got = spark.sql(s"SELECT md5('$expected')").as[String].head()
     assert(out(0)._4 == got, "scrubbed text must redact every match")
   }
+
+  test("corpus_shuffle: dense per-shard seqs, decorrelated from doc_id, replayable") {
+    val session = spark
+    import session.implicits._
+    val dir = writeDocs((0L until 200L).map(i => (i, s"doc number $i", "src1")))
+    def run() = DataPipeline.queries("corpus_shuffle")(spark, dir)
+      .select("doc_id", "shard", "seq").as[(Long, Long, Long)].collect().toSeq
+    val a = run()
+    assert(a == run(), "the shuffle order must replay bit-equal")
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.length).toSeq,
+        s"shard $shard seqs must be dense 1..n")
+    }
+    // a hash draw must not preserve insertion order: within some shard, the
+    // seq-sorted doc_ids are not monotonically increasing
+    val shuffled = a.groupBy(_._2).values.exists { rows =>
+      val ids = rows.sortBy(_._3).map(_._1)
+      ids != ids.sorted
+    }
+    assert(shuffled, "within-shard order must be the hash draw, not doc_id order")
+  }
 }
