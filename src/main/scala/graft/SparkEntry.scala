@@ -43,7 +43,8 @@ object SparkEntry {
     (DedupIndex.queries, DedupIndex.oracle),
     (Scd.queries, Scd.oracle),
     (Intervals.queries, Intervals.oracle),
-    (Quality.queries, Quality.oracle)
+    (Quality.queries, Quality.oracle),
+    (Geo.queries, Geo.oracle)
   )
 
   /** A duplicate query key across modules would silently shadow one

@@ -625,7 +625,71 @@ object Analytics {
       "user_id", "event_id")
   }
 
+  // ---- ts_ewma: truncated-horizon exponential smoothing --------------------
+  //
+  // EWMA is inherently recursive (s_t = α·x_t + (1−α)·s_{t−1}) — a
+  // sequential per-key chain, the one shape a shared-nothing engine must
+  // NOT express literally (it serializes the partition). The scale form
+  // truncates the horizon: with α = 1/4 the weights decay by 0.75^j, so
+  // after W = 20 lags a term contributes < 0.75²⁰ ≈ 3e-3 of a fresh
+  // observation — the W-term window IS the EWMA to ~3 decimal places,
+  // computed as an O(W) fold per row inside ONE window exchange instead of
+  // an O(n) dependency chain. The fold (collect_list over the row frame,
+  // left-fold seeded with the oldest element) has a fixed syntactic order,
+  // so Spark's `aggregate` and DuckDB's `list_reduce` accumulate identical
+  // IEEE doubles; α = 0.25 and 1−α = 0.75 are dyadic (exact).
+  // Output rounding: α = 1/4 makes the exact fold land ON 5e-7 half
+  // boundaries, where `round(x, 6)` diverges between engines (Spark rounds
+  // the exact binary expansion, DuckDB rounds x·10⁶ after an inexact
+  // multiply) — so both sides scale by 10⁶ EXPLICITLY and round the
+  // identical product double, then divide back: bit-equal on both engines.
+  private val EWMA_W = 20
+  private val tsEwma: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-(EWMA_W - 1), org.apache.spark.sql.expressions.Window.currentRow)
+    ord(
+      Tables(s, dir, "events")
+        .withColumn("xs", collect_list(col("value")).over(w))
+        .select(col("user_id"), col("event_id"),
+          (round(aggregate(slice(col("xs"), 2, EWMA_W), element_at(col("xs"), 1),
+            (acc, x) => lit(0.25) * x + lit(0.75) * acc) * lit(1000000.0))
+            / lit(1000000.0)).as("ewma")),
+      "user_id", "event_id")
+  }
+
+  // ---- anomaly_mad: robust outlier detection (modified z-score) ------------
+  //
+  // anomaly_zscore's mean and stddev are themselves dragged by the very
+  // outliers they hunt; the robust form centers on the median and scales by
+  // the median absolute deviation, flagging |0.6745·(x − med)/mad| > 3.5
+  // (the Iglewicz–Hoaglin modified z-score). Two grouped exact-percentile
+  // aggregates (med, then MAD over |x − med|) and a broadcast of the tiny
+  // per-group stats back over the scan — the anomaly_zscore/RFM pattern.
+  // Exact percentile buffers one group per reducer; at 100 TB swap in
+  // approx_percentile exactly as approx_percentiles grades. med and mad
+  // round to 6 dp before use so an interpolation ULP cannot flip a flag.
+  private val anomalyMad: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    val med = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(first(col("med")).as("med"),
+        round(expr("percentile(abs(value - med), 0.5D)"), 6).as("mad"))
+    ord(
+      ev.join(broadcast(mad), "event_type")
+        .filter(col("mad") > 0)
+        .withColumn("mz", round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6))
+        .filter(abs(col("mz")) > lit(3.5))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"), col("mz")),
+      "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_ewma" -> tsEwma,
+    "anomaly_mad" -> anomalyMad,
     "ts_gapfill" -> tsGapfill,
     "basket_pairs" -> basketPairs,
     "customer_rfm" -> customerRfm,
@@ -663,6 +727,28 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_ewma" ->
+      s"""WITH fr AS (
+         |  SELECT user_id, event_id,
+         |    list(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         |      ROWS BETWEEN ${EWMA_W - 1} PRECEDING AND CURRENT ROW) AS xs
+         |  FROM events)
+         |SELECT user_id, event_id,
+         |  round(list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc) * 1000000.0) / 1000000.0 AS ewma
+         |FROM fr ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
+    "anomaly_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type, any_value(m.med) AS med,
+        |         round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+        |SELECT event_id, e.event_type, value, m.med, m.mad,
+        |       round(0.6745 * (value - m.med) / m.mad, 6) AS mz
+        |FROM events e JOIN mad m USING (event_type)
+        |WHERE m.mad > 0 AND abs(round(0.6745 * (value - m.med) / m.mad, 6)) > 3.5
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     "ts_gapfill" ->
       """WITH ev AS (
         |  SELECT user_id % 50 AS cohort, CAST(ts AS DATE) AS day, value FROM events),

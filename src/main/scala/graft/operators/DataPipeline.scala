@@ -287,7 +287,35 @@ object DataPipeline {
       "doc_id")
   }
 
+  // ---- sample_reservoir: one-pass weighted sampling (A-ES race) ------------
+  //
+  // Weighted sampling without replacement, the Efraimidis–Spirakis
+  // exponential race: each row draws u ~ U(0,1) from a stable content hash
+  // and computes the race key e = −ln(u)/w; the k SMALLEST keys are a
+  // weighted sample without replacement (heavier rows draw systematically
+  // smaller keys). This is the canonical way to pull a bounded sample from
+  // 100 TB in ONE scan: the key is per-row arithmetic, and the global top-k
+  // executes as per-partition top-k + a single ≤ k·P-row merge
+  // (TakeOrderedAndProject) — no full sort, no full shuffle, no second pass
+  // over the data. Weight here = n_chars (sample long documents more).
+  //
+  // Determinism across engines: u = (h60 + 0.5)/2^60 ∈ (0,1) exactly
+  // replayable in DuckDB; the race key rounds to 9 dp BEFORE ranking so a
+  // last-ULP difference in an engine's ln() cannot flip the k-th boundary,
+  // and ties break by doc_id.
+  private val RESERVOIR_K = 100
+  private val sampleReservoir: Q = (s, dir) => {
+    val u = (md5long(concat(lit("res:"), col("doc_id"))).cast("double") + lit(0.5)) /
+      lit(1152921504606846976.0) // 2^60, exactly representable
+    docs(s, dir).filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        round((lit(0.0) - log(u)) / col("n_chars").cast("double"), 9).as("race_key"))
+      .orderBy(col("race_key").asc_nulls_first, col("doc_id").asc_nulls_first)
+      .limit(RESERVOIR_K)
+  }
+
   val queries: Map[String, Q] = Map(
+    "sample_reservoir" -> sampleReservoir,
     "corpus_shuffle" -> corpusShuffle,
     "decontam_ngram" -> decontamNgram,
     "sample_mixture" -> sampleMixture,
@@ -298,6 +326,14 @@ object DataPipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "sample_reservoir" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars,
+         |    round((0.0 - ln((CAST(('0x' || substr(md5('res:' || doc_id), 1, 15)) AS BIGINT) + 0.5)
+         |      / 1152921504606846976.0)) / CAST(n_chars AS DOUBLE), 9) AS race_key
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, n_chars, race_key FROM d
+         |ORDER BY race_key ASC NULLS FIRST, doc_id ASC NULLS FIRST LIMIT $RESERVOIR_K""".stripMargin,
     "corpus_shuffle" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,
