@@ -84,8 +84,42 @@ object Geo {
       .orderBy(col("id1").asc_nulls_first, col("id2").asc_nulls_first)
   }
 
+  /** Nearest neighbor within ε per point — the "closest stop to each
+    * vehicle" lookup, grid-bounded. The probe side explodes the FULL 3×3
+    * neighborhood this time (selection is per-probe, so every probe needs
+    * all its candidates on one key), candidates equi-join on the cell, and
+    * the argmin collapses in the partial aggregate (`min_by` over the
+    * (d2, id) struct — map-side combine, no per-probe sort, no window).
+    * Points with no neighbor within ε drop out, which is the declared
+    * semantics: ε is the search radius, and a radius-miss at 100 TB is
+    * re-queried at 2ε, not answered by an unbounded global scan.
+    */
+  private val geoKnn: Q = (s, dir) => {
+    val p = pts(s, dir)
+    val offs = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
+      struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+    val a = p.select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+        col("cx"), col("cy"), explode(offs).as("o"))
+      .select(col("a_id"), col("ax"), col("ay"),
+        (col("cx") + col("o.dx")).as("jx"), (col("cy") + col("o.dy")).as("jy"))
+    val b = p.select(col("id").as("b_id"), col("x").as("bx"), col("y").as("by"),
+      col("cx").as("jx"), col("cy").as("jy"))
+    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    a.join(b, Seq("jx", "jy"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("d2", d2)
+      .filter(col("d2") <= lit(EPS * EPS))
+      .groupBy(col("a_id").as("id"))
+      .agg(min_by(struct(col("b_id"), col("d2")), struct(col("d2"), col("b_id"))).as("nn"))
+      .select(col("id"), col("nn.b_id").as("neighbor_id"),
+        round(sqrt(col("nn.d2")), 6).as("dist"))
+      .orderBy(col("id").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
-    "geo_grid_join" -> geoGridJoin
+    "geo_grid_join" -> geoGridJoin,
+    "geo_knn" -> geoKnn
   )
 
   val oracle: Map[String, String] = Map(
@@ -106,6 +140,28 @@ object Geo {
          |SELECT least(a_id, b_id) AS id1, greatest(a_id, b_id) AS id2,
          |       round(sqrt(d2), 6) AS dist
          |FROM cand WHERE d2 <= ${EPS * EPS}
-         |ORDER BY id1 ASC NULLS FIRST, id2 ASC NULLS FIRST""".stripMargin
+         |ORDER BY id1 ASC NULLS FIRST, id2 ASC NULLS FIRST""".stripMargin,
+    // full-neighborhood candidates, per-probe argmin by (d2, id)
+    "geo_knn" ->
+      s"""WITH pts AS (
+         |  SELECT event_id AS id, value AS x, (event_id % 997) / 3.0 AS y,
+         |         CAST(floor(value / $EPS) AS BIGINT) AS cx,
+         |         CAST(floor(((event_id % 997) / 3.0) / $EPS) AS BIGINT) AS cy
+         |  FROM events),
+         |offs(dx, dy) AS (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0),
+         |                        (0, 1), (1, -1), (1, 0), (1, 1)),
+         |cand AS (
+         |  SELECT a.id, b.id AS b_id,
+         |         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+         |  FROM pts a CROSS JOIN offs o
+         |  JOIN pts b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+         |  WHERE a.id <> b.id),
+         |ranked AS (
+         |  SELECT id, b_id, d2,
+         |         row_number() OVER (PARTITION BY id ORDER BY d2 ASC, b_id ASC) AS rk
+         |  FROM cand WHERE d2 <= ${EPS * EPS})
+         |SELECT id, b_id AS neighbor_id, round(sqrt(d2), 6) AS dist
+         |FROM ranked WHERE rk = 1
+         |ORDER BY id ASC NULLS FIRST""".stripMargin
   )
 }

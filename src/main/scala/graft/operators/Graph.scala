@@ -187,10 +187,38 @@ object Graph {
       .select(col("node").as("supp"), col("component"))
       .orderBy(col("supp").asc_nulls_first)
 
+  /** Bounded-hop BFS distances from a seed set — the reachability primitive
+    * (blast-radius queries, influence frontiers, supply-chain contagion)
+    * over the same bounded co-supply graph. Pregel-as-joins like pagerank:
+    * each round joins the known-distance table to the edge list and
+    * re-minimizes — two node-keyed exchanges per round, the frontier table
+    * never exceeds |V| rows, and min() is order-insensitive so any
+    * partitioning commits identical distances. A fixed K = 4 rounds bounds
+    * the graded plan (the recursive oracle carries the same `d < 4` guard);
+    * production loops to an empty frontier exactly as dedup_clusters does.
+    */
+  private val HopK = 4
+  private val graphKhop: Q = (s, dir) => {
+    val e = coSupplyEdges(s, dir).localCheckpoint()
+    val ee = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst")
+    val seeds = ee.select(col("src").as("node")).distinct()
+      .filter(col("node") % 50 === 1)
+    var dist = seeds.withColumn("d", lit(0L))
+    for (_ <- 1 to HopK) {
+      val next = dist.join(ee, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("d") + 1).as("d"))
+      dist = dist.union(next).groupBy("node").agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    dist.orderBy(col("node").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
-    "graph_components" -> graphComponents
+    "graph_components" -> graphComponents,
+    "graph_khop" -> graphKhop
   )
 
   /** Shared oracle CTE: the bounded co-supply edge set — CapK fanout bound
@@ -258,6 +286,20 @@ object Graph {
          |nv AS (SELECT count(*) AS n_vertices, max(d) AS max_deg FROM deg)
          |SELECT nv.n_vertices, ne.n_edges, nv.max_deg, t.n_triangles
          |FROM nv, ne, t""".stripMargin,
+    // the same ≤ K-hop BFS as a depth-guarded recursive walk; UNION (not
+    // UNION ALL) dedups (node, d) states so the recursion is bounded by
+    // |V|·(K+1) rows, never by path count
+    "graph_khop" ->
+      s"""WITH RECURSIVE $coSupplySql,
+         |ee AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+         |seeds AS (SELECT DISTINCT src AS node FROM ee WHERE src % 50 = 1),
+         |walk(node, d) AS (
+         |  SELECT node, CAST(0 AS BIGINT) FROM seeds
+         |  UNION
+         |  SELECT ee.dst, w.d + 1 FROM ee JOIN walk w ON ee.src = w.node
+         |  WHERE w.d < $HopK)
+         |SELECT node, CAST(min(d) AS BIGINT) AS d FROM walk GROUP BY node
+         |ORDER BY node ASC NULLS FIRST""".stripMargin,
     // min-reachable labels as a recursive walk over the same bounded edges
     "graph_components" ->
       s"""WITH RECURSIVE $coSupplySql,

@@ -53,6 +53,47 @@ class GeoStatsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("geo_knn returns the true nearest neighbor within eps for every covered point") {
+    val session = spark
+    import session.implicits._
+    val knn = Geo.queries("geo_knn")(spark, sf)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val pts = graft.Tables(spark, sf, "events")
+      .select(col("event_id"), col("value"),
+        ((col("event_id") % 997).cast("double") / lit(3.0)).as("y"))
+      .as[(Long, Double, Double)].collect()
+    val brute = pts.flatMap { case (i, xi, yi) =>
+      val cands = pts.collect { case (j, xj, yj) if j != i =>
+        val d2 = (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj)
+        (d2, j)
+      }.filter(_._1 <= Geo.EPS * Geo.EPS)
+      if (cands.isEmpty) None
+      else {
+        val (d2, j) = cands.min
+        Some(i -> (j, BigDecimal(math.sqrt(d2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.toMap
+    assert(knn == brute, "grid kNN must agree with the brute-force nearest within eps")
+  }
+
+  test("graph_khop matches an in-memory BFS truncated at K hops") {
+    val session = spark
+    import session.implicits._
+    val got = Graph.queries("graph_khop")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val e = Graph.coSupplyEdges(spark, sf).as[(Long, Long)].collect()
+    val adj = (e ++ e.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seeds = adj.keySet.filter(_ % 50 == 1)
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (d <- 1L to 4L) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty)).diff(dist.keySet)
+      dist ++= next.map(_ -> d)
+      frontier = next
+    }
+    assert(got == dist, s"BFS distances diverge: got ${got.size} rows, want ${dist.size}")
+  }
+
   test("ts_ewma matches the literal sequential recursion truncated at W") {
     val session = spark
     import session.implicits._
