@@ -625,6 +625,32 @@ object Analytics {
       "user_id", "event_id")
   }
 
+  // ---- window_rolling_median: robust moving location ----------------------
+  //
+  // The robust counterpart of a moving average: the exact median over each
+  // key's trailing 10 observations. A rolling mean chases every spike; the
+  // rolling median is the standard robust smoother for noisy operational
+  // series (latency, queue depth, sensor drift) and pairs with anomaly_mad
+  // as its windowed form.
+  //
+  // Scale: ONE exchange on the key, then the percentile evaluates per row
+  // over a bounded 10-element frame — O(W log W) per row with constant
+  // memory, no second shuffle. Exact `percentile` (not approx) is right
+  // here BECAUSE the frame is bounded: the sketch's error trade exists for
+  // unbounded groups, not 10-row buffers. Both engines interpolate the same
+  // p·(n−1) rank over the same ≤10 doubles; round(6) absorbs any last-ulp
+  // divergence in the interpolation arithmetic.
+  private val windowRollingMedian: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-9, org.apache.spark.sql.expressions.Window.currentRow)
+    ord(
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(expr("percentile(value, 0.5D)").over(w), 6).as("roll_med")),
+      "user_id", "event_id")
+  }
+
   // ---- ts_ewma: truncated-horizon exponential smoothing --------------------
   //
   // EWMA is inherently recursive (s_t = α·x_t + (1−α)·s_{t−1}) — a
@@ -695,6 +721,7 @@ object Analytics {
     "customer_rfm" -> customerRfm,
     "ts_interpolate" -> tsInterpolate,
     "window_first_last" -> windowFirstLast,
+    "window_rolling_median" -> windowRollingMedian,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_corr" -> aggCorr,
     "fit_linear" -> fitLinear,
@@ -850,6 +877,13 @@ object Analytics {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
+    "window_rolling_median" ->
+      """SELECT user_id, event_id,
+        |  round(quantile_cont(value, 0.5) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS roll_med
+        |FROM events
         |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
     "agg_heavy_hitters" ->
       s"""WITH keyed AS (

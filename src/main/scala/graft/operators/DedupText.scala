@@ -364,6 +364,34 @@ object DedupText {
       .select(md5(normText).as("fp"))
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_distinct"))
 
+  // ---- dedup_prefix: leading-span exact dedup ------------------------------
+  //
+  // The cheap first pass of the web-scale recipe (used before MinHash in
+  // CCNet/RefinedWeb-style pipelines): documents whose normalized leading
+  // span is identical are duplicates for training purposes even when tails
+  // diverge (truncated mirrors, pagination, appended boilerplate). Exact
+  // hashing on the first PREFIX_CHARS chars catches them at hash-groupBy
+  // cost — no shingles, no banding.
+  //
+  // Scale: fingerprint is per-row map work; ONE exchange on the 16-byte fp
+  // for the group stats, and the winner join is an equi-join on that same
+  // key (AQE reuses the partitioning). Winner = min doc_id, the pinned
+  // deterministic survivor policy shared with the LSH drop list. Emits one
+  // row per DROPPED doc with its surviving twin — directly anti-joinable
+  // against the corpus.
+  private[operators] val PREFIX_CHARS = 64
+  private val dedupPrefix: Q = (s, dir) => {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), md5(substring(normText, 1, PREFIX_CHARS)).as("fp"))
+    val g = d.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    d.join(g, "fp")
+      .filter(col("doc_id") =!= col("kept_doc_id"))
+      .select(col("doc_id"), col("kept_doc_id"), col("fp").as("prefix_fp"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
   // 16-bit SimHash over distinct whitespace tokens (unit weights): bit b is
   // set iff tokens with H(t) bit b = 1 are at least half. Production note: a
   // custom Expression would compute all 16 bits in one token pass; 16
@@ -504,6 +532,7 @@ object DedupText {
     "dedup_spans" -> dedupSpans,
     "dedup_drop_list" -> dedupDropList,
     "dedup_exact" -> dedupExact,
+    "dedup_prefix" -> dedupPrefix,
     "dedup_simhash" -> dedupSimhash,
     "dedup_hamming" -> dedupHamming,
     "dedup_containment" -> dedupContainment
@@ -674,6 +703,18 @@ object DedupText {
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct
         |FROM documents""".stripMargin,
+    "dedup_prefix" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, $PREFIX_CHARS)) AS fp
+         |  FROM documents),
+         |g AS (
+         |  SELECT fp, min(doc_id) AS kept_doc_id, count(*) AS n
+         |  FROM d GROUP BY fp)
+         |SELECT d.doc_id, g.kept_doc_id, d.fp AS prefix_fp
+         |FROM d JOIN g USING (fp)
+         |WHERE g.n > 1 AND d.doc_id <> g.kept_doc_id
+         |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin,
     "dedup_hamming" ->
       s"""WITH hs AS (
          |  SELECT doc_id,

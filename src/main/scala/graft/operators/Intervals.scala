@@ -92,9 +92,39 @@ object Intervals {
     maxConcurrency(intervals(s, dir), "event_type", "start_us", "end_us")
       .orderBy(col("event_type").asc_nulls_first)
 
+  // ---- interval_weighted_avg: duration-weighted mean -----------------------
+  //
+  // The time-weighted average — "what was the mean value, weighted by how
+  // long each observation was in force" — the canonical downsampling of a
+  // validity-interval table (sensor readings, prices, capacity). A plain
+  // avg() overweights keys that report often; duration weighting is the fix,
+  // and the contrast column makes the bias visible.
+  //
+  // Scale: ONE grouped aggregate over the scan with map-side partials — no
+  // window, no join; the groups are the tiny event_type dimension. Duration
+  // is the interval length in whole seconds (exact integers). Determinism:
+  // both numerators sum value·weight as exact DECIMAL(25,6) (the Lloyd-mean
+  // discipline — a double sum across a shuffle is merge-order-dependent, the
+  // decimal sum is not) and divide as double once at the end.
+  private val intervalWeightedAvg: Q = (s, dir) => {
+    val durS = pmod(col("event_id"), lit(300)) + lit(60)
+    Tables(s, dir, "events")
+      .select(col("event_type"), col("value"), durS.cast("long").as("dur_s"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dur_s")).as("total_s"),
+        round(sum((col("value") * col("dur_s")).cast("decimal(25,6)")).cast("double") /
+          sum(col("dur_s")), 6).as("tw_avg"),
+        round(sum(col("value").cast("decimal(25,6)")).cast("double") /
+          count(lit(1)), 6).as("plain_avg"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "interval_merge" -> intervalMerge,
-    "interval_concurrency" -> intervalConcurrency
+    "interval_concurrency" -> intervalConcurrency,
+    "interval_weighted_avg" -> intervalWeightedAvg
   )
 
   private val ivSql =
@@ -145,6 +175,15 @@ object Intervals {
          |  CAST(max(running) AS BIGINT) AS max_concurrent,
          |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_intervals
          |FROM run GROUP BY event_type
-         |ORDER BY event_type ASC NULLS FIRST""".stripMargin
+         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+    "interval_weighted_avg" ->
+      """SELECT event_type,
+        |  count(*) AS n_intervals,
+        |  CAST(sum(event_id % 300 + 60) AS BIGINT) AS total_s,
+        |  round(CAST(sum(CAST(value * (event_id % 300 + 60) AS DECIMAL(25,6))) AS DOUBLE)
+        |        / sum(event_id % 300 + 60), 6) AS tw_avg,
+        |  round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS plain_avg
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin
   )
 }

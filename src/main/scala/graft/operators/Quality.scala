@@ -147,10 +147,42 @@ object Quality {
       .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
   }
 
+  // ---- dq_benford: first-digit distribution audit --------------------------
+  //
+  // Benford's law — leading digits of naturally-occurring amounts follow
+  // P(d) = log10(1 + 1/d) — is the standard forensic screen for fabricated
+  // or truncated monetary columns (auditing, fraud, ETL bugs that clamp or
+  // default values). The audit emits, per digit 1..9, the observed share,
+  // the Benford expectation, and the absolute deviation; a consumer alerts
+  // on max deviation or a chi-square over these rows.
+  //
+  // Scale: one grouped count over the scan (9 groups, map-side partials)
+  // plus a broadcast of the 1-row total — no data-proportional shuffle.
+  // Determinism: the leading digit comes from the INTEGER cents rendering
+  // (floor(price·100 + 0.5) as BIGINT → first character), not from
+  // float log10/pow, so digit extraction is bit-portable; the only float
+  // ops are two divisions and a log10 of a 9-value rational, all round(6).
+  private val dqBenford: Q = (s, dir) => {
+    val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+    val counts = Tables(s, dir, "lineitem")
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit").between(1, 9))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("observed_p", round(col("n").cast("double") / col("_total"), 6))
+      .withColumn("expected_p", round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+      .select(col("digit"), col("n"), col("observed_p"), col("expected_p"),
+        round(abs(col("observed_p") - col("expected_p")), 6).as("abs_dev"))
+      .orderBy(col("digit").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "dq_check" -> dqCheck,
     "dq_quarantine" -> dqQuarantine,
-    "dq_anon_release" -> dqAnonRelease
+    "dq_anon_release" -> dqAnonRelease,
+    "dq_benford" -> dqBenford
   )
 
   val oracle: Map[String, String] = Map(
@@ -215,6 +247,23 @@ object Quality {
          |  round(CAST(sum(sum_chars) AS DOUBLE) / CAST(sum(n_docs) AS BIGINT), 6) AS avg_chars
          |FROM gated GROUP BY lang, source
          |HAVING sum(n_docs) >= $ANON_K
-         |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+         |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
+    "dq_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |                          AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT digit, count(*) AS n FROM d
+        |  WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |p AS (
+        |  SELECT digit, n,
+        |    round(CAST(n AS DOUBLE) / total, 6) AS observed_p,
+        |    round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected_p
+        |  FROM c CROSS JOIN t)
+        |SELECT digit, n, observed_p, expected_p,
+        |  round(abs(observed_p - expected_p), 6) AS abs_dev
+        |FROM p ORDER BY digit ASC NULLS FIRST""".stripMargin
   )
 }

@@ -83,4 +83,25 @@ class TextEdgeSpec extends SparkTestBase {
       "tf=4 must score sublinearly vs tf=1 (BM25 saturation)")
     assert(rows(4L)._3 > rows(3L)._3, "higher tf still scores higher")
   }
+
+  test("dedup_prefix: identical leading span collapses, min doc_id survives") {
+    val session = spark
+    import session.implicits._
+    val head = ("tok " * 20).trim // 79 chars > PREFIX_CHARS=64
+    val dir = writeDocs(Seq(
+      3L -> s"$head tail three entirely different words",
+      1L -> s"$head other ending here",
+      2L -> "a disjoint document that shares no prefix with anything"))
+    val got = DedupText.queries("dedup_prefix")(spark, dir)
+      .select("doc_id", "kept_doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(3L -> 1L), "doc 3 drops in favor of min-id twin 1; doc 2 untouched")
+    // normalization runs BEFORE the prefix cut: case and whitespace noise
+    // inside the leading span must not defeat the match
+    val dir2 = writeDocs(Seq(
+      1L -> s"$head alpha",
+      2L -> s"  ${head.toUpperCase.replace(" ", "   ")} beta"))
+    val got2 = DedupText.queries("dedup_prefix")(spark, dir2)
+      .select("doc_id", "kept_doc_id").as[(Long, Long)].collect().toSeq
+    assert(got2 == Seq(2L -> 1L))
+  }
 }

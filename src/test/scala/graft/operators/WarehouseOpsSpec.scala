@@ -99,4 +99,69 @@ class WarehouseOpsSpec extends SparkTestBase {
       ("nn", 3L, 0L, true),
       ("uq", 3L, 1L, false))) // id=2 twice
   }
+
+  private def writeEvents(rows: Seq[(Long, Long, String, Double)]): String = {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    // ts is raw INT64 nanos, the driver testdata layout Tables expects
+    rows.map { case (id, user, typ, v) =>
+      (id, 1700000000000000000L + id * 1000000000L, user, typ, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("interval_weighted_avg: duration weighting shifts the mean toward long intervals") {
+    val session = spark
+    import session.implicits._
+    // dur = event_id % 300 + 60: id 40 → 100 s @ value 10, id 240 → 300 s @ 20
+    // tw = (10·100 + 20·300) / 400 = 17.5; plain = 15.0 — the bias the
+    // operator exists to remove is visible in the contrast column
+    val dir = writeEvents(Seq((40L, 1L, "a", 10.0), (240L, 1L, "a", 20.0)))
+    val got = Intervals.queries("interval_weighted_avg")(spark, dir)
+      .select("event_type", "n_intervals", "total_s", "tw_avg", "plain_avg")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("a", 2L, 400L, 17.5, 15.0)))
+  }
+
+  private def writeLineitem(prices: Seq[Double]): String = {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bf").toString
+    prices.zipWithIndex.map { case (p, i) =>
+      (i.toLong, i.toLong, i.toLong, i, 1.0, p, 0.0, 0.0, "N", "O",
+        new java.sql.Timestamp(1700000000000L))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+      "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("dq_benford: integer-cents digit extraction and the log10 expectation") {
+    val session = spark
+    import session.implicits._
+    // leading digits of the cents rendering: 1999→1, 10000→1, 2999→2, 99999→9
+    val dir = writeLineitem(Seq(19.99, 100.00, 29.99, 999.99))
+    val got = Quality.queries("dq_benford")(spark, dir)
+      .select("digit", "n", "expected_p")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got.map(r => r._1 -> r._2) == Seq(1 -> 2L, 2 -> 1L, 9 -> 1L))
+    got.foreach { case (d, _, exp) =>
+      assert(math.abs(exp - math.log10(1.0 + 1.0 / d)) < 1e-6) }
+  }
+
+  test("window_rolling_median: exact running median over the trailing frame") {
+    val session = spark
+    import session.implicits._
+    // one user, values in ts order 5,1,3,2,4 → medians 5, 3, 3, 2.5, 3
+    val dir = writeEvents(Seq(
+      (1L, 7L, "a", 5.0), (2L, 7L, "a", 1.0), (3L, 7L, "a", 3.0),
+      (4L, 7L, "a", 2.0), (5L, 7L, "a", 4.0)))
+    val got = Analytics.queries("window_rolling_median")(spark, dir)
+      .select("event_id", "roll_med")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(1L -> 5.0, 2L -> 3.0, 3L -> 3.0, 4L -> 2.5, 5L -> 3.0))
+  }
 }
