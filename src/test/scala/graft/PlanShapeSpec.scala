@@ -419,6 +419,24 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("graph_jaccard: capped adjacency, wedge join stays an equi-join") {
+    withStaticPlans {
+      // the NbK neighbor-list cap must compile to a WindowGroupLimit in the
+      // adjacency build (the enumeration bound: C(NbK,2) wedge fan-out per
+      // shared neighbor, never deg²)
+      val e = graft.operators.Graph.coSupplyEdges(spark, sf).localCheckpoint()
+      val adj = nodes(staticPlan(graft.operators.Graph.cappedAdjacency(e)))
+      assert(adj.exists(_.getClass.getSimpleName == "WindowGroupLimitExec"),
+        "rank<=NbK must compile to a WindowGroupLimit (map-side trim)")
+      // the graded query's joins (wedge self-join + two degree joins) must
+      // all be equi-joins — a theta/BNLJ here is the deg² bomb
+      val ns = nodes(staticPlan(SparkEntry.queries("graph_jaccard")(spark, sf)))
+      assert(!ns.exists(_.isInstanceOf[CartesianProductExec]) &&
+        !ns.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        "wedge and degree joins must stay equi-joins")
+    }
+  }
+
   test("dedup_spans: inverted-index equi-join + one doc-keyed window, no similarity join") {
     withStaticPlans {
       val ns = nodes(staticPlan(SparkEntry.queries("dedup_spans")(spark, sf)))

@@ -134,4 +134,48 @@ class AnnRecallSpec extends SparkTestBase {
     // the probe's codes, so the floor is high — but below IVF's.
     assert(recall >= 0.7, f"PQ recall@5 floor is 0.7, measured $recall%.3f")
   }
+
+  test("IVF+PQ recall@5 vs brute force, and containment in the IVF candidate set") {
+    val session = spark
+    import session.implicits._
+
+    // seed ids {7, 57, …, 357} satisfy BOTH modular picks (< PQ_SEED_CAP=400
+    // and < CENT_CAP=1600), so the coarse codebook and the subspace
+    // codebooks train from the same 8 planted seeds.
+    val rnd = new Random(21)
+    def vec(): Array[Float] = Array.fill(DIM)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 10).flatMap { g =>
+      val base = vec()
+      (g * 100L, base, g) +: (1 to 5).map { j =>
+        (g * 100L + j, base.map(x => x + 0.05f * rnd.nextGaussian().toFloat), g)
+      }
+    } ++ (0 until 8).map(i => (7L + 50 * i, vec(), 98)) ++
+      (0 until 100).map(i => (6401L + 2 * i, vec(), 99))
+
+    val dir = Files.createTempDirectory("graft-ivfpq-recall").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val ground = Similarity.queries("sim_topk_brute")(spark, dir)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(ground.size == 50, s"10 probes x top-5 expected, got ${ground.size}")
+
+    val got = Similarity.ivfpqTopK(spark, dir, 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(got.forall { case (p, n) => p != n }, "self must be excluded")
+    val recall = ground.count(got.toSet.contains).toDouble / ground.size
+    info(f"IVF+PQ (nprobe 2, M=4, K=8) recall@5: $recall%.3f")
+    // the composition can lose where EITHER stage loses: floor sits under
+    // the PQ floor (0.7) by the IVF pruning's small extra miss rate
+    assert(recall >= 0.6, f"IVF+PQ recall@5 floor is 0.6, measured $recall%.3f")
+
+    // candidate algebra: every IVF+PQ neighbor must come from a probed cell,
+    // i.e. be reachable by the standalone IVF search at large k — the
+    // composition prunes WITH ivf and scores WITH pq, never inventing pairs
+    val ivfAll = Similarity.ivfTopK(spark, dir, 1000000)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got.forall(ivfAll.contains),
+      "IVF+PQ results must be a subset of the IVF candidate set")
+  }
 }
