@@ -588,13 +588,34 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Keep the last `retain` manifest versions and every data dir they
+  /** VACUUM / expire-snapshots: shrink the retained history to the last
+    * `keep` committed versions ON DEMAND, independent of the per-merge
+    * `retain` policy — the maintenance command every copy-on-write format
+    * ships (Delta VACUUM, Iceberg expire_snapshots) because time-travel
+    * storage is paid in full data-dir copies of churned buckets and only a
+    * human knows when history stops being worth it. Deleting a version is
+    * irreversible: `snapshotAt`/`changeFeed` against an expired version
+    * fail loud (never silently serve another version), exactly as they do
+    * past the `retain` window. `keep = 1` keeps only the current snapshot.
+    *
+    * Concurrency contract: same as `merge` — `synchronized` on this sink,
+    * and a reader holding a `current` DataFrame from BEFORE the vacuum may
+    * lose its files if it kept no history slack (the reason `retain` floors
+    * at 2 for the automatic path; an explicit vacuum is the caller saying
+    * no such reader exists).
+    */
+  def vacuum(keep: Int): Unit = synchronized {
+    require(keep >= 1, s"vacuum must keep at least the current version, got $keep")
+    readPointer().foreach { case (v, _) => gc(v, keep) }
+  }
+
+  /** Keep the last `keep` manifest versions and every data dir they
     * reference (a reader holding `current` from just before this merge can
     * still scan the previous version; `snapshotAt` can reach any kept
     * version); delete everything older.
     */
-  private def gc(latest: Long): Unit = {
-    val keepVersions = (latest - retain + 1 to latest).filter(_ >= 0).toSet
+  private def gc(latest: Long, keep: Int = retain): Unit = {
+    val keepVersions = (latest - keep + 1 to latest).filter(_ >= 0).toSet
     val keepDirs: Set[String] = keepVersions
       .filter(v => Files.exists(manifestDir.resolve(s"v$v")))
       .flatMap(v => readManifest(v).values)

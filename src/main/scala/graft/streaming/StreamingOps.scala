@@ -438,6 +438,31 @@ object StreamingOps {
       .orderBy(col("snap").asc_nulls_first, col("event_id").asc_nulls_first)
   }
 
+  /** VACUUM on the versioned table, graded: three merges advance the sink
+    * to v2 under a generous retain window, then `vacuum(1)` expires all
+    * history — and the CURRENT snapshot must be byte-identical to what the
+    * three merges committed (the oracle rebuilds it from raw events). A
+    * vacuum that deleted a data dir the live manifest still references
+    * breaks the hash loudly here; the history-side effects (versions list
+    * shrinks, expired `snapshotAt` fails, orphaned dirs leave the disk) are
+    * pinned in PersistentSinkSpec where a row-set oracle can't see them.
+    */
+  private val sinkVacuum: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val t1 = lit("2024-01-10 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-20 00:00:00").cast("timestamp")
+    val t3 = lit("2024-01-28 00:00:00").cast("timestamp")
+    val work = graft.Scratch.dir("graft-vacuum")
+    val sink = new ParquetTableSink(s, work.resolve("table").toString,
+      ev.limit(0), Seq("event_id"), buckets = 8, retain = 4)
+    sink.merge(ev.filter(col("ts") < t1), 0L)
+    sink.merge(ev.filter(col("ts") >= t1 && col("ts") < t2), 1L)
+    sink.merge(ev.filter(col("ts") >= t2 && col("ts") < t3), 2L)
+    sink.vacuum(keep = 1)
+    sink.current.orderBy(col("event_id").asc_nulls_first)
+  }
+
   /** CDC apply on the versioned table, graded: v0 loads a month of events,
     * then ONE change batch upserts the next window and tombstones every row
     * of a user cohort — including keys inside the same batch's upserts
@@ -1024,7 +1049,8 @@ object StreamingOps {
     "stream_offsets" -> streamOffsets,
     "stream_sink_table" -> streamSinkTable,
     "stream_jdbc_table" -> streamJdbcTable,
-    "sink_time_travel" -> sinkTimeTravel
+    "sink_time_travel" -> sinkTimeTravel,
+    "sink_vacuum" -> sinkVacuum
   )
 
   val oracle: Map[String, String] = Map(
@@ -1192,6 +1218,11 @@ object StreamingOps {
         |UNION ALL
         |SELECT 'cur' AS snap, event_id, ts, user_id, event_type, value
         |FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
-        |ORDER BY snap ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin
+        |ORDER BY snap ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
+    // the vacuumed table's CURRENT snapshot = the three merged windows
+    "sink_vacuum" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events WHERE ts < TIMESTAMP '2024-01-28 00:00:00'
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin
   )
 }

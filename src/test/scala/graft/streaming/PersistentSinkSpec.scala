@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicBoolean
 
 import scala.jdk.CollectionConverters._
@@ -334,6 +334,38 @@ class PersistentSinkSpec extends SparkTestBase {
       "time travel past retention must fail loud, not fall back silently")
     assert(sortedIds(sink.current) ==
       sortedIds(events.filter(col("event_id").between(100, 104))))
+  }
+
+  test("vacuum: expires history on demand, keeps the live snapshot intact, frees the disk") {
+    val table = Files.createTempDirectory("graft-psink-vacuum").toString
+    val zero = events.limit(0)
+    val sink = new ParquetTableSink(spark, Paths.get(table).resolve("t").toString,
+      zero, Seq("event_id"), retain = 4)
+    // growing windows so successive merges CHURN the same buckets — each
+    // version then pins its own superseded copy of those bucket dirs, the
+    // storage a vacuum exists to free
+    (0 to 2).foreach(i => sink.merge(
+      events.filter(col("event_id").between(100, 100 + i)), i.toLong))
+    assert(sink.versions == Seq(0L, 1L, 2L), "retain=4 keeps all three pre-vacuum")
+    val dataDirsBefore = Files.list(Paths.get(table).resolve("t/data")).count()
+
+    sink.vacuum(keep = 1)
+
+    assert(sink.versions == Seq(2L), s"keep=1 must leave only current, got ${sink.versions}")
+    val e = intercept[IllegalArgumentException](sink.snapshotAt(1))
+    assert(e.getMessage.contains("not retained"),
+      "time travel to a vacuumed version must fail loud")
+    assert(sortedIds(sink.current) ==
+      sortedIds(events.filter(col("event_id").between(100, 102))),
+      "the live snapshot must survive the vacuum byte-for-byte")
+    val dataDirsAfter = Files.list(Paths.get(table).resolve("t/data")).count()
+    assert(dataDirsAfter < dataDirsBefore,
+      s"vacuum must delete unreferenced data dirs ($dataDirsBefore -> $dataDirsAfter)")
+    // a later merge proceeds normally and re-applies the automatic policy
+    sink.merge(events.filter(col("event_id") === 103), 3L)
+    assert(sink.versions == Seq(2L, 3L))
+    assert(intercept[IllegalArgumentException](sink.vacuum(0)).getMessage
+      .contains("at least the current"), "keep=0 must be rejected")
   }
 
   test("CDC deletes: tombstones remove keys, delete wins within a batch, absent-key delete is a no-op") {
