@@ -13,18 +13,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Conf the `events` reader needs: its ts column is parquet TIMESTAMP(NANOS),
-    * which Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL) unless read as raw
-    * nanos. Our own entry points (Verify/Bench/tests) set this at session build;
-    * `ensureSessionConf` keeps driver-created sessions working too. The value is
-    * a constant, so the (idempotent) set is race-free even under concurrent
-    * query construction.
+  /** Confs the testdata readers need. Our own entry points (Verify/Bench/
+    * tests) set these at session build; `ensureSessionConf` keeps
+    * driver-created sessions working too. The values are constants, so the
+    * (idempotent) sets are race-free even under concurrent query
+    * construction.
+    *
+    *   - nanosAsLong: early testdata generations wrote `events.ts` as
+    *     parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
+    *     (PARQUET_TYPE_ILLEGAL) unless read as raw nanos;
+    *   - inferTimestampNTZ off: current generations write timestamps as
+    *     TIMESTAMP(µs, isAdjustedToUTC=false), which would otherwise read
+    *     as TIMESTAMP_NTZ — a type no graded plan or oracle uses. Reading
+    *     them as session-tz (UTC) TIMESTAMP keeps every downstream type
+    *     bit-identical to what the engine was graded with AND keeps
+    *     timestamp predicates pushable into the scan (a cast-to-timestamp
+    *     projection would block parquet filter pushdown on date columns).
     */
   val nanosConf: (String, String) = ("spark.sql.legacy.parquet.nanosAsLong", "true")
+  val ntzConf: (String, String) = ("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
   def ensureSessionConf(spark: SparkSession): Unit =
-    if (!spark.conf.getOption(nanosConf._1).contains(nanosConf._2))
-      spark.conf.set(nanosConf._1, nanosConf._2)
+    Seq(nanosConf, ntzConf).foreach { case (k, v) =>
+      if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
+    }
 
   /** Register every testdata table as a temp view so plain `spark.sql`
     * works over the corpus — the SQL-first entry a user migrating from the
@@ -35,15 +47,14 @@ object Tables {
     names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // Read ts as raw nanos and floor to µs — the same truncation DuckDB
-      // applies when it coerces ns → its µs TIMESTAMP, so the oracle sees
-      // identical values.
-      ensureSessionConf(spark)
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
-    }
+    ensureSessionConf(spark)
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    // ns-era events data reads as raw longs under nanosConf: floor ns → µs,
+    // the same truncation DuckDB applies coercing ns → its µs TIMESTAMP.
+    if (name == "events" &&
+        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else raw
   }
 }
