@@ -41,6 +41,7 @@ object SparkEntry {
     (Layout.queries, Layout.oracle),
     (EntityResolution.queries, EntityResolution.oracle),
     (DedupIndex.queries, DedupIndex.oracle),
+    (VectorIndexOps.queries, VectorIndexOps.oracle),
     (Scd.queries, Scd.oracle),
     (Intervals.queries, Intervals.oracle),
     (Quality.queries, Quality.oracle),

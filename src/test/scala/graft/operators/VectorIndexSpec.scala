@@ -1,0 +1,102 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Lifecycle of the persisted ANN index on a planted corpus: incremental
+  * encode converges to the bulk build, replayed batches no-op, a reopened
+  * index serves search from its directories alone (train-once), the codes
+  * table grows only by the encoded batch, and the streaming drive admits
+  * vectors through the same exactly-once path. Cross-engine value equality
+  * is graded by sim_index_search / ann_admit_incremental vs DuckDB.
+  */
+class VectorIndexSpec extends SparkTestBase {
+
+  private val N = 400
+  private val SPLIT = 200L
+
+  // deterministic synthetic vectors; ids ≡ 7 mod 50 exist (the Lloyd/PQ
+  // seed picks), and ids 0,100,200,300 form the probe set
+  private def corpus(ids: Seq[Int]): DataFrame = {
+    val session = spark
+    import session.implicits._
+    ids.map { i =>
+      (i.toLong, Array.tabulate(64)(d => (math.sin(i * 64.0 + d) * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+      .withColumn("norm",
+        sqrt(graft.functions.VectorExpressions.dot(col("embedding"), col("embedding"))))
+  }
+
+  private def probes(c: DataFrame): DataFrame =
+    c.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("norm").as("p_norm"))
+
+  private def rows(df: DataFrame): Seq[Row] = df.collect().toSeq
+
+  private def bulkIndex(dir: String): VectorIndex = {
+    val all = corpus(0 until N)
+    val idx = new VectorIndex(spark, dir)
+    idx.train(all.filter(col("vec_id") % 2 === 1))
+    idx.encode(all, 0L)
+    idx
+  }
+
+  test("incremental encode (with a replayed batch) converges to the bulk build") {
+    val all = corpus(0 until N)
+    val bulk = bulkIndex(Files.createTempDirectory("graft-vidx-bulk").toString)
+    val inc = new VectorIndex(spark, Files.createTempDirectory("graft-vidx-inc").toString)
+    inc.train(all.filter(col("vec_id") % 2 === 1))
+    inc.encode(all.filter(col("vec_id") < SPLIT), 0L)
+    inc.encode(all.filter(col("vec_id") >= SPLIT), 1L)
+    inc.encode(all.filter(col("vec_id") >= SPLIT), 1L) // replay must no-op
+    assert(inc.lastEncodedBatchId == 1L)
+    val expected = rows(bulk.search(probes(all), 3))
+    assert(expected.nonEmpty, "bulk search returns neighbors")
+    assert(rows(inc.search(probes(all), 3)) == expected)
+  }
+
+  test("a reopened index searches from its directories alone (train-once)") {
+    val dir = Files.createTempDirectory("graft-vidx-reopen").toString
+    val expected = rows(bulkIndex(dir).search(probes(corpus(0 until N)), 3))
+    val reopened = new VectorIndex(spark, dir) // no train, no encode
+    assert(reopened.lastEncodedBatchId == 0L)
+    assert(rows(reopened.search(probes(corpus(0 until N)), 3)) == expected)
+  }
+
+  test("encode touches only the passed batch; codes rows upsert by vec_id") {
+    val all = corpus(0 until N)
+    val idx = new VectorIndex(spark, Files.createTempDirectory("graft-vidx-grow").toString)
+    idx.train(all.filter(col("vec_id") % 2 === 1))
+    idx.encode(all.filter(col("vec_id") < SPLIT), 0L)
+    assert(idx.search(probes(all), 3).select("neighbor_id").distinct()
+      .filter(col("neighbor_id") >= SPLIT).count() == 0,
+      "only batch-0 vectors are searchable before batch 1")
+    idx.encode(all.filter(col("vec_id") >= SPLIT), 1L)
+    // re-encoding an already-indexed vector under a NEW batch id must
+    // upsert (idempotent content), not duplicate
+    idx.encode(all.filter(col("vec_id") === 42L), 2L)
+    val neighbors = idx.search(probes(all), 3)
+    assert(neighbors.groupBy("probe_id").count().select(max("count")).head.getLong(0) <= 3)
+  }
+
+  test("streaming drive: file drops index through the exactly-once path") {
+    val all = corpus(0 until N)
+    val src = Files.createTempDirectory("graft-vidx-src").toString
+    val ckpt = Files.createTempDirectory("graft-vidx-ckpt").toString
+    val dir = Files.createTempDirectory("graft-vidx-stream").toString
+    all.filter(col("vec_id") < SPLIT).write.parquet(s"$src/d0")
+    all.filter(col("vec_id") >= SPLIT).write.parquet(s"$src/d1")
+    val idx = new VectorIndex(spark, dir)
+    idx.train(all.filter(col("vec_id") % 2 === 1))
+    idx.startIndexing(
+      spark.readStream.schema(all.schema).parquet(s"$src/*"),
+      ckpt, org.apache.spark.sql.streaming.Trigger.AvailableNow()
+    ).awaitTermination()
+    val bulk = bulkIndex(Files.createTempDirectory("graft-vidx-bulk2").toString)
+    assert(rows(idx.search(probes(all), 3)) == rows(bulk.search(probes(all), 3)))
+  }
+}
