@@ -78,7 +78,9 @@ import graft.operators.MergeOps
 final class ParquetTableSink(spark: SparkSession, dir: String,
                              zero: DataFrame, keys: Seq[String],
                              buckets: Int = 16, retain: Int = 2,
-                             combine: ParquetTableSink.Combiner = null) {
+                             combine: ParquetTableSink.Combiner = null,
+                             route: org.apache.spark.sql.Column = null,
+                             zonemapCols: Seq[String] = Nil) {
   require(buckets >= 1, s"buckets must be >= 1, got $buckets")
   require(retain >= 2, s"retain must be >= 2 (current + one in-flight reader), got $retain")
 
@@ -114,7 +116,21 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
       s"table at $dir was bucketed with B=$persisted, sink configured with B=$buckets")
   }
 
-  private def bucketCol = pmod(hash(keys.map(col): _*), lit(buckets))
+  /** Bucket routing. Default: hash of the full merge key — uniform
+    * placement, point lookups prune by key hash. A caller may instead
+    * supply `route`, an INT bucket-id expression that must be a
+    * DETERMINISTIC PURE FUNCTION OF THE KEY COLUMNS (the same key must
+    * always land in the same bucket, or the one-row-per-key invariant
+    * breaks across merges). A RANGE route — e.g. key (day, event_id) with
+    * `route = (dayofmonth(day)-1) div 4` — turns the layout into a
+    * partition-style clustering: each bucket then covers a contiguous
+    * value span, its zonemap min/max is tight, and `scanRange` actually
+    * skips buckets (a hash layout scatters every span across all buckets,
+    * where zonemaps can prove nothing).
+    */
+  private def bucketCol =
+    if (route == null) pmod(hash(keys.map(col): _*), lit(buckets))
+    else pmod(route.cast(org.apache.spark.sql.types.IntegerType), lit(buckets))
 
   /** (version, lastCommittedBatchId), or None before the first commit. */
   private def readPointer(): Option[(Long, Long)] =
@@ -132,6 +148,41 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
         val Array(b, d) = line.split(" ", 2)
         b.toInt -> d
       }.toMap
+
+  /** Per-bucket zonemap AS OF version `v`: bucket → column → (min, max)
+    * as strings of `CAST(x AS STRING)` under the UTC session — the
+    * manifest-level data-skipping statistics (Iceberg/Delta file stats,
+    * ORC stripe min/max, at bucket granularity). Written beside the
+    * manifest only when `zonemapCols` is set; absent files read empty, so
+    * pre-zonemap tables (and versions) stay fully compatible — a bucket
+    * with no entry is simply never skipped. Values are URL-encoded so any
+    * string content round-trips the line format. */
+  private[streaming] def readZones(v: Long): Map[Int, Map[String, (String, String)]] = {
+    val f = manifestDir.resolve(s"v$v.zones")
+    if (!Files.exists(f)) Map.empty
+    else Files.readAllLines(f).asScala.filter(_.nonEmpty)
+      .map { line =>
+        val Array(b, c, lo, hi) = line.split("\t", 4)
+        def dec(s: String) =
+          if (s == " null") null
+          else java.net.URLDecoder.decode(s, "UTF-8")
+        (b.toInt, c, (dec(lo), dec(hi)))
+      }
+      .groupBy(_._1)
+      .map { case (b, rows) => b -> rows.map(r => r._2 -> r._3).toMap }
+  }
+
+  private def writeZones(v: Long, zones: Map[Int, Map[String, (String, String)]]): Unit = {
+    def enc(s: String) =
+      if (s == null) " null" else java.net.URLEncoder.encode(s, "UTF-8")
+    val lines = zones.toSeq.sortBy(_._1).flatMap { case (b, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$b\t$c\t${enc(lo)}\t${enc(hi)}" }
+    }
+    val tmp = manifestDir.resolve(s".v$v.zones.tmp")
+    Files.writeString(tmp, lines.mkString("\n"))
+    Files.move(tmp, manifestDir.resolve(s"v$v.zones"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** The table schema AS OF version `v`: the per-version schema file when
     * evolution has happened, else the base `zero` schema (pre-evolution
@@ -249,6 +300,59 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
         else spark.read.schema(schemaAt(v)).parquet(paths: _*)
           .join(org.apache.spark.sql.functions.broadcast(
             keyRows.select(keys.map(col): _*).distinct()), keys, "left_semi")
+    }
+  }
+
+  /** The buckets a half-open range predicate `lo <= column < hi` must
+    * read: a bucket is SKIPPED iff its committed zonemap entry proves
+    * `max < lo` or `min >= hi`. Buckets with no entry (pre-zonemap
+    * versions, all-NULL columns) are conservatively kept. The interval
+    * test evaluates through Spark on a ≤ `buckets`-row local relation, so
+    * the stored strings and the caller's bounds are compared under the
+    * COLUMN's type — numerics numerically, timestamps chronologically —
+    * with zero hand-rolled orderings.
+    */
+  def rangePrunedBuckets(column: String, lo: Any, hi: Any): Seq[Int] =
+    readPointer() match {
+      case None => Seq.empty
+      case Some((v, _)) =>
+        val zones = readZones(v)
+        val dt = schemaAt(v)(column).dataType
+        val zoneRows = readManifest(v).keySet.toSeq.sorted.map { b =>
+          val z = zones.get(b).flatMap(_.get(column))
+          (b, z.map(_._1).orNull, z.map(_._2).orNull)
+        }
+        val session = spark
+        import session.implicits._
+        zoneRows.toDF("_b", "_zlo", "_zhi")
+          .filter(col("_zlo").isNull || col("_zhi").isNull ||
+            !(col("_zhi").cast(dt) < lit(lo).cast(dt) ||
+              col("_zlo").cast(dt) >= lit(hi).cast(dt)))
+          .select("_b").collect().map(_.getInt(0)).toSeq.sorted
+    }
+
+  /** Zonemap-pruned range scan: rows with `lo <= column < hi`, reading
+    * ONLY the buckets `rangePrunedBuckets` keeps — the range-predicate
+    * complement of `lookupKeys`' point pruning. With a `bucketBy` range
+    * layout (e.g. day-routed events, zonemap on ts) a narrow time window
+    * reads O(window/span) of the table instead of every bucket; row-group
+    * stats inside the surviving files prune further (rows are clustered by
+    * the merge key at write). The filter still applies in full, so the
+    * result is correct even where the zonemap kept a false-positive
+    * bucket.
+    */
+  def scanRange(column: String, lo: Any, hi: Any): DataFrame = {
+    val schema = currentSchema
+    val dt = schema(column).dataType
+    val pred = col(column) >= lit(lo).cast(dt) && col(column) < lit(hi).cast(dt)
+    readPointer() match {
+      case None => emptyOf(schema)
+      case Some((v, _)) =>
+        val manifest = readManifest(v)
+        val paths = rangePrunedBuckets(column, lo, hi)
+          .flatMap(manifest.get).map(d => dataDir.resolve(d).toString)
+        if (paths.isEmpty) emptyOf(schemaAt(v))
+        else spark.read.schema(schemaAt(v)).parquet(paths: _*).filter(pred)
     }
   }
 
@@ -389,11 +493,12 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     deleteRecursively(stagingDir)
     listDirs(dataDir).filter(_.getFileName.toString.endsWith(s"-v$next"))
       .foreach(deleteRecursively)
-    // also any schema file a crashed evolving attempt left for this version:
-    // a non-evolving replay would otherwise commit under the stale evolved
-    // schema (phantom all-NULL column) and wedge every later merge on the
-    // batch-must-carry-existing-columns check
+    // also any schema/zones file a crashed evolving attempt left for this
+    // version: a non-evolving replay would otherwise commit under the stale
+    // evolved schema (phantom all-NULL column) and wedge every later merge
+    // on the batch-must-carry-existing-columns check
     Files.deleteIfExists(manifestDir.resolve(s"v$next.schema"))
+    Files.deleteIfExists(manifestDir.resolve(s"v$next.zones"))
 
     // 1. Stage the batch partitioned by bucket. This is the one
     // materialization of the batch: it detaches the streaming lineage (the
@@ -406,8 +511,9 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
       .map(_.getFileName.toString).filter(_.startsWith("_bucket="))
       .map(_.stripPrefix("_bucket=").toInt).sorted
 
-    val newEntries: Map[Int, String] =
-      if (touched.isEmpty) Map.empty // empty batch: commit the batchId only
+    val (newEntries: Map[Int, String], newZones: Map[Int, Map[String, (String, String)]]) =
+      if (touched.isEmpty) // empty batch: commit the batchId only
+        (Map.empty[Int, String], Map.empty[Int, Map[String, (String, String)]])
       else {
         // 2. Upsert into the CURRENT contents of the touched buckets only.
         val existingPaths = touched.flatMap(manifest.get)
@@ -450,14 +556,31 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
           .sortWithinPartitions(col("_bucket") +: keys.map(col): _*)
           .write.partitionBy("_bucket").parquet(out.toString)
 
+        // Zonemap stats for the rewritten buckets: one aggregate pass over
+        // the files just written (O(touched buckets), same cost class as
+        // the merge itself), collected as ≤ buckets tiny rows.
+        val zones: Map[Int, Map[String, (String, String)]] =
+          if (zonemapCols.isEmpty) Map.empty
+          else {
+            val aggs = zonemapCols.flatMap(c => Seq(
+              org.apache.spark.sql.functions.min(col(c)).cast("string").as(s"__lo_$c"),
+              org.apache.spark.sql.functions.max(col(c)).cast("string").as(s"__hi_$c")))
+            spark.read.parquet(out.toString)
+              .groupBy(col("_bucket")).agg(aggs.head, aggs.tail: _*)
+              .collect().map { r =>
+                r.getAs[Int]("_bucket") -> zonemapCols.map(c =>
+                  c -> (r.getAs[String](s"__lo_$c"), r.getAs[String](s"__hi_$c"))).toMap
+              }.toMap
+          }
+
         // 3. Promote each rewritten bucket dir to its versioned location.
-        listDirs(out).filter(_.getFileName.toString.startsWith("_bucket="))
+        (listDirs(out).filter(_.getFileName.toString.startsWith("_bucket="))
           .map { bDir =>
             val b = bDir.getFileName.toString.stripPrefix("_bucket=").toInt
             val name = s"b$b-v$next"
             Files.move(bDir, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
             b -> name
-          }.toMap
+          }.toMap, zones)
       }
 
     // Commit the (possibly evolved) schema beside the manifest. Written only
@@ -477,6 +600,17 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     // leaves the manifest (for plain upserts touched ⊆ newEntries, so this
     // is the identity). Untouched buckets carry over verbatim.
     val nextManifest = (manifest -- touched) ++ newEntries
+
+    // Zonemap sidecar: untouched buckets carry their stats over, touched
+    // buckets get the freshly computed ones, emptied buckets drop out.
+    // Like the schema file, a sidecar orphaned by a crash before the
+    // pointer swap is harmless (replay deletes it) and GC removes expired
+    // versions' sidecars with their manifests.
+    if (zonemapCols.nonEmpty) {
+      val prevZones = if (ver >= 0) readZones(ver) else Map.empty[Int, Map[String, (String, String)]]
+      writeZones(next,
+        ((prevZones -- touched) ++ newZones).filter(kv => nextManifest.contains(kv._1)))
+    }
     val mTmp = manifestDir.resolve(s".v$next.tmp")
     Files.writeString(mTmp,
       nextManifest.toSeq.sortBy(_._1).map { case (b, d) => s"$b $d" }.mkString("\n"))
@@ -522,7 +656,8 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
       s"cloneTo target $destDir already holds a committed table")
     readPointer() match {
       case None => // empty source: the clone is just a fresh table
-        new ParquetTableSink(spark, destDir, zero, keys, buckets, retain, combiner)
+        new ParquetTableSink(spark, destDir, zero, keys, buckets, retain,
+          combiner, route, zonemapCols)
       case Some((v, committed)) =>
         val destData = destRoot.resolve("data")
         val destMan = destRoot.resolve("manifest")
@@ -542,6 +677,10 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
         }
         if (schemaAt(v) != zero.schema)
           Files.writeString(destMan.resolve("v0.schema"), schemaAt(v).json)
+        // zonemap stats describe data content, which hard-links preserve
+        if (Files.exists(manifestDir.resolve(s"v$v.zones")))
+          Files.copy(manifestDir.resolve(s"v$v.zones"), destMan.resolve("v0.zones"),
+            StandardCopyOption.REPLACE_EXISTING)
         Files.writeString(destMan.resolve("v0"),
           entries.map { case (b, d) => s"$b $d" }.mkString("\n"))
         Files.writeString(destRoot.resolve("_BUCKETS"), buckets.toString)
@@ -551,7 +690,7 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
         Files.move(ptrTmp, destRoot.resolve("_CURRENT"),
           StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
         new ParquetTableSink(spark, destDir, emptyOf(schemaAt(v)), keys,
-          buckets, retain, combiner)
+          buckets, retain, combiner, route, zonemapCols)
     }
   }
 
@@ -568,7 +707,7 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
   def rebucket(destDir: String, newBuckets: Int,
                carryBatchId: Boolean = true): ParquetTableSink = synchronized {
     val dest = new ParquetTableSink(spark, destDir, emptyOf(currentSchema),
-      keys, newBuckets, retain, combiner)
+      keys, newBuckets, retain, combiner, route, zonemapCols)
     require(dest.readPointer().isEmpty,
       s"rebucket target $destDir already holds a committed table")
     val committed = readPointer().map(_._2).getOrElse(-1L)
@@ -622,7 +761,7 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     listDirs(manifestDir)
       .filter { p =>
         val n = p.getFileName.toString
-        val base = n.stripSuffix(".schema")
+        val base = n.stripSuffix(".schema").stripSuffix(".zones")
         base.startsWith("v") && base.drop(1).forall(_.isDigit) &&
           base.drop(1).nonEmpty && !keepVersions.contains(base.drop(1).toLong)
       }

@@ -511,6 +511,38 @@ object StreamingOps {
     sink.lookupKeys(probe).orderBy(col("event_id").asc_nulls_first)
   }
 
+  /** Zonemap-skipped RANGE scan on the versioned table, graded: a month of
+    * events lands in a RANGE-routed layout — merge key (day, event_id),
+    * bucket id `(dayofmonth(day)-1) div 4` (30 days → 8 buckets of ≤ 4
+    * days, no wraparound), per-bucket ts min/max committed in the manifest
+    * zonemap at merge time. The four-day probe window then reads 2 of 8
+    * buckets (`rangePrunedBuckets`; ZonemapSpec pins the pruning and its
+    * correctness against an unpruned filter) — the range-predicate
+    * complement of sink_point_lookup's key-hash pruning. The window is
+    * deliberately NOT aligned to the 4-day bucket grid, so a correct result
+    * needs both the zonemap keep-set and the residual in-bucket filter; the
+    * oracle is the plain declarative range select.
+    */
+  private val sinkZonemapScan: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), to_date(col("ts")).as("day"))
+    val work = graft.Scratch.dir("graft-zonemap")
+    val sink = new ParquetTableSink(s, work.resolve("table").toString,
+      ev.limit(0), keys = Seq("day", "event_id"), buckets = 8,
+      route = (dayofmonth(col("day")) - 1).divide(4).cast("int"),
+      zonemapCols = Seq("ts"))
+    // the full-month merge commits zones for all 8 buckets; the second
+    // merge rewrites only the first two buckets (days < 9), so the probed
+    // buckets' zonemap entries are CARRIED OVER, not recomputed — a stale
+    // or dropped carry would visibly break the scan
+    sink.merge(ev.filter(col("event_id") % 2 === 0), 0L)
+    sink.merge(ev.filter(col("event_id") % 2 === 1 && dayofmonth(col("day")) < 9), 1L)
+    sink.scanRange("ts", "2024-01-10 00:00:00", "2024-01-14 00:00:00")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
   /** The streaming MATERIALIZED VIEW, graded: the same overlapping two-drop
     * at-least-once stream as `stream_sink_table`, but each micro-batch is
     * pre-aggregated to a per-(cohort, event_type) partial state and folded
@@ -1041,6 +1073,7 @@ object StreamingOps {
     "sink_merge_delete" -> sinkMergeDelete,
     "jdbc_merge_delete" -> jdbcMergeDelete,
     "sink_point_lookup" -> sinkPointLookup,
+    "sink_zonemap_scan" -> sinkZonemapScan,
     "stream_rollup_table" -> streamRollupTable,
     "stream_distinct_mv" -> streamDistinctMv,
     "stream_quantile_mv" -> streamQuantileMv,
@@ -1143,6 +1176,17 @@ object StreamingOps {
       """SELECT event_id, user_id, event_type, value
         |FROM events
         |WHERE ts < TIMESTAMP '2024-01-20 00:00:00' AND user_id % 10 <> 3
+        |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    // table = even ids (whole month) ∪ odd ids (days < 9); the scanned
+    // window [Jan 10, Jan 14) therefore holds only even ids — the zonemap
+    // keep-set and residual filter must reproduce exactly the declarative
+    // range select
+    "sink_zonemap_scan" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-14 00:00:00'
+        |  AND event_id % 2 = 0
         |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     // lookup hits = loaded window ∩ probe ids; probes past the window miss
     "sink_point_lookup" ->

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Manifest-level zonemap data skipping on the versioned sink: a range
+  * route gives tight per-bucket min/max, `rangePrunedBuckets` proves the
+  * skip set, `scanRange` stays value-identical to the unpruned filter,
+  * carried-over buckets keep their stats across merges and reopen/clone,
+  * and a hash layout (where zonemaps can prove nothing) degrades to
+  * read-everything without ever dropping a row. Cross-engine values are
+  * graded by sink_zonemap_scan vs DuckDB.
+  */
+class ZonemapSpec extends SparkTestBase {
+
+  // 64 rows over 8 "days" (d = 0..7), x strictly increasing with d so a
+  // day-routed bucket's [min, max] on x is tight and disjoint
+  private def rows(ids: Range): DataFrame = {
+    val session = spark
+    import session.implicits._
+    ids.map(i => (i.toLong % 8, i.toLong, i.toLong % 8 * 100 + i))
+      .toDF("d", "id", "x")
+  }
+
+  private def daySink(dir: String) = new ParquetTableSink(spark, dir,
+    rows(0 until 0), keys = Seq("d", "id"), buckets = 8,
+    route = col("d").cast("int"), zonemapCols = Seq("x"))
+
+  private def sortedRows(df: DataFrame) =
+    df.orderBy("id").collect().toSeq
+
+  test("range layout: narrow window prunes buckets, values match the unpruned filter") {
+    val dir = Files.createTempDirectory("graft-zm-prune").toString
+    val sink = daySink(dir)
+    sink.merge(rows(0 until 64), 0L)
+    // x in [200, 400) lives in days 2 and 3 only
+    val kept = sink.rangePrunedBuckets("x", 200L, 400L)
+    assert(kept == Seq(2, 3), s"expected buckets {2,3}, got $kept")
+    val scanned = sink.scanRange("x", 200L, 400L)
+    assert(sortedRows(scanned) ==
+      sortedRows(sink.current.filter(col("x") >= 200 && col("x") < 400)))
+    // the scan must actually read fewer files than the full table
+    assert(scanned.inputFiles.length < sink.current.inputFiles.length)
+  }
+
+  test("carried-over buckets keep their zonemap across merges, reopen, and clone") {
+    val dir = Files.createTempDirectory("graft-zm-carry").toString
+    val sink = daySink(dir)
+    sink.merge(rows(0 until 64), 0L)
+    sink.merge(rows(64 until 72).filter(col("d") < 2), 1L) // rewrites only b0, b1
+    assert(sink.rangePrunedBuckets("x", 200L, 400L) == Seq(2, 3),
+      "untouched buckets must carry their stats to the new version")
+    val reopened = daySink(dir) // state from the directories alone
+    assert(reopened.rangePrunedBuckets("x", 200L, 400L) == Seq(2, 3))
+    val clone = sink.cloneTo(Files.createTempDirectory("graft-zm-clone").toString)
+    assert(clone.rangePrunedBuckets("x", 200L, 400L) == Seq(2, 3))
+    assert(sortedRows(clone.scanRange("x", 200L, 400L)) ==
+      sortedRows(sink.scanRange("x", 200L, 400L)))
+  }
+
+  test("hash layout: zonemap proves nothing, scan degrades to correct full read") {
+    val dir = Files.createTempDirectory("graft-zm-hash").toString
+    val sink = new ParquetTableSink(spark, dir, rows(0 until 0),
+      keys = Seq("d", "id"), buckets = 8, zonemapCols = Seq("x"))
+    sink.merge(rows(0 until 64), 0L)
+    assert(sink.rangePrunedBuckets("x", 200L, 400L).size == 8,
+      "hash placement scatters every span across all buckets")
+    assert(sortedRows(sink.scanRange("x", 200L, 400L)) ==
+      sortedRows(sink.current.filter(col("x") >= 200 && col("x") < 400)))
+  }
+
+  test("tables without zonemapCols read empty zones and never prune") {
+    val dir = Files.createTempDirectory("graft-zm-off").toString
+    val sink = new ParquetTableSink(spark, dir, rows(0 until 0),
+      keys = Seq("d", "id"), buckets = 4)
+    sink.merge(rows(0 until 32), 0L)
+    val manifestFiles = {
+      val s = Files.list(Paths.get(dir, "manifest"))
+      try s.iterator().asScala.map(_.getFileName.toString).toList finally s.close()
+    }
+    assert(!manifestFiles.exists(_.endsWith(".zones")))
+    assert(sink.rangePrunedBuckets("x", 0L, 10L).size == 4)
+  }
+}
