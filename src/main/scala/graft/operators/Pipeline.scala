@@ -123,13 +123,60 @@ object Pipeline {
         col("stop_tag").asc_nulls_first)
   }
 
+  /** The ASSEMBLED program graded end-to-end against the oracle: a two-day
+    * GraftApp drive (the reference's run.py loop — day-1 dim snapshot, two
+    * overlapping poll drops, midnight rollover re-snapshot, a day-2 drop)
+    * whose final Derby fact table must hash-equal the declarative replay of
+    * the same inputs. This closes the gap between the spec-asserted drive
+    * (GraftMainSpec pins counts, kill/replay, rollover calendars) and the
+    * cross-engine gate: checkpointed offsets, watermark dedup across polls,
+    * per-batch dim re-resolution, the transactional JDBC merge, and the
+    * batch-id guard all have to compose to EXACTLY the one-shot join.
+    *
+    * Derby returns uppercase identifiers; the projection pins the graded
+    * lowercase names.
+    */
+  private val pipelineProgram: Q = (s, dir) => {
+    // cloned-session scoping (the stream_sink_table convention): poll-sized
+    // micro-batches through ~6 exchanges per pass
+    val local = s.newSession()
+    local.conf.set("spark.sql.shuffle.partitions", "8")
+    val work = graft.Scratch.dir("graft-program")
+    var utcNow = java.time.Instant.parse("2024-01-01T12:00:00Z")
+    val app = new graft.GraftApp(local, dir, s"$work/incoming", s"$work/state",
+      graft.GraftMain.zonedClock(() => utcNow, java.time.ZoneId.of("UTC")))
+    def drop(name: String, pred: Column): Unit =
+      Tables(local, dir, "events").select("event_id", "ts", "user_id", "value")
+        .filter(pred).write.parquet(s"$work/incoming/$name")
+    app.tick()                                              // day-1 dim snapshot
+    drop("d1", col("event_id") < 400); app.tick()           // poll 1
+    drop("d2", col("event_id") >= 300 && col("event_id") < 700); app.tick()
+    utcNow = utcNow.plus(java.time.Duration.ofDays(1))
+    app.tick()                                              // day-2 rollover
+    drop("d3", col("event_id") >= 700 && col("event_id") < 900); app.tick()
+    app.factTable.select(
+        col("EVENT_ID").as("event_id"), col("TS").as("ts"),
+        col("USER_ID").as("user_id"), col("VALUE").as("value"),
+        col("C_MKTSEGMENT").as("c_mktsegment"))
+      .orderBy(col("event_id").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_hotpath" -> (vehicleHotPath(_, _)),
     "pipeline_stops_refresh" -> (stopsRefresh(_, _)),
-    "pipeline_stop_orders" -> (stopOrdersRefresh(_, _))
+    "pipeline_stop_orders" -> (stopOrdersRefresh(_, _)),
+    "pipeline_program" -> pipelineProgram
   )
 
   val oracle: Map[String, String] = Map(
+    // three overlapping drops cover exactly ids < 900 once each (dedup +
+    // idempotent upsert); enrichment resolves every user (FK-complete
+    // testdata), with the LEFT join mirroring the program's semantics
+    "pipeline_program" ->
+      """SELECT e.event_id, e.ts, e.user_id, e.value, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_id < 900
+        |ORDER BY e.event_id ASC NULLS FIRST""".stripMargin,
     "pipeline_stop_orders" ->
       """WITH ex AS (
         |  SELECT CAST(user_id AS VARCHAR) AS route_tag, event_type AS direction_tag,
