@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Generate /tmp/graft_sf1: a 10x scale-up of sf0.1 for the scale smoke
+(BENCH_sf1.md). Replication is STRUCTURE-PRESERVING, not byte-copying:
+
+- documents: replica k>0 rewrites the text by appending a replica-unique
+  token after every other word, so replicas are NOT near-duplicates of
+  each other (a byte-copy would hand the LSH dedup a 10-clique per doc —
+  an adversarial quadratic blowup no organic corpus has; organic growth
+  adds mostly-novel documents).
+- embeddings: replica k>0 perturbs every dimension by a deterministic
+  +-0.05-band offset keyed on (vec_id, k, dim) — new vectors in the same
+  distribution, not exact duplicates (cosine-identical copies would
+  degenerate the ANN top-k ties).
+- events: id/user offsets per replica, ts shifted k microseconds — same
+  30-day window at 10x density, disjoint user universes per replica (the
+  organic shape for co-occurrence graphs: more users, same per-user rate).
+- lineitem/orders: orderkey offsets, same part/customer mix — basket
+  structure per order unchanged, 10x more orders.
+- small dims (region nation customer supplier part): copied verbatim.
+
+Usage: python3 tools/gen_sf1.py [src] [dst] [replicas]
+"""
+import os
+import shutil
+import sys
+
+import duckdb
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+os.makedirs(dst, exist_ok=True)
+con = duckdb.connect()
+con.execute(f"CREATE VIEW ks AS SELECT unnest(range(0,{R})) AS k")
+
+
+def copy_sql(table, sql):
+    con.execute(
+        f"COPY ({sql}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{dst}/{table}.parquet')").fetchone()[0]
+    print(f"{table}: {n} rows")
+
+
+doc = f"read_parquet('{src}/documents.parquet')"
+copy_sql("documents", f"""
+  SELECT d.doc_id + ks.k*(SELECT max(doc_id)+1 FROM {doc}) AS doc_id,
+         CASE WHEN ks.k = 0 THEN d.text
+              ELSE regexp_replace(d.text, '(\\S+\\s+\\S+)', '\\1 zq' || ks.k, 'g')
+         END AS text,
+         d.lang, d.source, d.n_chars
+  FROM {doc} d CROSS JOIN ks""")
+
+emb = f"read_parquet('{src}/embeddings.parquet')"
+copy_sql("embeddings", f"""
+  SELECT e.vec_id + ks.k*(SELECT max(vec_id)+1 FROM {emb}) AS vec_id,
+         CASE WHEN ks.k = 0 THEN e.embedding
+              ELSE CAST([CAST(e.embedding[i] +
+                     0.05*sin(e.vec_id*31.0 + ks.k*17.0 + i) AS FLOAT)
+                   for i in range(1, len(e.embedding)+1)] AS FLOAT[])
+         END AS embedding,
+         e.label
+  FROM {emb} e CROSS JOIN ks""")
+
+ev = f"read_parquet('{src}/events.parquet')"
+copy_sql("events", f"""
+  SELECT e.event_id + ks.k*(SELECT max(event_id)+1 FROM {ev}) AS event_id,
+         e.ts + ks.k * INTERVAL 1 MICROSECOND AS ts,
+         e.user_id + ks.k*(SELECT max(user_id)+1 FROM {ev}) AS user_id,
+         e.event_type, e.value, e.props
+  FROM {ev} e CROSS JOIN ks""")
+
+ords = f"read_parquet('{src}/orders.parquet')"
+okey = f"(SELECT max(o_orderkey)+1 FROM {ords})"
+copy_sql("orders", f"""
+  SELECT o.o_orderkey + ks.k*{okey} AS o_orderkey,
+         o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate,
+         o.o_orderpriority
+  FROM {ords} o CROSS JOIN ks""")
+
+li = f"read_parquet('{src}/lineitem.parquet')"
+copy_sql("lineitem", f"""
+  SELECT l.l_orderkey + ks.k*{okey} AS l_orderkey,
+         l.l_partkey, l.l_suppkey, l.l_linenumber, l.l_quantity,
+         l.l_extendedprice, l.l_discount, l.l_tax, l.l_returnflag,
+         l.l_linestatus, l.l_shipdate
+  FROM {li} l CROSS JOIN ks""")
+
+for t in ["region", "nation", "customer", "supplier", "part"]:
+    shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    print(f"{t}: copied")
+
+print(f"done -> {dst}")
