@@ -177,5 +177,23 @@ class AnnRecallSpec extends SparkTestBase {
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(got.forall(ivfAll.contains),
       "IVF+PQ results must be a subset of the IVF candidate set")
+
+    // artifact fidelity: the persisted index trained on the SAME corpus
+    // must reproduce the in-session IVF+PQ ranking exactly — codebooks,
+    // norms, and codes round-trip parquet bit-exactly, so search from the
+    // artifact is the same function, not an approximation of it
+    val corpus = Similarity.vecs(spark, dir)
+    val idx = new VectorIndex(spark,
+      Files.createTempDirectory("graft-ivfpq-idx").toString)
+    idx.train(corpus)
+    idx.encode(corpus, 0L)
+    val probes = corpus.filter(Similarity.isProbe)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("probe_id"),
+        org.apache.spark.sql.functions.col("embedding").as("p_emb"),
+        org.apache.spark.sql.functions.col("norm").as("p_norm"))
+    val viaIndex = idx.search(probes, 5).collect().toSeq
+    val inSession = Similarity.ivfpqTopK(spark, dir, 5).collect().toSeq
+    assert(viaIndex == inSession,
+      "persisted-index search must equal the in-session IVF+PQ result row-for-row")
   }
 }
