@@ -81,7 +81,7 @@ object TemporalJoins {
         when(unix_micros(col("_ts")) - unix_micros(col("_vtsc")) <= t, col(asofCol)))
       case None => carried
     }
-    bounded.select(pCols.map(col) :+ col(asofCol): _*)
+    bounded.select(pCols.toSeq.map(col) :+ col(asofCol): _*)
   }
 
   /** Range join by time-bucketing: rows of `probes` matched to every

@@ -66,7 +66,7 @@ final class VectorIndex(spark: SparkSession, dir: String) {
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
 
   private def conform(df: DataFrame, schema: StructType): DataFrame =
-    df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    df.select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
 
   // codebook tables are one bucket each: they are constant-size artifacts
   // (≤ 32 and ≤ M·K rows) read whole and broadcast — bucketing them would

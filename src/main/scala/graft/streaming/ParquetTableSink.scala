@@ -405,7 +405,7 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     val valueCols = curSchema.fieldNames.filterNot(keys.contains).toSeq
     def tagged(df: DataFrame, tag: String): DataFrame =
       df.select(keys.map(col) :+
-        org.apache.spark.sql.functions.struct(curSchema.fieldNames.map(col): _*).as(s"_$tag"): _*)
+        org.apache.spark.sql.functions.struct(curSchema.fieldNames.toSeq.map(col): _*).as(s"_$tag"): _*)
     val joined = tagged(oldRows, "old")
       .join(tagged(newRows, "new"), keys, "full_outer")
     val oldV = col("_old")
@@ -419,7 +419,7 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     joined
       .withColumn("_op", op)
       .filter(col("_op").isNotNull)
-      .select(col("_op") +: curSchema.fieldNames.map(c => carrier.getField(c).as(c)): _*)
+      .select(col("_op") +: curSchema.fieldNames.toSeq.map(c => carrier.getField(c).as(c)): _*)
   }
 
   /** Buckets that version `v` had rows in but the current version does not —
