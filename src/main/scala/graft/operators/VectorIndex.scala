@@ -110,6 +110,23 @@ final class VectorIndex(spark: SparkSession, dir: String) {
     codesSink.merge(conform(mcodes.join(cells, "vec_id"), codesSchema), batchId)
   }
 
+  /** Retire vectors from the index (deletion/right-to-be-forgotten): their
+    * codes rows tombstone out of the versioned table, so they can never
+    * appear as candidates again — no codebook retrain (the codebooks carry
+    * no per-vector state), no rewrite beyond the touched buckets. Rides
+    * the same batchId guard as `encode`; `vecIds` carries a `vec_id`
+    * column. */
+  def remove(vecIds: DataFrame, batchId: Long): Unit = {
+    if (batchId <= codesSink.lastCommittedBatchId) return
+    codesSink.merge(
+      vecIds.select(col("vec_id").cast("long").as("vec_id"))
+        .withColumn("norm", lit(null).cast("double"))
+        .withColumn("cell", lit(null).cast("long"))
+        .withColumn("codes", lit(null).cast(ArrayType(LongType, containsNull = true)))
+        .withColumn(ParquetTableSink.DeleteCol, lit(true)),
+      batchId)
+  }
+
   /** IVFPQ/ADC top-k over the PERSISTED artifact. `probes` carries
     * (probe_id, p_emb, p_norm); cost per probe ≈ NPROBE/cells of the codes
     * table, scored at M lookup-adds per candidate. */

@@ -83,6 +83,25 @@ class VectorIndexSpec extends SparkTestBase {
     assert(neighbors.groupBy("probe_id").count().select(max("count")).head.getLong(0) <= 3)
   }
 
+  test("remove retires vectors: never candidates again, replay no-ops, re-encode restores") {
+    val all = corpus(0 until N)
+    val idx = bulkIndex(Files.createTempDirectory("graft-vidx-rm").toString)
+    val before = rows(idx.search(probes(all), 3))
+    val victims = before.map(_.getLong(2)).distinct.take(3) // some actual neighbors
+    val session = spark
+    import session.implicits._
+    idx.remove(victims.toDF("vec_id"), 1L)
+    val after = idx.search(probes(all), 3)
+    assert(after.filter(col("neighbor_id").isin(victims: _*)).count() == 0,
+      "retired vectors must never appear as neighbors")
+    assert(rows(after).nonEmpty, "other vectors still serve")
+    idx.remove(victims.toDF("vec_id"), 1L) // replay must no-op
+    assert(idx.lastEncodedBatchId == 1L)
+    // re-encoding the victims restores exactly the original ranking
+    idx.encode(all.filter(col("vec_id").isin(victims: _*)), 2L)
+    assert(rows(idx.search(probes(all), 3)) == before)
+  }
+
   test("streaming drive: file drops index through the exactly-once path") {
     val all = corpus(0 until N)
     val src = Files.createTempDirectory("graft-vidx-src").toString
