@@ -74,6 +74,19 @@ class ZonemapSpec extends SparkTestBase {
       sortedRows(sink.current.filter(col("x") >= 200 && col("x") < 400)))
   }
 
+  test("a crashed attempt's stale zones sidecar cannot poison the replay") {
+    val dir = Files.createTempDirectory("graft-zm-crash").toString
+    val sink = daySink(dir)
+    sink.merge(rows(0 until 32), 0L) // commits v0
+    // forge the NEXT version's sidecar, as a crashed evolving attempt would
+    // leave it: absurd stats that would prune every bucket if trusted
+    Files.writeString(Paths.get(dir, "manifest", "v1.zones"),
+      (0 until 8).map(b => s"$b\tx\t99999\t99999").mkString("\n"))
+    sink.merge(rows(32 until 64), 1L) // commits the real v1
+    assert(sortedRows(sink.scanRange("x", 0L, 1000L)) == sortedRows(sink.current),
+      "replay must rewrite the sidecar from real data, not trust the orphan")
+  }
+
   test("tables without zonemapCols read empty zones and never prune") {
     val dir = Files.createTempDirectory("graft-zm-off").toString
     val sink = new ParquetTableSink(spark, dir, rows(0 until 0),
