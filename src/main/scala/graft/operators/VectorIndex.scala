@@ -132,6 +132,11 @@ final class VectorIndex(spark: SparkSession, dir: String) {
     * table, scored at M lookup-adds per candidate. */
   def search(probes: DataFrame, k: Int): DataFrame = {
     import Similarity.{NPROBE, PQ_M, PQ_SUBDIM}
+    // fail loud, not empty: an untrained index has no codebooks, and a
+    // silently-empty top-k reads as "no neighbors" downstream
+    require(centsSink.lastCommittedBatchId >= 0 &&
+      pcentsSink.lastCommittedBatchId >= 0,
+      s"VectorIndex($dir): search before train — no committed codebooks")
     val cents = centsSink.current
     val pcents = pcentsSink.current
     val wCell = Window.partitionBy("probe_id").orderBy(col("pc_cos").desc, col("cent_id").asc)

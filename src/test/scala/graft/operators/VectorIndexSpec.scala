@@ -83,6 +83,14 @@ class VectorIndexSpec extends SparkTestBase {
     assert(neighbors.groupBy("probe_id").count().select(max("count")).head.getLong(0) <= 3)
   }
 
+  test("search before train fails loud, not silently empty") {
+    val idx = new VectorIndex(spark, Files.createTempDirectory("graft-vidx-raw").toString)
+    val e = intercept[IllegalArgumentException] {
+      idx.search(probes(corpus(0 until 8)), 3)
+    }
+    assert(e.getMessage.contains("search before train"))
+  }
+
   test("remove retires vectors: never candidates again, replay no-ops, re-encode restores") {
     val all = corpus(0 until N)
     val idx = bulkIndex(Files.createTempDirectory("graft-vidx-rm").toString)
