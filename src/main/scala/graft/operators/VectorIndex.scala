@@ -71,18 +71,29 @@ final class VectorIndex(spark: SparkSession, dir: String) {
   // codebook tables are one bucket each: they are constant-size artifacts
   // (≤ 32 and ≤ M·K rows) read whole and broadcast — bucketing them would
   // only multiply tiny files. The codes table scales with the corpus.
+  //
+  // Codebook merges REPLACE, not upsert: a retrain ships the whole new
+  // codebook in one batch, and cells that died in the new training must
+  // not linger from the old one (with one bucket, the staged batch is the
+  // entire table, so replacement is exact and batch-associative).
+  private val replace: ParquetTableSink.Combiner =
+    (target, staged) => staged.select(target.columns.toSeq.map(col): _*)
   private val centsSink = new ParquetTableSink(spark, s"$dir/cents",
-    emptyOf(centsSchema), keys = Seq("cent_id"), buckets = 1)
+    emptyOf(centsSchema), keys = Seq("cent_id"), buckets = 1, combine = replace)
   private val pcentsSink = new ParquetTableSink(spark, s"$dir/pcents",
-    emptyOf(pcentsSchema), keys = Seq("m", "cent_id"), buckets = 1)
+    emptyOf(pcentsSchema), keys = Seq("m", "cent_id"), buckets = 1, combine = replace)
   private val codesSink = new ParquetTableSink(spark, s"$dir/codes",
     emptyOf(codesSchema), keys = Seq("vec_id"), buckets = 16)
 
   def lastEncodedBatchId: Long = codesSink.lastCommittedBatchId
 
   /** Train both codebooks on `corpus` (vec_id, embedding, norm — any slice
-    * of the table that has arrived) and persist them. One-time cost; the
-    * chains are the graded Lloyd/PQ trainers, unchanged. */
+    * of the table that has arrived) and persist them, REPLACING any prior
+    * codebooks. One-time cost; the chains are the graded Lloyd/PQ
+    * trainers, unchanged. Retraining an index that already holds encoded
+    * vectors (drift) requires re-encoding them — codes are meaningful only
+    * against the codebooks that produced them (VectorIndexSpec pins that
+    * retrain + full re-encode equals a fresh build). */
   def train(corpus: DataFrame, batchId: Long = 0L): Unit = {
     centsSink.merge(
       conform(Similarity.trainedCodebookOf(corpus), centsSchema), batchId)

@@ -83,6 +83,18 @@ class VectorIndexSpec extends SparkTestBase {
     assert(neighbors.groupBy("probe_id").count().select(max("count")).head.getLong(0) <= 3)
   }
 
+  test("retrain (drift) + full re-encode equals a fresh build; no stale cells linger") {
+    val all = corpus(0 until N)
+    val idx = new VectorIndex(spark, Files.createTempDirectory("graft-vidx-drift").toString)
+    idx.train(all.filter(col("vec_id") < 200)) // first generation: seeds {7..157}
+    idx.encode(all, 0L)
+    idx.train(all.filter(col("vec_id") % 2 === 1), 1L) // drift: retrain on the odd half
+    idx.encode(all, 2L)                               // codes only mean anything re-encoded
+    val fresh = bulkIndex(Files.createTempDirectory("graft-vidx-fresh").toString)
+    assert(rows(idx.search(probes(all), 3)) == rows(fresh.search(probes(all), 3)),
+      "retrained index must equal a fresh build on the new training slice")
+  }
+
   test("search before train fails loud, not silently empty") {
     val idx = new VectorIndex(spark, Files.createTempDirectory("graft-vidx-raw").toString)
     val e = intercept[IllegalArgumentException] {
