@@ -183,6 +183,7 @@ object GraftMain {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosConf._1, Tables.nanosConf._2)
+      .config(Tables.ntzConf._1, Tables.ntzConf._2)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
