@@ -258,13 +258,43 @@ object VectorIndexOps {
     idx.search(probesOf(corpus), 3)
   }
 
+  // index observability: per-cell population of the coarse quantizer — the
+  // balance metric a production ANN deployment watches continuously,
+  // because a skewed cell is a latency hot spot (search cost per probe is
+  // the probed cells' population) and the trigger for a retrain. No PQ
+  // side needed: cell balance is a property of the IVF assignment alone.
+  private val simIndexCellStats: Q = (s, dir) => {
+    val corpus = Similarity.vecs(s, dir)
+    val cents = Similarity.trainedCodebookOf(corpus.filter(expr(TRAIN_WHERE)))
+    Similarity.assignTo(corpus, cents)
+      .groupBy(col("cent_id").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .select(col("cell"), col("n_vecs"))
+      .orderBy(col("cell").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_index_search" -> simIndexSearch,
-    "ann_admit_incremental" -> annAdmitIncremental
+    "ann_admit_incremental" -> annAdmitIncremental,
+    "sim_index_cell_stats" -> simIndexCellStats
   )
 
   val oracle: Map[String, String] = Map(
     "sim_index_search" -> Similarity.ivfpqSql(Some(TRAIN_WHERE)),
-    "ann_admit_incremental" -> Similarity.ivfpqSql(Some(TRAIN_WHERE))
+    "ann_admit_incremental" -> Similarity.ivfpqSql(Some(TRAIN_WHERE)),
+    // the assigned CTE of the IVFPQ chain, aggregated — same Lloyd training
+    // restriction, so cell ids and memberships replay exactly
+    "sim_index_cell_stats" ->
+      s"""WITH vecs AS (${Similarity.vecsSql}),
+         |${Similarity.lloydCentsSql(Similarity.LLOYD_ROUNDS, Some(TRAIN_WHERE))},
+         |assigned AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT c.vec_id, k.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY list_dot_product(c.v, k.c_v) / (c.norm * k.c_norm) DESC, k.cent_id ASC) AS arn
+         |    FROM vecs c CROSS JOIN cents k) WHERE arn = 1)
+         |SELECT cent_id AS cell, count(*) AS n_vecs FROM assigned
+         |GROUP BY 1
+         |ORDER BY cell ASC NULLS FIRST""".stripMargin
   )
 }
