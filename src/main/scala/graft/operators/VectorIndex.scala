@@ -108,6 +108,12 @@ final class VectorIndex(spark: SparkSession, dir: String) {
     * pqAssign partial aggregates), and the cell/codes join is two frames
     * derived from the same batch co-keyed on vec_id. */
   def encode(vectors: DataFrame, batchId: Long): Unit = {
+    // fail loud like search: encoding against an absent codebook would
+    // produce ZERO rows yet still consume the batchId, so the corrected
+    // retry after a train would be rejected by the replay guard
+    require(centsSink.lastCommittedBatchId >= 0 &&
+      pcentsSink.lastCommittedBatchId >= 0,
+      s"VectorIndex($dir): encode before train — no committed codebooks")
     if (batchId <= codesSink.lastCommittedBatchId) return
     val cents = centsSink.current
     val pcents = pcentsSink.current

@@ -6,7 +6,7 @@ import java.util.Comparator
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, hash, pmod, lit}
+import org.apache.spark.sql.functions.{coalesce, col, hash, pmod, lit}
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import graft.operators.MergeOps
 
@@ -127,10 +127,19 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     * value span, its zonemap min/max is tight, and `scanRange` actually
     * skips buckets (a hash layout scatters every span across all buckets,
     * where zonemaps can prove nothing).
+    *
+    * A NULL route value (e.g. a null key column the expression doesn't
+    * handle) maps to bucket 0 — deterministic, so the one-row-per-key
+    * invariant holds, and symmetric with the default hash path (which
+    * hashes null keys to a fixed bucket). Without the coalesce the
+    * partitioned staging write would file such rows under
+    * `__HIVE_DEFAULT_PARTITION__` and the bucket-id parse would throw
+    * mid-merge.
     */
   private def bucketCol =
     if (route == null) pmod(hash(keys.map(col): _*), lit(buckets))
-    else pmod(route.cast(org.apache.spark.sql.types.IntegerType), lit(buckets))
+    else pmod(coalesce(route.cast(org.apache.spark.sql.types.IntegerType), lit(0)),
+      lit(buckets))
 
   /** (version, lastCommittedBatchId), or None before the first commit. */
   private def readPointer(): Option[(Long, Long)] =
@@ -164,7 +173,7 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
       .map { line =>
         val Array(b, c, lo, hi) = line.split("\t", 4)
         def dec(s: String) =
-          if (s == " null") null
+          if (s == "\u0000null") null
           else java.net.URLDecoder.decode(s, "UTF-8")
         (b.toInt, c, (dec(lo), dec(hi)))
       }
@@ -174,7 +183,7 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
 
   private def writeZones(v: Long, zones: Map[Int, Map[String, (String, String)]]): Unit = {
     def enc(s: String) =
-      if (s == null) " null" else java.net.URLEncoder.encode(s, "UTF-8")
+      if (s == null) "\u0000null" else java.net.URLEncoder.encode(s, "UTF-8")
     val lines = zones.toSeq.sortBy(_._1).flatMap { case (b, cols) =>
       cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$b\t$c\t${enc(lo)}\t${enc(hi)}" }
     }
@@ -306,11 +315,15 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
   /** The buckets a half-open range predicate `lo <= column < hi` must
     * read: a bucket is SKIPPED iff its committed zonemap entry proves
     * `max < lo` or `min >= hi`. Buckets with no entry (pre-zonemap
-    * versions, all-NULL columns) are conservatively kept. The interval
-    * test evaluates through Spark on a ≤ `buckets`-row local relation, so
-    * the stored strings and the caller's bounds are compared under the
-    * COLUMN's type — numerics numerically, timestamps chronologically —
-    * with zero hand-rolled orderings.
+    * versions, all-NULL columns) are conservatively kept, and so is any
+    * bucket whose stored zone string fails to cast back under the column's
+    * CURRENT type (type-changing evolution, a timezone-shifted rewrite):
+    * an unprovable zone must degrade to a read, never to a silent skip.
+    * The comparison is pure driver-side JVM work — Catalyst TRY-casts of
+    * the stored strings under the session timezone plus the type's
+    * interpreted ordering — so a pruned scan pays zero Spark jobs for its
+    * metadata (≤ `buckets` tiny strings), yet orders exactly as the column
+    * type does: numerics numerically, timestamps chronologically.
     */
   def rangePrunedBuckets(column: String, lo: Any, hi: Any): Seq[Int] =
     readPointer() match {
@@ -318,18 +331,44 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
       case Some((v, _)) =>
         val zones = readZones(v)
         val dt = schemaAt(v)(column).dataType
-        val zoneRows = readManifest(v).keySet.toSeq.sorted.map { b =>
-          val z = zones.get(b).flatMap(_.get(column))
-          (b, z.map(_._1).orNull, z.map(_._2).orNull)
-        }
-        val session = spark
-        import session.implicits._
-        zoneRows.toDF("_b", "_zlo", "_zhi")
-          .filter(col("_zlo").isNull || col("_zhi").isNull ||
-            !(col("_zhi").cast(dt) < lit(lo).cast(dt) ||
-              col("_zlo").cast(dt) >= lit(hi).cast(dt)))
-          .select("_b").collect().map(_.getInt(0)).toSeq.sorted
+        prunedOf(readManifest(v).keySet.toSeq.sorted, zones, column, dt, lo, hi)
     }
+
+  /** Pure-JVM zonemap interval test for `buckets` (see rangePrunedBuckets).
+    * `lo`/`hi` are external Scala values (String/Long/…): they cast to the
+    * column type the same way `lit(x).cast(dt)` would; an uncastable BOUND
+    * disables pruning entirely (all buckets kept) rather than guessing.
+    */
+  private[streaming] def prunedOf(bucketIds: Seq[Int],
+      zones: Map[Int, Map[String, (String, String)]],
+      column: String, dt: DataType, lo: Any, hi: Any): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    import org.apache.spark.sql.catalyst.util.TypeUtils
+    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    def tryCast(x: Any): Any =
+      if (x == null) null
+      else Cast(Literal(x), dt, tz, EvalMode.TRY).eval(null)
+    def tryCastStr(s: String): Any =
+      if (s == null) null
+      else Cast(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType), dt, tz, EvalMode.TRY).eval(null)
+    val (loV, hiV) = (tryCast(lo), tryCast(hi))
+    if (loV == null || hiV == null) bucketIds
+    else {
+      val ord = TypeUtils.getInterpretedOrdering(dt)
+      bucketIds.filter { b =>
+        zones.get(b).flatMap(_.get(column)) match {
+          case None => true // no committed zone entry: never skip
+          case Some((zloS, zhiS)) =>
+            val (zlo, zhi) = (tryCastStr(zloS), tryCastStr(zhiS))
+            // null-safe keep: an all-NULL or uncastable zone entry keeps
+            // the bucket (the conservative direction)
+            if (zlo == null || zhi == null) true
+            else !(ord.lt(zhi, loV) || ord.gteq(zlo, hiV))
+        }
+      }
+    }
+  }
 
   /** Zonemap-pruned range scan: rows with `lo <= column < hi`, reading
     * ONLY the buckets `rangePrunedBuckets` keeps — the range-predicate
