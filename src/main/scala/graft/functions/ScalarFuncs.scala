@@ -62,15 +62,31 @@ object ScalarFuncs {
       "event_id")
 
   // F3: the wall-clock snapshot (utcnow truncated to seconds + tz-local
-  // date, route.py:170 / run.py:103-111). Inherently non-oracle — no
-  // `oracle` entry, so the driver applies its rows-only check; the row
-  // asserts its own internal consistency instead (truncation and tz shift
-  // both derived from the same instant).
-  private val nowSnapshot: Q = (s, dir) =>
+  // date, route.py:170 / run.py:103-111), with the clock INJECTABLE — the
+  // same literal-instant parameterization GraftMain's rollover drive uses.
+  // The graded query pins the instant (chosen to cross the LA midnight
+  // boundary, so local_date ≠ the UTC date — the tz shift is load-bearing,
+  // not a no-op), which makes F3 DuckDB-oracle-able like every other
+  // scalar; the production default stays `current_timestamp()` and is
+  // spec-pinned (ScalarFuncsSpec) instead of driver-graded.
+  private[graft] def snapshotOf(s: org.apache.spark.sql.SparkSession,
+                                utcNow: org.apache.spark.sql.Column): DataFrame =
     s.range(1).select(
-      date_trunc("second", current_timestamp()).as("utc_now"),
-      to_date(from_utc_timestamp(current_timestamp(), "America/Los_Angeles")).as("local_date"),
-      (unix_micros(date_trunc("second", current_timestamp())) % 1000000 === 0).as("truncated_ok"))
+      date_trunc("second", utcNow).as("utc_now"),
+      to_date(from_utc_timestamp(utcNow, "America/Los_Angeles")).as("local_date"),
+      (unix_micros(date_trunc("second", utcNow)) % 1000000 === 0).as("truncated_ok"))
+
+  /** The pinned UTC instant of the graded `now_snapshot` (sessions run
+    * with a UTC session timezone, so the cast reads it as UTC). 07:31 UTC
+    * is 23:31 the PREVIOUS day in America/Los_Angeles. */
+  private[graft] val PINNED_NOW = "2024-01-28 07:31:07.123456"
+
+  /** Production form: the live wall clock (the reference's utcnow). */
+  private[graft] def nowSnapshotLive(s: org.apache.spark.sql.SparkSession): DataFrame =
+    snapshotOf(s, current_timestamp())
+
+  private val nowSnapshot: Q = (s, dir) =>
+    snapshotOf(s, lit(PINNED_NOW).cast("timestamp"))
 
   val queries: Map[String, Q] = Map(
     "ts_from_epoch" -> tsFromEpoch,
@@ -96,6 +112,11 @@ object ScalarFuncs {
     "geo_point" ->
       """SELECT event_id, value AS lon, -value AS lat,
         |  CAST(to_json(struct_pack(lon := value, lat := -value)) AS VARCHAR) AS point_json
-        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin
+        |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    "now_snapshot" ->
+      s"""SELECT date_trunc('second', TIMESTAMP '$PINNED_NOW') AS utc_now,
+         |  CAST(timezone('America/Los_Angeles', timezone('UTC', TIMESTAMP '$PINNED_NOW')) AS DATE)
+         |    AS local_date,
+         |  (epoch_us(date_trunc('second', TIMESTAMP '$PINNED_NOW')) % 1000000 = 0) AS truncated_ok""".stripMargin
   )
 }
