@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // sound, additive rewrites (see plans.LevenshteinBandRule / JaccardBandRule)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
     ext.injectOptimizerRule(_ => graft.plans.JaccardBandRule)
+    // plain .filter over a ParquetTableSink.table() read routes through the
+    // manifest zonemap — bucket pruning without scanRange calls
+    ext.injectOptimizerRule(_ => graft.plans.ZonemapRouteRule)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),

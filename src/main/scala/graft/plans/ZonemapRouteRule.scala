@@ -1,0 +1,136 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Automatic predicate→zonemap routing for the versioned table
+  * (`ParquetTableSink.table()`): a plain `.filter(col >= lo && col < hi)`
+  * over a sink-backed read prunes buckets through the OPTIMIZER, the way
+  * Postgres pushes WHERE into its scans for free — the caller writes
+  * filters, not `scanRange` route calls.
+  *
+  * Mechanics: `table()` registers each immutable bucket data dir
+  * (`data/b{X}-v{N}` — content never changes after promotion, so its
+  * committed zonemap entry is version-exact forever) with that bucket's
+  * per-column min/max strings. This rule matches `Filter` directly over a
+  * parquet `LogicalRelation` whose root paths are ALL registered, tests
+  * each range/equality conjunct against each path's zone entry — pure
+  * driver-side JVM work, Catalyst TRY-casts under the session timezone
+  * plus the column type's interpreted ordering, zero Spark jobs — and
+  * rebuilds the relation over only the surviving paths (same output
+  * attributes, so the residual filter needs no remapping and still
+  * applies in full: a kept false-positive bucket is filtered row-wise,
+  * exactly like `scanRange`).
+  *
+  * Conservative by construction: a missing zone entry, an uncastable
+  * stored bound, a NULL literal, a type-mismatched comparison, or any
+  * conjunct shape the rule doesn't recognize keeps the bucket — pruning
+  * only ever happens on a proof of disjointness. Idempotent: a pruned
+  * relation's paths are still registered, re-testing keeps them all, and
+  * the rule returns the node unchanged — the fixed-point batch
+  * terminates.
+  *
+  * The registry holds one entry per bucket dir per committed version a
+  * `table()` call exposed — a few strings each, bounded by table count ×
+  * buckets × retained versions, never by data.
+  */
+object ZonemapRouteRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** bucket data dir (absolute filesystem path) → column → (min, max)
+    * strings as committed in the manifest sidecar. An empty map means
+    * "registered but nothing provable" — the path is recognized as
+    * sink-backed yet never skipped. */
+  private val pathZones = new ConcurrentHashMap[String, Map[String, (String, String)]]()
+
+  def register(path: String, zones: Map[String, (String, String)]): Unit =
+    pathZones.put(path, zones)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, l: LogicalRelation) =>
+      l.relation match {
+        case fs: HadoopFsRelation if fs.location.rootPaths.nonEmpty =>
+          val roots = fs.location.rootPaths
+          val zoneOf = roots.map(p => p -> pathZones.get(p.toUri.getPath))
+          if (zoneOf.exists(_._2 == null)) f // not (all) sink-backed: not ours
+          else {
+            val conjuncts = splitConjunctivePredicates(cond)
+            val kept = zoneOf.collect {
+              case (p, zones) if conjuncts.forall(keeps(zones, _)) => p
+            }
+            if (kept.size == roots.size) f
+            else if (kept.isEmpty) LocalRelation(l.output)
+            else {
+              val idx = new InMemoryFileIndex(
+                fs.sparkSession, kept, Map.empty, Some(fs.dataSchema))
+              Filter(cond, l.copy(relation = fs.copy(location = idx)(fs.sparkSession)))
+            }
+          }
+        case _ => f
+      }
+  }
+
+  /** Does `conjunct` allow the bucket described by `zones` to hold a
+    * matching row? True (keep) unless the zone entry PROVES disjointness. */
+  private def keeps(zones: Map[String, (String, String)], conjunct: Expression): Boolean = {
+    def zone(a: AttributeReference): Option[(Any, Any)] =
+      zones.get(a.name).flatMap { case (loS, hiS) =>
+        val lo = tryCastStr(loS, a.dataType)
+        val hi = tryCastStr(hiS, a.dataType)
+        // an all-NULL or uncastable zone entry proves nothing: keep
+        if (lo == null || hi == null) None else Some((lo, hi))
+      }
+    // overlap test for the value interval [glo, ghi] the conjunct admits
+    // (null bound = unbounded on that side); skip iff provably disjoint
+    def overlap(a: AttributeReference, v: Any, dt: DataType,
+                test: (Ordering[Any], Any, Any) => Boolean): Boolean =
+      if (v == null || dt != a.dataType) true
+      else zone(a) match {
+        case None => true
+        case Some((zlo, zhi)) =>
+          val ord = TypeUtils.getInterpretedOrdering(a.dataType)
+          test(ord, zlo, zhi)
+      }
+    conjunct match {
+      // a >= v: skip iff max < v
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        overlap(a, v, dt, (ord, _, zhi) => !ord.lt(zhi, v))
+      case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        overlap(a, v, dt, (ord, _, zhi) => !ord.lt(zhi, v))
+      // a > v: skip iff max <= v
+      case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
+        overlap(a, v, dt, (ord, _, zhi) => !ord.lteq(zhi, v))
+      case LessThan(Literal(v, dt), a: AttributeReference) =>
+        overlap(a, v, dt, (ord, _, zhi) => !ord.lteq(zhi, v))
+      // a < v: skip iff min >= v
+      case LessThan(a: AttributeReference, Literal(v, dt)) =>
+        overlap(a, v, dt, (ord, zlo, _) => !ord.gteq(zlo, v))
+      case GreaterThan(Literal(v, dt), a: AttributeReference) =>
+        overlap(a, v, dt, (ord, zlo, _) => !ord.gteq(zlo, v))
+      // a <= v: skip iff min > v
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        overlap(a, v, dt, (ord, zlo, _) => !ord.gt(zlo, v))
+      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        overlap(a, v, dt, (ord, zlo, _) => !ord.gt(zlo, v))
+      // a = v: skip iff v outside [min, max]
+      case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+        overlap(a, v, dt, (ord, zlo, zhi) => !(ord.lt(zhi, v) || ord.gt(zlo, v)))
+      case EqualTo(Literal(v, dt), a: AttributeReference) =>
+        overlap(a, v, dt, (ord, zlo, zhi) => !(ord.lt(zhi, v) || ord.gt(zlo, v)))
+      case _ => true // unrecognized shape: proves nothing
+    }
+  }
+
+  /** TRY-cast a stored zone string to the column type under the session
+    * timezone (zones are written as `CAST(x AS STRING)` by the sink). */
+  private def tryCastStr(s: String, dt: DataType): Any =
+    if (s == null) null
+    else Cast(Literal(UTF8String.fromString(s), StringType), dt,
+      Option(conf.sessionLocalTimeZone), EvalMode.TRY).eval(null)
+}

@@ -312,6 +312,45 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     }
   }
 
+  /** Current rows of exactly the given buckets — the bucket-at-a-time
+    * maintenance read (epoch migration, compaction audits): O(|bucketIds|/B
+    * of the table), unknown ids are simply absent. */
+  def bucketRows(bucketIds: Seq[Int]): DataFrame = readPointer() match {
+    case None => emptyOf(zero.schema)
+    case Some((v, _)) =>
+      val manifest = readManifest(v)
+      val paths = bucketIds.distinct.sorted.flatMap(manifest.get)
+        .map(d => dataDir.resolve(d).toString)
+      if (paths.isEmpty) emptyOf(schemaAt(v))
+      else spark.read.schema(schemaAt(v)).parquet(paths: _*)
+  }
+
+  /** The committed table as a RELATION with AUTOMATIC zonemap routing: a
+    * plain `.filter(col(c) >= lo && col(c) < hi)` on the returned frame
+    * prunes buckets inside the optimizer (plans.ZonemapRouteRule — active
+    * whenever the session was built with graft.GraftExtensions), the way
+    * Postgres pushes WHERE into its scans for free. A real user writes
+    * filters, not `scanRange(column, lo, hi)` route calls; this is the
+    * scan that makes the sink's range skipping reach them. Each bucket
+    * data dir is registered with its committed zone stats at read
+    * resolution — immutable dirs, so the registration is version-exact —
+    * and unrecognized predicates, missing entries, or uncastable bounds
+    * degrade to reading the bucket, never to skipping it. Without the
+    * extension the frame is simply the unpruned `current` scan.
+    */
+  def table(): DataFrame = readPointer() match {
+    case None => zero
+    case Some((v, _)) =>
+      val zones = readZones(v)
+      val paths = readManifest(v).toSeq.sortBy(_._1).map { case (b, d) =>
+        val p = dataDir.resolve(d).toAbsolutePath
+        graft.plans.ZonemapRouteRule.register(p.toString, zones.getOrElse(b, Map.empty))
+        p.toString
+      }
+      if (paths.isEmpty) zero
+      else spark.read.schema(schemaAt(v)).parquet(paths: _*)
+  }
+
   /** The buckets a half-open range predicate `lo <= column < hi` must
     * read: a bucket is SKIPPED iff its committed zonemap entry proves
     * `max < lo` or `min >= hi`. Buckets with no entry (pre-zonemap

@@ -515,13 +515,15 @@ object StreamingOps {
     * events lands in a RANGE-routed layout — merge key (day, event_id),
     * bucket id `(dayofmonth(day)-1) div 4` (30 days → 8 buckets of ≤ 4
     * days, no wraparound), per-bucket ts min/max committed in the manifest
-    * zonemap at merge time. The four-day probe window then reads 2 of 8
-    * buckets (`rangePrunedBuckets`; ZonemapSpec pins the pruning and its
-    * correctness against an unpruned filter) — the range-predicate
-    * complement of sink_point_lookup's key-hash pruning. The window is
-    * deliberately NOT aligned to the 4-day bucket grid, so a correct result
-    * needs both the zonemap keep-set and the residual in-bucket filter; the
-    * oracle is the plain declarative range select.
+    * zonemap at merge time. The four-day probe window is then a PLAIN
+    * `.filter` over `sink.table()` — the optimizer (plans.ZonemapRouteRule)
+    * derives the 2-of-8 keep set from the predicate itself, no
+    * `scanRange` route call in sight (ZonemapSpec pins the executed scan's
+    * pruned file set and its correctness against an unpruned filter) — the
+    * range-predicate complement of sink_point_lookup's key-hash pruning.
+    * The window is deliberately NOT aligned to the 4-day bucket grid, so a
+    * correct result needs both the zonemap keep-set and the residual
+    * in-bucket filter; the oracle is the plain declarative range select.
     */
   private val sinkZonemapScan: Q = (s, dir) => {
     val ev = Tables(s, dir, "events")
@@ -538,7 +540,9 @@ object StreamingOps {
     // or dropped carry would visibly break the scan
     sink.merge(ev.filter(col("event_id") % 2 === 0), 0L)
     sink.merge(ev.filter(col("event_id") % 2 === 1 && dayofmonth(col("day")) < 9), 1L)
-    sink.scanRange("ts", "2024-01-10 00:00:00", "2024-01-14 00:00:00")
+    sink.table()
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-14 00:00:00").cast("timestamp"))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id").asc_nulls_first)
   }

@@ -74,6 +74,52 @@ class ZonemapSpec extends SparkTestBase {
       sortedRows(sink.current.filter(col("x") >= 200 && col("x") < 400)))
   }
 
+  // bucket ids of every parquet relation surviving optimization — the level
+  // ZonemapRouteRule rewrites at (data dirs are named b{X}-v{N})
+  private def plannedBuckets(df: DataFrame): Seq[Int] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths
+          .map(p => p.getName.stripPrefix("b").takeWhile(_ != '-').toInt)
+    }.flatten.sorted
+
+  test("plain .filter over table() routes through the zonemap automatically") {
+    val dir = Files.createTempDirectory("graft-zm-auto").toString
+    val sink = daySink(dir)
+    sink.merge(rows(0 until 64), 0L)
+    val auto = sink.table().filter(col("x") >= 200L && col("x") < 400L)
+    assert(plannedBuckets(auto) == Seq(2, 3),
+      "the optimizer must derive the keep set from the plain predicate")
+    assert(sortedRows(auto) ==
+      sortedRows(sink.current.filter(col("x") >= 200L && col("x") < 400L)),
+      "pruned filter must stay value-identical to the unpruned one")
+    // one-sided + equality shapes prune too
+    assert(plannedBuckets(sink.table().filter(col("x") >= 600L)) == Seq(6, 7))
+    assert(plannedBuckets(sink.table().filter(col("x") === 315L)) == Seq(3))
+    // a provably-empty window collapses to an empty LocalRelation
+    val none = sink.table().filter(col("x") >= 5000L)
+    assert(none.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    assert(none.count() == 0)
+  }
+
+  test("automatic routing degrades to a full read on unprovable predicates") {
+    val dir = Files.createTempDirectory("graft-zm-auto-deg").toString
+    val sink = daySink(dir)
+    sink.merge(rows(0 until 64), 0L)
+    // a non-zonemap column proves nothing: all 8 buckets read, rows correct
+    val byId = sink.table().filter(col("id") >= 60L)
+    assert(plannedBuckets(byId).size == 8)
+    assert(sortedRows(byId) == sortedRows(sink.current.filter(col("id") >= 60L)))
+    // a disjunction is not a conjunct the rule recognizes: no pruning,
+    // but also no wrong answers
+    val disj = sink.table().filter(col("x") < 100L || col("x") >= 700L)
+    assert(plannedBuckets(disj).size == 8)
+    assert(sortedRows(disj) ==
+      sortedRows(sink.current.filter(col("x") < 100L || col("x") >= 700L)))
+  }
+
   test("a crashed attempt's stale zones sidecar cannot poison the replay") {
     val dir = Files.createTempDirectory("graft-zm-crash").toString
     val sink = daySink(dir)
