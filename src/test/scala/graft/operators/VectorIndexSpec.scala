@@ -95,6 +95,78 @@ class VectorIndexSpec extends SparkTestBase {
       "retrained index must equal a fresh build on the new training slice")
   }
 
+  test("epoch migration: bucket-at-a-time, exactly-once; fully migrated + retired = fresh build") {
+    val all = corpus(0 until N)
+    val idx = new VectorIndex(spark, Files.createTempDirectory("graft-vidx-epoch").toString)
+    idx.train(all.filter(col("vec_id") < 200))         // epoch 0
+    idx.encode(all, 0L)
+    assert(idx.currentEpoch == 0L)
+    idx.train(all.filter(col("vec_id") % 2 === 1), 1L) // epoch 1 — NO re-encode
+    assert(idx.currentEpoch == 1L)
+    // the old epoch cannot retire while any bucket still holds its codes
+    val blocked = intercept[IllegalArgumentException](idx.retireEpoch(0L, 2L))
+    assert(blocked.getMessage.contains("still has encoded vectors"))
+    // half-migrated index still serves a full top-k for every probe
+    (0 until VectorIndex.CODES_BUCKETS / 2).foreach(b => idx.migrateBucket(all, b, 1L + b))
+    idx.migrateBucket(all, 0, 1L) // replay: guarded no-op
+    val half = idx.search(probes(all), 3)
+    assert(half.groupBy("probe_id").count().select(min("count")).head.getLong(0) == 3,
+      "a half-migrated index serves k neighbors per probe")
+    // finish the migration; retirement then succeeds and equals a fresh build
+    (VectorIndex.CODES_BUCKETS / 2 until VectorIndex.CODES_BUCKETS)
+      .foreach(b => idx.migrateBucket(all, b, 1L + b))
+    idx.retireEpoch(0L, 2L)
+    val fresh = bulkIndex(Files.createTempDirectory("graft-vidx-efresh").toString)
+    assert(rows(idx.search(probes(all), 3)) == rows(fresh.search(probes(all), 3)),
+      "fully-migrated + retired must equal a fresh build on the new training slice")
+  }
+
+  test("migrateBucket retires rows whose vec_id left the corpus (so the epoch can retire)") {
+    val all = corpus(0 until N)
+    val idx = new VectorIndex(spark, Files.createTempDirectory("graft-vidx-gone").toString)
+    idx.train(all.filter(col("vec_id") < 200))
+    idx.encode(all, 0L)
+    idx.train(all.filter(col("vec_id") % 2 === 1), 1L)
+    // vec_id 16k lands in bucket 0; drop ids 16 and 32 from the source
+    val shrunk = all.filter(!col("vec_id").isin(16L, 32L))
+    (0 until VectorIndex.CODES_BUCKETS).foreach(b => idx.migrateBucket(shrunk, b, 1L + b))
+    idx.retireEpoch(0L, 2L) // no straggler rows block retirement
+    val after = idx.search(probes(all), 3)
+    assert(after.filter(col("neighbor_id").isin(16L, 32L)).count() == 0,
+      "rows absent from the migration corpus are retired, not stranded at the dead epoch")
+  }
+
+  test("vacuum physically drops retired vectors' bytes; search unchanged") {
+    val all = corpus(0 until N)
+    val dir = Files.createTempDirectory("graft-vidx-vac").toString
+    val idx = bulkIndex(dir)
+    val before = rows(idx.search(probes(all), 3))
+    val victims = before.map(_.getLong(2)).distinct.take(3)
+    val session = spark
+    import session.implicits._
+    idx.remove(victims.toDF("vec_id"), 1L)
+    idx.vacuum(1)
+    // every parquet byte under the codes table — including history — must
+    // be free of the retired ids (right-to-be-forgotten is a BYTE deletion)
+    val allFiles = spark.read.schema(
+        "vec_id LONG, norm DOUBLE, epoch LONG, cell LONG, codes ARRAY<LONG>")
+      .parquet(s"$dir/codes/data/*")
+    assert(allFiles.filter(col("vec_id").isin(victims: _*)).count() == 0,
+      "post-vacuum files must not contain retired vec_ids")
+    val after = idx.search(probes(all), 3)
+    assert(after.filter(col("neighbor_id").isin(victims: _*)).count() == 0)
+    assert(rows(after).nonEmpty, "other vectors still serve")
+  }
+
+  test("probe sets beyond the wave cap split into waves with identical results") {
+    val all = corpus(0 until N)
+    val idx = bulkIndex(Files.createTempDirectory("graft-vidx-wave").toString)
+    val p = probes(all) // 4 probes: 0, 100, 200, 300
+    val single = rows(idx.search(p, 3))
+    assert(rows(idx.search(p, 3, waveCap = 1)) == single,
+      "hash-wave chunked search must equal the single-wave result")
+  }
+
   test("search before train fails loud, not silently empty") {
     val idx = new VectorIndex(spark, Files.createTempDirectory("graft-vidx-raw").toString)
     val e = intercept[IllegalArgumentException] {
