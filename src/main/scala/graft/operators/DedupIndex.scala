@@ -96,6 +96,18 @@ final class LshAdmissionIndex(spark: SparkSession, dir: String,
     */
   def admit(docs: DataFrame, batchId: Long): DataFrame = admitCore(docs, batchId)._1
 
+  /** `admit` with the cache release handled INTERNALLY: the admitted frame
+    * materializes (localCheckpoint — lineage to the per-batch cached LSH
+    * frame is severed) and the cache entry is dropped before returning, so
+    * a batch caller cannot leak one entry per call by ignoring the lazy
+    * contract. Costs one extra materialization of the admitted rows; use
+    * plain `admit` when a downstream merge will consume the frame promptly
+    * (the `startAdmission` pattern). */
+  def admitEager(docs: DataFrame, batchId: Long): DataFrame = {
+    val (admitted, cached) = admitCore(docs, batchId)
+    try admitted.localCheckpoint() finally cached.unpersist(blocking = true)
+  }
+
   /** The admission computation plus the cached per-batch LSH frame backing
     * the returned (lazy) admitted result. The caller that consumes the
     * admitted frame OWNS the release: `startAdmission` unpersists right

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{SparkPlan, UnionExec}
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
@@ -135,6 +135,16 @@ class PlanShapeSpec extends SparkTestBase {
       // physical bounds behind the broadcasts: both stored codebooks are
       // constant-size regardless of how many vectors were encoded
       assert(idx.search(probes, 3).count() > 0)
+      // probe-wave bound: above the wave cap the plan splits into per-wave
+      // subtrees, and EVERY wave's broadcasts still exclude the codes table
+      // — the LUT broadcast stays ≈ waveCap/2 · epochs · M · K rows per
+      // wave no matter how many probes arrive
+      val waved = nodes(staticPlan(idx.search(probes, 3, waveCap = 2)))
+      assert(waved.count(_.isInstanceOf[UnionExec]) >= 1,
+        "an over-cap probe set must union per-wave search subtrees")
+      waved.collect { case b: BroadcastExchangeExec => b }
+        .foreach(b => assert(!b.toString.contains("/codes"),
+          s"codes table must never be broadcast in any wave, got:\n$b"))
     }
   }
 

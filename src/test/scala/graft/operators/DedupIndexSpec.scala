@@ -129,6 +129,22 @@ class DedupIndexSpec extends SparkTestBase {
       "per-batch LSH cache must be unpersisted after each admitted merge")
   }
 
+  test("admitEager releases the per-batch LSH cache before returning") {
+    val dir = Files.createTempDirectory("graft-admit-eager").toString
+    spark.sharedState.cacheManager.clearCache() // sibling tests defer release
+    val index = new LshAdmissionIndex(spark, dir, threshold = 0.5)
+    val a0 = index.admitEager(docs(1L -> base), 0L)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "admitEager must not leave a cache entry behind")
+    val a1 = index.admitEager(docs(10L -> (base + " suffix"), 11L ->
+      "an unrelated line about manifest diffing and churned bucket replay"), 1L)
+    assert(spark.sharedState.cacheManager.isEmpty)
+    // the returned frames stay consumable after the release (materialized,
+    // not lazily chained to the dropped cache entry)
+    assert(ids(a0) == Seq(1L) && ids(a1) == Seq(11L),
+      "admission semantics unchanged under eager release")
+  }
+
   test("replaying a committed batch is a no-op for the index state") {
     val dir = Files.createTempDirectory("graft-admit-4").toString
     val index = new LshAdmissionIndex(spark, dir, threshold = 0.5)
