@@ -74,7 +74,7 @@ object DedupText {
     * 6 chosen over 4 to push background Jaccard down (0.26 → 0.10 here) so
     * banding can discriminate — see dedupNgram's banding note. */
   private val CHAR_GRAM = 6
-  private def shingledChars(s: SparkSession, dir: String): DataFrame =
+  private[operators] def shingledChars(s: SparkSession, dir: String): DataFrame =
     docsSpread(s, dir)
       .withColumn("s", graft.functions.ShingleExpression.charShingles(col("text"), CHAR_GRAM))
       .select(col("doc_id"), col("s"))
@@ -90,7 +90,7 @@ object DedupText {
     * one pass over the hash array instead of K transform+array_min passes;
     * bit-identical to the composition the DuckDB oracle runs.
     */
-  private def minhashedFrom(sets: DataFrame): DataFrame = {
+  private[operators] def minhashedFrom(sets: DataFrame): DataFrame = {
     val hashed = sets.withColumn("hs", transform(col("s"), x => h60(0, x)))
       .withColumn("_sig", graft.functions.MinHashExpression.minhash(
         col("hs"), (0 until K).map(seed)))
@@ -106,7 +106,7 @@ object DedupText {
     * Band geometry is the recall/candidate-cost dial: collision probability
     * is 1-(1-J^r)^b with r = K/nBands rows — more rows per band suppresses
     * low-J background pairs exponentially. */
-  private def banded(mh: DataFrame, nBands: Int): DataFrame = {
+  private[operators] def banded(mh: DataFrame, nBands: Int): DataFrame = {
     val r = K / nBands
     mh.select(col("doc_id"), explode(array((0 until nBands).map { g =>
       struct(lit(g).as("band"),
@@ -151,7 +151,7 @@ object DedupText {
   private[operators] val MAX_BUCKET = 64
 
   /** Verified near-dup pairs: band-bucket candidates with exact Jaccard. */
-  private def verifiedPairsFrom(sets: DataFrame, threshold: Double,
+  private[operators] def verifiedPairsFrom(sets: DataFrame, threshold: Double,
                                 nBands: Int = BANDS): DataFrame = {
     // cache: the frame is read three times within this query (band join +
     // both sides of the verification join). Identical plans share one

@@ -29,6 +29,20 @@ import duckdb
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
 R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# Document rewrite mode:
+#   novel   (default) — replica-unique token after every other word. Replicas
+#           are near-dup-free but almost every replica gram is NOVEL and
+#           rare, which inflates a rare-gram (df-bounded) inverted index far
+#           beyond what an organic corpus produces.
+#   organic — Zipf-preserving: the inserted token is drawn from a fixed
+#           16-word common-filler vocabulary, keyed deterministically on
+#           (doc_id, k, position). Replicas still aren't near-dups of each
+#           other (filler choice differs per replica at almost every
+#           position), but the grams they mint are COMBINATIONS OF SHARED
+#           vocabulary, so cross-document gram-sharing — and hence the df
+#           distribution the rare-gram filter sees — survives the scale-up.
+mode = sys.argv[4] if len(sys.argv) > 4 else "novel"
+assert mode in ("novel", "organic"), f"unknown mode {mode}"
 
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
@@ -44,13 +58,25 @@ def copy_sql(table, sql):
 
 
 doc = f"read_parquet('{src}/documents.parquet')"
+if mode == "novel":
+    rewrite = "regexp_replace(d.text, '(\\S+\\s+\\S+)', '\\1 zq' || ks.k, 'g')"
+    doc_src = f"{doc} d"
+else:
+    fillers = ("['the','of','and','to','in','a','is','that',"
+               "'for','it','on','as','with','was','at','by']")
+    rewrite = f"""array_to_string(flatten([
+           CASE WHEN i % 2 = 0 THEN
+             [d.w[i], ({fillers})[1 + (d.doc_id*7 + ks.k*13 + i*3) % 16]]
+           ELSE [d.w[i]] END
+           for i in range(1, len(d.w)+1)]), ' ')"""
+    doc_src = f"(SELECT *, string_split(text, ' ') AS w FROM {doc}) d"
 copy_sql("documents", f"""
   SELECT d.doc_id + ks.k*(SELECT max(doc_id)+1 FROM {doc}) AS doc_id,
          CASE WHEN ks.k = 0 THEN d.text
-              ELSE regexp_replace(d.text, '(\\S+\\s+\\S+)', '\\1 zq' || ks.k, 'g')
+              ELSE {rewrite}
          END AS text,
          d.lang, d.source, d.n_chars
-  FROM {doc} d CROSS JOIN ks""")
+  FROM {doc_src} CROSS JOIN ks""")
 
 emb = f"read_parquet('{src}/embeddings.parquet')"
 copy_sql("embeddings", f"""
