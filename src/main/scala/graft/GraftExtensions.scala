@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plain .filter over a ParquetTableSink.table() read routes through the
     // manifest zonemap — bucket pruning without scanRange calls
     ext.injectOptimizerRule(_ => graft.plans.ZonemapRouteRule)
+    // GROUP BY over a registered base table answers from its maintained
+    // rollup (post-hoc resolution: the Aggregate child is still the base
+    // frame's analyzed plan there, so sameResult matching is exact)
+    ext.injectPostHocResolutionRule(_ => graft.plans.MvRewriteRule)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),

@@ -35,6 +35,8 @@ object SparkEntry {
     (DataPipeline.queries, DataPipeline.oracle),
     (BloomJoin.queries, BloomJoin.oracle),
     (IncrementalAgg.queries, IncrementalAgg.oracle),
+    (MvRewrite.queries, MvRewrite.oracle),
+    (Bpe.queries, Bpe.oracle),
     (Behavioral.queries, Behavioral.oracle),
     (Graph.queries, Graph.oracle),
     (Profiling.queries, Profiling.oracle),

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** BPE (byte-pair-encoding) vocabulary induction over the documents
+  * corpus — the tokenizer-training step of an LLM data pipeline
+  * (Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+  * Subword Units"; the algorithm SentencePiece/fastBPE implement).
+  *
+  * Scale shape: the ONLY corpus-proportional stage is the word-type
+  * extraction — one tokenize + `groupBy(word)` count with map-side
+  * combine, the same shuffle `text_tfidf` already pays. Everything after
+  * runs on the frequency-capped TYPE table (≤ V rows: standard practice —
+  * BPE trainers operate on word-type counts, not the raw corpus, because
+  * the merge objective only depends on type frequencies). Each of the K
+  * merge rounds is: adjacent-pair explode over ≤ V short arrays → a
+  * weighted count → a 1-row argmax broadcast back for the greedy rewrite.
+  * At 100 TB the type table is still vocabulary-sized, so the K rounds
+  * cost the same as at 1 GB; nothing corpus-proportional is ever
+  * broadcast or iterated.
+  *
+  * Greedy-apply semantics (pinned by the oracle's window formulation and
+  * BpeSpec): one merge pass rewrites each word left-to-right — a pair
+  * occurrence merges iff its left token was not itself consumed by the
+  * previous merge ("aaa" + (a,a) → [aa, a], never [a, aa] or [aa, aa]).
+  * The Spark side states this as an `aggregate` fold over the token
+  * array; the DuckDB oracle states it positionally (runs of consecutive
+  * match positions, even offsets taken) — two independent derivations of
+  * the same pass, hash-matched.
+  *
+  * Determinism: pair counts are exact longs; argmax tiebreak is
+  * (count DESC, left ASC, right ASC); the type cut is
+  * (freq DESC, word ASC) LIMIT V. Words are lowercase-ASCII types
+  * (`^[a-z]+$`) with a `</w>` end-of-word marker so merges can capture
+  * suffixes — per-language training on a normalized alphabet, the
+  * standard setup.
+  */
+object Bpe {
+
+  private val K = 8   // merge rounds (graded unrolled in the oracle)
+  private val V = 256 // word-type table cap
+  private val MARK = "</w>"
+
+  /** Frequency-capped word-type table: the one corpus-proportional stage. */
+  private def wordTypes(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+        .as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(V)
+
+  /** Character segmentation + end-of-word marker. */
+  private[operators] def seg0(types: DataFrame): DataFrame =
+    types.withColumn("toks",
+      concat(regexp_extract_all(col("word"), lit("."), lit(0)), array(lit(MARK))))
+
+  /** The round's winning pair: freq-weighted adjacent-pair argmax. */
+  private[operators] def bestOf(seg: DataFrame): DataFrame =
+    seg.select(col("freq"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("l").asc, col("r").asc)
+      .limit(1)
+
+  /** One greedy left-to-right merge pass of `best` over every type. */
+  private[operators] def applyMerge(seg: DataFrame, best: DataFrame): DataFrame =
+    seg.crossJoin(broadcast(best.select("l", "r")))
+      .withColumn("toks", aggregate(col("toks"),
+        array().cast("array<string>"),
+        (acc: Column, x: Column) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === col("l") && x === col("r"),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(col("l"), col("r")))))
+            .otherwise(concat(acc, array(x)))))
+      .select("word", "freq", "toks")
+
+  /** (merge table of K rounds, final segmentation of the type table). */
+  private def chain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    var seg = seg0(wordTypes(s, dir))
+    val merges = Seq.newBuilder[DataFrame]
+    for (i <- 1 to K) {
+      val best = bestOf(seg)
+      merges += best.select(lit(i).as("merge_rank"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"),
+        col("pair_count").cast("long").as("pair_count"))
+      seg = applyMerge(seg, best)
+    }
+    (merges.result().reduce(_.union(_)).orderBy("merge_rank"), seg)
+  }
+
+  private val bpeTrain: Q = (s, dir) => chain(s, dir)._1
+
+  private val bpeSegment: Q = (s, dir) =>
+    chain(s, dir)._2
+      .orderBy(col("freq").desc, col("word").asc).limit(30)
+      .select(col("word"), col("freq"),
+        size(col("toks")).cast("long").as("n_pieces"),
+        concat_ws(" ", col("toks")).as("pieces"))
+      .orderBy(col("freq").desc, col("word").asc)
+
+  val queries: Map[String, Q] = Map(
+    "bpe_train" -> bpeTrain,
+    "bpe_segment" -> bpeSegment)
+
+  // ---- oracle: the same K rounds unrolled as a CTE chain (the Lloyd/PQ
+  // precedent) — pairs positionally, greedy pass via run-parity windows.
+  // Every CTE is MATERIALIZED: each round references its predecessor 2-4
+  // times, and DuckDB's default CTE inlining would expand the chain (and
+  // its documents scans) exponentially in K.
+
+  private def baseCtes: String =
+    s"""words AS MATERIALIZED (
+       |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+       |  FROM documents
+       |),
+       |types AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq FROM words
+       |  WHERE regexp_matches(word, '^[a-z]+$$')
+       |  GROUP BY word ORDER BY freq DESC, word LIMIT $V
+       |),
+       |seg0 AS MATERIALIZED (
+       |  SELECT word, freq, list_append(regexp_extract_all(word, '.'), '$MARK') AS toks
+       |  FROM types
+       |)""".stripMargin
+
+  /** CTEs of round `i`: winning pair + greedy rewrite of seg{i-1}. */
+  private def roundCtes(i: Int): String = {
+    val prev = s"seg${i - 1}"
+    s"""pair$i AS MATERIALIZED (
+       |  SELECT word, freq, i, toks[i] AS l, toks[i+1] AS r FROM (
+       |    SELECT word, freq, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+       |    FROM $prev)
+       |),
+       |best$i AS MATERIALIZED (
+       |  SELECT l, r, sum(freq) AS pair_count FROM pair$i
+       |  GROUP BY l, r ORDER BY pair_count DESC, l, r LIMIT 1
+       |),
+       |tak$i AS MATERIALIZED (
+       |  SELECT word, i FROM (
+       |    SELECT word, i, (i - min(i) OVER (PARTITION BY word, grp)) % 2 AS off FROM (
+       |      SELECT p.word, p.i, p.i - row_number() OVER (PARTITION BY p.word ORDER BY p.i) AS grp
+       |      FROM pair$i p, best$i b WHERE p.l = b.l AND p.r = b.r))
+       |  WHERE off = 0
+       |),
+       |seg$i AS MATERIALIZED (
+       |  SELECT word, any_value(freq) AS freq,
+       |    list(CASE WHEN taken THEN l || r ELSE tok END ORDER BY i)
+       |      FILTER (WHERE NOT prev_taken) AS toks
+       |  FROM (
+       |    SELECT f.word, f.freq, f.i, f.toks[f.i] AS tok,
+       |      t.i IS NOT NULL AS taken, tp.i IS NOT NULL AS prev_taken, b.l, b.r
+       |    FROM (SELECT word, freq, unnest(generate_series(1, len(toks))) AS i, toks
+       |          FROM $prev) f
+       |    CROSS JOIN best$i b
+       |    LEFT JOIN tak$i t ON t.word = f.word AND t.i = f.i
+       |    LEFT JOIN tak$i tp ON tp.word = f.word AND tp.i = f.i - 1)
+       |  GROUP BY word
+       |)""".stripMargin
+  }
+
+  private def withChain(body: String): String =
+    s"WITH $baseCtes,\n${(1 to K).map(roundCtes).mkString(",\n")}\n$body"
+
+  val oracle: Map[String, String] = Map(
+    "bpe_train" -> withChain(
+      (1 to K).map(i =>
+        s"SELECT $i AS merge_rank, l, r, l || r AS merged, CAST(pair_count AS BIGINT) AS pair_count FROM best$i")
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", s"\n) ORDER BY merge_rank")),
+    "bpe_segment" -> withChain(
+      s"""SELECT word, freq, CAST(len(toks) AS BIGINT) AS n_pieces,
+         |  array_to_string(toks, ' ') AS pieces
+         |FROM (SELECT * FROM seg$K ORDER BY freq DESC, word LIMIT 30)
+         |ORDER BY freq DESC, word""".stripMargin)
+  )
+}

@@ -12,11 +12,12 @@ class RegistrySpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query key has an oracle except the declared rows-only set") {
-    val rowsOnly = Set("now_snapshot") // F3 wall clock — inherently non-oracle
+  test("every query key has an oracle — the registry is fully graded") {
+    // round 14 closed the one historic exception: now_snapshot reads an
+    // injectable clock pinned to a literal in the graded query, so even
+    // the wall-clock key is DuckDB-checked
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == rowsOnly,
-      s"keys silently missing an oracle: ${missing -- rowsOnly}")
+    assert(missing.isEmpty, s"keys silently missing an oracle: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphaned.isEmpty, s"oracles without a query: $orphaned")
   }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** BPE induction kernels (operators.Bpe): greedy one-pass merge
+  * semantics, weighted argmax with its pinned tiebreak, and the
+  * char+marker segmentation — the invariants the unrolled DuckDB chain
+  * re-derives positionally for the bpe_train/bpe_segment hash gates.
+  */
+class BpeSpec extends SparkTestBase {
+
+  private def segFrame(rows: Seq[(String, Long, Seq[String])]): DataFrame = {
+    val session = spark
+    import session.implicits._
+    rows.toDF("word", "freq", "toks")
+  }
+
+  private def bestFrame(l: String, r: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    Seq((l, r, 1L)).toDF("l", "r", "pair_count")
+  }
+
+  private def merged(seg: DataFrame, l: String, r: String): Map[String, Seq[String]] =
+    Bpe.applyMerge(seg, bestFrame(l, r)).collect()
+      .map(row => row.getString(0) -> row.getSeq[String](2)).toMap
+
+  test("greedy pass: overlapping occurrences merge left-to-right, never twice") {
+    val seg = segFrame(Seq(
+      ("aaa", 1L, Seq("a", "a", "a")),
+      ("aaaa", 1L, Seq("a", "a", "a", "a")),
+      ("baa", 1L, Seq("b", "a", "a")),
+      ("abab", 1L, Seq("a", "b", "a", "b")),
+      ("none", 1L, Seq("n", "o"))))
+    val got = merged(seg, "a", "a")
+    assert(got("aaa") == Seq("aa", "a"), "leftmost wins: [aa, a], not [a, aa]")
+    assert(got("aaaa") == Seq("aa", "aa"))
+    assert(got("baa") == Seq("b", "aa"))
+    assert(got("abab") == Seq("a", "b", "a", "b"), "no (a,a) pair present")
+    assert(got("none") == Seq("n", "o"))
+  }
+
+  test("a merged token does not re-match as the pair's left side in the same pass") {
+    // merge (a,b) over [a,b,b]: first pair merges to ab; the new last
+    // token "ab" must not then consume the trailing b
+    val got = merged(segFrame(Seq(("abb", 1L, Seq("a", "b", "b")))), "a", "b")
+    assert(got("abb") == Seq("ab", "b"))
+  }
+
+  test("argmax weights pairs by type frequency with (count, l, r) tiebreak") {
+    // (l,o) appears in both types: 5+2 = 7; (o,w) only in "low": 5;
+    // (w,</w>) 5; (o,</w>) 2 — winner (l,o)
+    val seg = segFrame(Seq(
+      ("low", 5L, Seq("l", "o", "w", "</w>")),
+      ("lo", 2L, Seq("l", "o", "</w>"))))
+    val best = Bpe.bestOf(seg).collect().head
+    assert((best.getString(0), best.getString(1), best.getLong(2)) == ("l", "o", 7L))
+    // exact tie on count → lexicographic (l, r): (a,b) beats (a,c) and (b,a)
+    val tie = segFrame(Seq(
+      ("x1", 3L, Seq("a", "c")), ("x2", 3L, Seq("b", "a")), ("x3", 3L, Seq("a", "b"))))
+    val t = Bpe.bestOf(tie).collect().head
+    assert((t.getString(0), t.getString(1)) == ("a", "b"))
+  }
+
+  test("segmentation is chars plus the end-of-word marker") {
+    val session = spark
+    import session.implicits._
+    val seg = Bpe.seg0(Seq(("low", 5L)).toDF("word", "freq")).collect().head
+    assert(seg.getSeq[String](2) == Seq("l", "o", "w", "</w>"))
+  }
+
+  test("graded chain on real testdata: K ranked merges, segments use the learned vocab") {
+    val merges = graft.SparkEntry.queries("bpe_train")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(merges.length == 8)
+    assert(merges.map(_.getInt(0)).toSeq == (1 to 8), "one merge per rank, ordered")
+    merges.foreach { m =>
+      assert(m.getString(3) == m.getString(1) + m.getString(2), "merged = l || r")
+      assert(m.getLong(4) > 0)
+    }
+    val segs = graft.SparkEntry.queries("bpe_segment")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(segs.length == 30)
+    val vocabGrowth = merges.map(_.getString(3)).toSet
+    // every multi-char piece (beyond the marker) must be a learned merge
+    val pieces = segs.flatMap(_.getString(3).split(" ")).toSet
+    pieces.filter(p => p.length > 1 && p != "</w>").foreach(p =>
+      assert(vocabGrowth.contains(p) || p.endsWith("</w>"),
+        s"piece $p must come from the learned merge table"))
+  }
+}
