@@ -28,13 +28,13 @@ import graft.plans.MvRewriteRule
   */
 object MvRewrite {
 
-  private val mvRewriteScan: Q = (s, dir) => {
+  /** Refresh + register the rollup at the (event_type, cohort) grain —
+    * FINER than the graded queries' grain, so every rewrite has to
+    * re-aggregate the partials. Returns the registered base frame. */
+  private def registeredBase(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val base = Tables(s, dir, "events")
       .select(col("event_id"), col("event_type"), col("user_id"),
         col("value").cast("decimal(25,6)").as("value_dec"), col("ts"))
-
-    // refresh: one rollup at the (event_type, cohort) grain — FINER than
-    // the query's grain, so the rewrite has to re-aggregate the partials
     val work = graft.Scratch.dir("graft-mv")
     val mvPath = work.resolve("mv_events").toString
     base.groupBy(col("event_type"), pmod(col("user_id"), lit(100)).as("cohort"))
@@ -44,7 +44,6 @@ object MvRewrite {
         min(col("ts")).as("min_ts"),
         max(col("ts")).as("max_ts"))
       .write.mode("overwrite").parquet(mvPath)
-
     MvRewriteRule.register(mvPath, base, s.read.parquet(mvPath),
       groupCols = Seq("event_type"),
       countStar = Some("n"),
@@ -52,11 +51,14 @@ object MvRewrite {
       sumOf = Map("value_dec" -> "s_value"),
       minOf = Map("ts" -> "min_ts"),
       maxOf = Map("ts" -> "max_ts"))
+    base
+  }
 
+  private val mvRewriteScan: Q = (s, dir) => {
     // the user-shaped query: a plain GROUP BY over the BASE frame — the
     // analyzer swaps the rollup in underneath (sameResult match), and the
     // projection above derives the ratio from the rewritten partials
-    base.groupBy(col("event_type"))
+    registeredBase(s, dir).groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         count(col("value_dec")).as("n_value"),
         sum(col("value_dec")).as("sum_value"),
@@ -69,7 +71,24 @@ object MvRewrite {
       .orderBy(col("event_type").asc_nulls_first)
   }
 
-  val queries: Map[String, Q] = Map("mv_rewrite_scan" -> mvRewriteScan)
+  private val mvRewriteFilter: Q = (s, dir) => {
+    // the dashboard-slice shape: a WHERE on the grain column between the
+    // aggregate and the base — it selects whole groups, so the rule
+    // carries it onto the MV instead of falling back to a base scan
+    registeredBase(s, dir)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_dec")).as("sum_value"),
+        max(col("ts")).as("last_ts"))
+      .select(col("event_type"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"), col("last_ts"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "mv_rewrite_scan" -> mvRewriteScan,
+    "mv_rewrite_filter" -> mvRewriteFilter)
 
   val oracle: Map[String, String] = Map(
     // the from-scratch aggregate over the BASE table — what the
@@ -80,6 +99,14 @@ object MvRewrite {
         |  round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value), 6) AS avg_value,
         |  min(ts) AS first_ts, max(ts) AS last_ts
         |FROM events GROUP BY 1
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+    "mv_rewrite_filter" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+        |  max(ts) AS last_ts
+        |FROM events
+        |WHERE event_type IN ('click', 'view', 'purchase')
+        |GROUP BY 1
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin
   )
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Automatic aggregate→materialized-view rewrite: a `GROUP BY` over a
@@ -37,6 +37,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *   - `count(col)`                            → `sum(per-col count partial)`
   *   - `sum(col)`                              → `sum(sum partial)`
   *   - `min(col)` / `max(col)`                 → `min/max(min/max partial)`
+  *   - a deterministic WHERE between aggregate and base that references
+  *     grain columns only → the same predicate over the MV (it selects
+  *     whole groups, so it commutes with the rollup); a predicate
+  *     touching any measure column aborts the rewrite
   * Derived metrics (avg = sum/count) are deliberately NOT matched: the
   * mergeable-state discipline (IncrementalAgg) stores associative partials
   * only and re-derives ratios AFTER the merge — a query does the same in a
@@ -87,21 +91,31 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   def clear(): Unit = registry.clear()
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // a deterministic filter BETWEEN the aggregate and the base commutes
+    // with the rollup when it only references grain columns: it selects
+    // whole groups, so filtering the MV's rows is the same set algebra
+    case agg @ Aggregate(_, _, Filter(cond, child), _) if cond.deterministic =>
+      registry.values().asScala
+        .collectFirst(Function.unlift { e =>
+          if (child.sameResult(e.base)) rewrite(agg, child, Some(cond), e) else None
+        })
+        .getOrElse(agg)
     case agg @ Aggregate(_, _, child, _) =>
       registry.values().asScala
         .collectFirst(Function.unlift { e =>
-          if (child.sameResult(e.base)) rewrite(agg, e) else None
+          if (child.sameResult(e.base)) rewrite(agg, child, None, e) else None
         })
         .getOrElse(agg)
   }
 
-  private def rewrite(agg: Aggregate, e: MvEntry): Option[Aggregate] = {
+  private def rewrite(agg: Aggregate, child: LogicalPlan,
+                      filter: Option[Expression], e: MvEntry): Option[Aggregate] = {
     // child output position i ↔ registered base output position i
     // (sameResult guarantees positional schema equivalence; NAMES may
     // differ through alias noise, so map ids to the REGISTERED names the
     // partial maps are declared in)
     val baseNameOf: Map[ExprId, String] =
-      agg.child.output.map(_.exprId).zip(e.base.output.map(_.name)).toMap
+      child.output.map(_.exprId).zip(e.base.output.map(_.name)).toMap
 
     // fresh MV instance per rewrite: two rewrites in one tree (self-join
     // of two rollup queries) must not share output attribute ids
@@ -109,6 +123,23 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
     }
     def mvAttr(name: String): Attribute = mv.output.find(_.name == name).get
+
+    // the interposed filter must reference grain columns only — then it
+    // selects whole groups and commutes with the rollup; anything else
+    // (a measure-column predicate filters ROWS, not groups) aborts
+    val mappedCond: Option[Option[Expression]] = filter match {
+      case None => Some(None)
+      case Some(c) =>
+        var ok = true
+        val m = c.transform {
+          case a: AttributeReference =>
+            baseNameOf.get(a.exprId).filter(e.groupCols.contains) match {
+              case Some(n) => mvAttr(n)
+              case None => ok = false; a
+            }
+        }
+        if (ok) Some(Some(m)) else None
+    }
 
     // grouping: plain base columns within the MV grain, or no rewrite
     val groups: Option[Seq[(ExprId, Attribute)]] =
@@ -158,9 +189,12 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         case _ => None
       }
 
-      if (mapped.forall(_.isDefined))
-        Some(Aggregate(g.map(_._2), mapped.map(_.get), mv))
-      else None
+      mappedCond.flatMap { condOpt =>
+        if (mapped.forall(_.isDefined))
+          Some(Aggregate(g.map(_._2), mapped.map(_.get),
+            condOpt.map(Filter(_, mv)).getOrElse(mv)))
+        else None
+      }
     }
   }
 }

@@ -92,9 +92,31 @@ class MvRewriteSpec extends SparkTestBase {
       // aggregate of a column with no registered partial
       val s = base.groupBy(col("etype")).agg(sum(col("id")).as("si"))
       assert(scannedFiles(s).forall(_.contains("/t/")), "sum(id) has no partial")
-      // a filter between the aggregate and the base breaks sameResult: no rewrite
+      // a filter on a MEASURE column filters rows, not groups: no rewrite
       val f = base.filter(col("uid") > 10).groupBy(col("etype")).agg(count(lit(1)).as("n"))
-      assert(scannedFiles(f).forall(_.contains("/t/")), "filtered base must not match")
+      assert(scannedFiles(f).forall(_.contains("/t/")), "measure-filtered base must not match")
+      // a nondeterministic grain filter must not commute either
+      val nd = base.filter(col("etype") === "a" && rand() < 2.0)
+        .groupBy(col("etype")).agg(count(lit(1)).as("n"))
+      assert(scannedFiles(nd).forall(_.contains("/t/")), "nondeterministic filter must not match")
+    } finally MvRewriteRule.unregister(mvPath)
+  }
+
+  test("a grain-column filter commutes: filtered rollup answers from the MV") {
+    val (base, dir) = fixture()
+    def q(b: DataFrame): DataFrame =
+      b.filter(col("etype").isin("a", "c"))
+        .groupBy(col("etype"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("vd")).as("s"))
+        .orderBy("etype")
+    val expected = q(base).collect().toSeq
+    val (mv, mvPath) = buildMv(base, dir)
+    register(base, mv, mvPath)
+    try {
+      val got = q(base)
+      assert(got.collect().toSeq == expected)
+      assert(scannedFiles(got).forall(_.contains("/mv/")),
+        "a grain filter selects whole groups and must ride the MV")
     } finally MvRewriteRule.unregister(mvPath)
   }
 
