@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rollup (post-hoc resolution: the Aggregate child is still the base
     // frame's analyzed plan there, so sameResult matching is exact)
     ext.injectPostHocResolutionRule(_ => graft.plans.MvRewriteRule)
+    // INNER joins to a declared-PK dimension whose columns go unused are
+    // dropped (RELY constraint join elimination)
+    ext.injectPostHocResolutionRule(_ => graft.plans.JoinPruneRule)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),

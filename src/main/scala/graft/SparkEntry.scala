@@ -37,6 +37,7 @@ object SparkEntry {
     (IncrementalAgg.queries, IncrementalAgg.oracle),
     (MvRewrite.queries, MvRewrite.oracle),
     (Bpe.queries, Bpe.oracle),
+    (JoinPrune.queries, JoinPrune.oracle),
     (Behavioral.queries, Behavioral.oracle),
     (Graph.queries, Graph.oracle),
     (Profiling.queries, Profiling.oracle),
