@@ -69,34 +69,80 @@ object Bpe {
       .orderBy(col("pair_count").desc, col("l").asc, col("r").asc)
       .limit(1)
 
-  /** One greedy left-to-right merge pass of `best` over every type. */
-  private[operators] def applyMerge(seg: DataFrame, best: DataFrame): DataFrame =
-    seg.crossJoin(broadcast(best.select("l", "r")))
-      .withColumn("toks", aggregate(col("toks"),
-        array().cast("array<string>"),
-        (acc: Column, x: Column) =>
-          when(size(acc) > 0 &&
-              element_at(acc, -1) === col("l") && x === col("r"),
-            concat(slice(acc, lit(1), size(acc) - 1),
-              array(concat(col("l"), col("r")))))
-            .otherwise(concat(acc, array(x)))))
-      .select("word", "freq", "toks")
+  /** One greedy left-to-right merge pass of the pair (l, r) over every
+    * type. The pair rides in as LITERALS — see `chain` for why. */
+  private[operators] def applyMerge(seg: DataFrame, l: String, r: String): DataFrame =
+    seg.withColumn("toks", aggregate(col("toks"),
+      array().cast("array<string>"),
+      (acc: Column, x: Column) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x)))))
 
-  /** (merge table of K rounds, final segmentation of the type table). */
-  private def chain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    var seg = seg0(wordTypes(s, dir))
-    val merges = Seq.newBuilder[DataFrame]
+  /** The learned merges (rank, l, r, pair_count) and the final
+    * segmentation of the type table.
+    *
+    * The K rounds are a DRIVER-SIDE loop by design: BPE is inherently
+    * sequential in K, and each round's argmax is ONE bounded row — the
+    * trainer reads that scalar (the manifest-relation exemption class,
+    * not a data collect) and folds it back in as literals. Keeping the
+    * argmax as a joined frame instead makes each round's LOGICAL tree
+    * embed the previous round's twice — exponential plan growth that
+    * measured 11-17 s/query at sf0.1 in pure Catalyst analysis time.
+    * With literals the lineage is linear in K; each round's ≤ V-row
+    * segmentation is cached because two consumers read it (the next
+    * argmax and the rewrite). Corpus-proportional work stays distributed
+    * (the one tokenize+count shuffle inside `wordTypes`). */
+  private def chain(s: SparkSession, dir: String): (Seq[(Int, String, String, Long)], DataFrame) = {
+    var seg = seg0(wordTypes(s, dir)).cache()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (i <- 1 to K) {
-      val best = bestOf(seg)
-      merges += best.select(lit(i).as("merge_rank"), col("l"), col("r"),
-        concat(col("l"), col("r")).as("merged"),
-        col("pair_count").cast("long").as("pair_count"))
-      seg = applyMerge(seg, best)
+      val row = bestOf(seg).collect()(0) // the round's scalar: 1 row
+      val (l, r) = (row.getString(0), row.getString(1))
+      merges += ((i, l, r, row.getLong(2)))
+      seg = applyMerge(seg, l, r).cache()
     }
-    (merges.result().reduce(_.union(_)).orderBy("merge_rank"), seg)
+    (merges.result(), seg)
   }
 
-  private val bpeTrain: Q = (s, dir) => chain(s, dir)._1
+  private val bpeTrain: Q = (s, dir) => {
+    val session = s
+    import session.implicits._
+    chain(s, dir)._1.toDF("merge_rank", "l", "r", "pair_count")
+      .select(col("merge_rank"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("pair_count"))
+      .orderBy("merge_rank")
+  }
+
+  /** Encode a document sample with the learned merges: apply the K merge
+    * passes to the sample's DISTINCT alpha word types (encoding is a pure
+    * function of the word — per-type work, not per-occurrence), join the
+    * piece counts back to token occurrences, and reduce per document.
+    * Non-alpha tokens (numbers, punctuation, non-Latin scripts) count one
+    * piece each — the single-token fallback lane. The corpus-proportional
+    * work is the tokenize + the type join + one doc-keyed aggregate; the
+    * merge applications run on the distinct-type table only. */
+  private val bpeEncode: Q = (s, dir) => {
+    val (merges, _) = chain(s, dir)
+    val toks = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+          .as("word"))
+      .filter(length(col("word")) > 0)
+    // the merges are literals, so the K passes fold into ONE linear plan
+    // over the sample's distinct types — no per-round materialization
+    var seg = seg0(toks.filter(col("word").rlike("^[a-z]+$"))
+      .select("word").distinct().withColumn("freq", lit(1L)))
+    merges.foreach { case (_, l, r, _) => seg = applyMerge(seg, l, r) }
+    val perType = seg.select(col("word"), size(col("toks")).cast("long").as("k"))
+    toks.join(perType, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("k"), lit(1L))).as("n_pieces"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
 
   private val bpeSegment: Q = (s, dir) =>
     chain(s, dir)._2
@@ -108,7 +154,8 @@ object Bpe {
 
   val queries: Map[String, Q] = Map(
     "bpe_train" -> bpeTrain,
-    "bpe_segment" -> bpeSegment)
+    "bpe_segment" -> bpeSegment,
+    "bpe_encode" -> bpeEncode)
 
   // ---- oracle: the same K rounds unrolled as a CTE chain (the Lloyd/PQ
   // precedent) — pairs positionally, greedy pass via run-parity windows.
@@ -169,6 +216,51 @@ object Bpe {
   private def withChain(body: String): String =
     s"WITH $baseCtes,\n${(1 to K).map(roundCtes).mkString(",\n")}\n$body"
 
+  /** Encode-side CTEs: the doc sample's distinct alpha types, then the K
+    * apply rounds — same greedy pass, but the winning pair comes from the
+    * TRAIN chain's best$i (no per-round counting here). */
+  private def encodeCtes: String = {
+    val base =
+      s"""dtoks AS MATERIALIZED (
+         |  SELECT doc_id, word FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+         |    FROM documents WHERE doc_id % 7 = 0)
+         |  WHERE len(word) > 0
+         |),
+         |eseg0 AS MATERIALIZED (
+         |  SELECT word, list_append(regexp_extract_all(word, '.'), '$MARK') AS toks
+         |  FROM (SELECT DISTINCT word FROM dtoks WHERE regexp_matches(word, '^[a-z]+$$'))
+         |)""".stripMargin
+    val rounds = (1 to K).map { i =>
+      val prev = s"eseg${i - 1}"
+      s"""etak$i AS MATERIALIZED (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, (i - min(i) OVER (PARTITION BY word, grp)) % 2 AS off FROM (
+         |      SELECT c.word, c.i, c.i - row_number() OVER (PARTITION BY c.word ORDER BY c.i) AS grp
+         |      FROM (SELECT word, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+         |            FROM $prev) c, best$i b
+         |      WHERE c.toks[c.i] = b.l AND c.toks[c.i+1] = b.r))
+         |  WHERE off = 0
+         |),
+         |eseg$i AS MATERIALIZED (
+         |  SELECT word,
+         |    list(CASE WHEN taken THEN l || r ELSE tok END ORDER BY i)
+         |      FILTER (WHERE NOT prev_taken) AS toks
+         |  FROM (
+         |    SELECT f.word, f.i, f.toks[f.i] AS tok,
+         |      t.i IS NOT NULL AS taken, tp.i IS NOT NULL AS prev_taken, b.l, b.r
+         |    FROM (SELECT word, unnest(generate_series(1, len(toks))) AS i, toks
+         |          FROM $prev) f
+         |    CROSS JOIN best$i b
+         |    LEFT JOIN etak$i t ON t.word = f.word AND t.i = f.i
+         |    LEFT JOIN etak$i tp ON tp.word = f.word AND tp.i = f.i - 1)
+         |  GROUP BY word
+         |)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
   val oracle: Map[String, String] = Map(
     "bpe_train" -> withChain(
       (1 to K).map(i =>
@@ -178,6 +270,12 @@ object Bpe {
       s"""SELECT word, freq, CAST(len(toks) AS BIGINT) AS n_pieces,
          |  array_to_string(toks, ' ') AS pieces
          |FROM (SELECT * FROM seg$K ORDER BY freq DESC, word LIMIT 30)
-         |ORDER BY freq DESC, word""".stripMargin)
+         |ORDER BY freq DESC, word""".stripMargin),
+    "bpe_encode" -> withChain(",\n" + encodeCtes + "\n" +
+      s"""SELECT d.doc_id, count(*) AS n_tokens,
+         |  CAST(sum(coalesce(p.k, 1)) AS BIGINT) AS n_pieces
+         |FROM dtoks d LEFT JOIN
+         |  (SELECT word, CAST(len(toks) AS BIGINT) AS k FROM eseg$K) p USING (word)
+         |GROUP BY 1 ORDER BY doc_id ASC NULLS FIRST""".stripMargin)
   )
 }

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Constraint-based join elimination: an INNER join to a registered
@@ -32,8 +32,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * if the keys are non-null, semantics-preserving if they are not.
   *
   * Matching (post-hoc resolution, like the MV rewrite — the plan is
-  * still the user's shape): `Project` over `Join(Inner)` where one join
-  * side is `sameResult` with a registered dimension plan, the join
+  * still the user's shape): `Project` or `Aggregate` over `Join(Inner)`
+  * where one join side is `sameResult` with a registered dimension, the join
   * condition is a pure conjunction of attribute equalities covering
   * EXACTLY the declared key set (a partial key cannot guarantee
   * uniqueness; an extra non-key equality is a real predicate on the
@@ -60,17 +60,29 @@ object JoinPruneRule extends Rule[LogicalPlan] {
   def clear(): Unit = registry.clear()
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // the generated-BI shapes: a projection, or an aggregate, directly
+    // over the star join — in both, "uses no dimension column" is decided
+    // by the parent's references
     case p @ Project(projList, Join(left, right, Inner, Some(cond), _)) =>
-      registry.values().asScala
-        .collectFirst(Function.unlift { e =>
-          prune(projList, left, right, cond, e)
-            .orElse(prune(projList, right, left, cond, e))
-        })
-        .getOrElse(p)
+      tryPrune(projList.flatMap(_.references), left, right, cond,
+        fact => Project(projList, fact)).getOrElse(p)
+    case a @ Aggregate(groupExprs, aggExprs, Join(left, right, Inner, Some(cond), _), hint) =>
+      tryPrune((groupExprs ++ aggExprs).flatMap(_.references), left, right, cond,
+        fact => Aggregate(groupExprs, aggExprs, fact, hint)).getOrElse(a)
   }
 
-  /** Try to eliminate `dim` (matched against `e`) from fact ⋈ dim. */
-  private def prune(projList: Seq[NamedExpression], fact: LogicalPlan,
+  private def tryPrune(used: Seq[Attribute], left: LogicalPlan, right: LogicalPlan,
+                       cond: Expression,
+                       rebuild: LogicalPlan => LogicalPlan): Option[LogicalPlan] =
+    registry.values().asScala
+      .collectFirst(Function.unlift { e =>
+        prune(used, left, right, cond, e).orElse(prune(used, right, left, cond, e))
+      })
+      .map(rebuild)
+
+  /** The fact side wrapped in the key-not-null filter, if `dim` (matched
+    * against `e`) can be eliminated from fact ⋈ dim. */
+  private def prune(used: Seq[Attribute], fact: LogicalPlan,
                     dim: LogicalPlan, cond: Expression,
                     e: PkEntry): Option[LogicalPlan] = {
     if (!dim.sameResult(e.dim)) return None
@@ -94,14 +106,14 @@ object JoinPruneRule extends Rule[LogicalPlan] {
     val equatedDim = eqs.map { case (_, d) => dimNameOf(d.exprId) }
     if (equatedDim.toSet != e.pkCols.toSet || equatedDim.distinct.size != equatedDim.size)
       return None
-    // the projection must not touch the dimension
-    if (projList.exists(_.references.exists(dimIds.contains))) return None
+    // the parent must not touch the dimension
+    if (used.exists(dimIds.contains)) return None
 
     // inner-join null semantics: rows with a NULL fact key are dropped by
     // the join, so they must be dropped by the replacement too
     val notNulls = eqs.map { case (f, _) => IsNotNull(f): Expression }
       .reduce(And.apply)
-    Some(Project(projList, Filter(notNulls, fact)))
+    Some(Filter(notNulls, fact))
   }
 
   private def splitConjunction(e: Expression): Seq[Expression] = e match {

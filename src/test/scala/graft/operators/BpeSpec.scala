@@ -17,14 +17,8 @@ class BpeSpec extends SparkTestBase {
     rows.toDF("word", "freq", "toks")
   }
 
-  private def bestFrame(l: String, r: String): DataFrame = {
-    val session = spark
-    import session.implicits._
-    Seq((l, r, 1L)).toDF("l", "r", "pair_count")
-  }
-
   private def merged(seg: DataFrame, l: String, r: String): Map[String, Seq[String]] =
-    Bpe.applyMerge(seg, bestFrame(l, r)).collect()
+    Bpe.applyMerge(seg, l, r).collect()
       .map(row => row.getString(0) -> row.getSeq[String](2)).toMap
 
   test("greedy pass: overlapping occurrences merge left-to-right, never twice") {
@@ -89,5 +83,15 @@ class BpeSpec extends SparkTestBase {
     pieces.filter(p => p.length > 1 && p != "</w>").foreach(p =>
       assert(vocabGrowth.contains(p) || p.endsWith("</w>"),
         s"piece $p must come from the learned merge table"))
+  }
+
+  test("graded encode: per-document piece counts are bounded below by token counts") {
+    val enc = graft.SparkEntry.queries("bpe_encode")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"doc ${r.getLong(0)}: every token is at least one piece")
+    }
   }
 }

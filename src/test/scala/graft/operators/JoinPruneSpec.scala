@@ -69,6 +69,22 @@ class JoinPruneSpec extends SparkTestBase {
     } finally JoinPruneRule.unregister("dimpk")
   }
 
+  test("an aggregate directly over the join prunes too; dim-grouped keeps it") {
+    val (fact, dim) = fixture()
+    def q(): DataFrame = fact.join(dim, fact("fk") === dim("dk"), "inner")
+      .groupBy(col("fk")).agg(sum(col("amount")).as("s")).orderBy("fk")
+    val expected = q().collect().toSeq
+    JoinPruneRule.register("dimpk", dim, Seq("dk"))
+    try {
+      val got = q()
+      assert(!hasJoin(got), "aggregate-over-join must prune")
+      assert(got.collect().toSeq == expected)
+      // grouping by a dimension column uses the dim: join stays
+      assert(hasJoin(fact.join(dim, fact("fk") === dim("dk"), "inner")
+        .groupBy(col("dname")).agg(sum(col("amount")).as("s"))))
+    } finally JoinPruneRule.unregister("dimpk")
+  }
+
   test("a composite key must be covered exactly") {
     val session = spark
     import session.implicits._

@@ -136,6 +136,50 @@ class MvRewriteSpec extends SparkTestBase {
     finally MvRewriteRule.unregister(mvPath)
   }
 
+  test("an incrementally-maintained sink rollup serves as the MV (the full loop)") {
+    // maintenance side: partial states folded into a ParquetTableSink
+    // through IncrementalAgg.mergeStates across two delta merges — the
+    // stream_rollup_table artifact; query side: MvRewriteRule answers a
+    // base GROUP BY from that sink's buckets. Refresh is O(delta+touched
+    // buckets), queries never rescan the base: the warehouse MV loop.
+    val (base, dir) = fixture()
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("etype"), pmod(col("uid"), lit(2)).as("cohort"))
+        .agg(count(lit(1)).as("n"), count(col("vd")).as("n_v"),
+          sum(col("vd")).cast("decimal(35,6)").as("s_v"),
+          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+    val keys = Seq("etype", "cohort")
+    val combine: graft.streaming.ParquetTableSink.Combiner = (target, staged) =>
+      graft.operators.IncrementalAgg.mergeStates(target, staged, keys,
+        add = Seq("n", "n_v", "s_v"),
+        maxCols = Seq("max_ts"), minCols = Seq("min_ts"))
+        .select(col("etype"), col("cohort"), col("n"), col("n_v"),
+          col("s_v").cast("decimal(35,6)").as("s_v"), col("min_ts"), col("max_ts"))
+    val sink = new graft.streaming.ParquetTableSink(spark, s"$dir/mvsink",
+      partial(base).limit(0), keys, buckets = 2, combine = combine)
+    sink.merge(partial(base.filter(col("id") <= 3)), 0L)
+    sink.merge(partial(base.filter(col("id") > 3)), 1L)
+
+    def q(b: DataFrame): DataFrame =
+      b.groupBy(col("etype"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("vd")).as("s"),
+          min(col("ts")).as("first_ts"))
+        .orderBy("etype")
+    val expected = q(base).collect().toSeq
+    MvRewriteRule.register(s"$dir/mvsink", base, sink.table(),
+      groupCols = Seq("etype"), countStar = Some("n"),
+      countOf = Map("vd" -> "n_v"), sumOf = Map("vd" -> "s_v"),
+      minOf = Map("ts" -> "min_ts"), maxOf = Map("ts" -> "max_ts"))
+    try {
+      val got = q(base)
+      val files = scannedFiles(got)
+      assert(files.nonEmpty && files.forall(_.contains("/mvsink/")),
+        s"query must answer from the sink rollup's buckets, got $files")
+      assert(got.collect().toSeq == expected,
+        "accumulated sink state must be indistinguishable from the from-scratch aggregate")
+    } finally MvRewriteRule.unregister(s"$dir/mvsink")
+  }
+
   test("declared MV columns are validated at registration") {
     val (base, dir) = fixture()
     val (mv, mvPath) = buildMv(base, dir)
