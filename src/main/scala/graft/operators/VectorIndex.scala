@@ -115,11 +115,25 @@ final class VectorIndex(spark: SparkSession, dir: String) {
 
   def lastEncodedBatchId: Long = codesSink.lastCommittedBatchId
 
-  /** Latest committed codebook epoch, −1 before the first train. Reads the
-    * ≤ 32·epochs-row codebook table — metadata-class work. */
+  /** Latest committed codebook epoch, −1 before the first train.
+    *
+    * Consulted on every encode/migrate, but the answer only changes when
+    * the cents table commits — so the memo is keyed on the sink's pointer
+    * (a driver-side file read, no Spark job). A train from ANOTHER
+    * VectorIndex instance on the same dir moves the pointer and
+    * invalidates correctly. The uncached read is the ≤ 32·epochs-row
+    * codebook table — metadata-class work, paid once per commit. */
+  @volatile private var epochMemo: (Long, Long) = (Long.MinValue, -1L)
   def currentEpoch: Long = {
-    val m = centsSink.current.agg(max(col("epoch"))).head().get(0)
-    if (m == null) -1L else m.asInstanceOf[Long]
+    val ptr = centsSink.lastCommittedBatchId
+    val memo = epochMemo
+    if (memo._1 == ptr) memo._2
+    else {
+      val m = centsSink.current.agg(max(col("epoch"))).head().get(0)
+      val e = if (m == null) -1L else m.asInstanceOf[Long]
+      epochMemo = (ptr, e)
+      e
+    }
   }
 
   private def requireTrained(op: String): Unit =
