@@ -202,15 +202,25 @@ final class VectorIndex(spark: SparkSession, dir: String) {
     * routing lets the corpus slice push down as a plain `vec_id % B = b`
     * scan filter. The index serves searches throughout — rows not yet
     * migrated score under their own epoch. */
-  def migrateBucket(corpus: DataFrame, bucket: Int, batchId: Long): Unit = {
+  def migrateBucket(corpus: DataFrame, bucket: Int, batchId: Long): Unit =
+    migrateBuckets(corpus, Seq(bucket), batchId)
+
+  /** Migrate a WAVE of buckets in one commit — the production migration
+    * driver's unit (per-bucket commits pay a merge transaction each; a
+    * wave amortizes it while staying incremental: the index serves
+    * searches between waves exactly as between single buckets). Same
+    * exactly-once batch guard; same per-row work. */
+  def migrateBuckets(corpus: DataFrame, buckets: Seq[Int], batchId: Long): Unit = {
     requireTrained("migrate")
-    require(bucket >= 0 && bucket < CODES_BUCKETS,
-      s"bucket must be in [0, $CODES_BUCKETS), got $bucket")
+    require(buckets.nonEmpty, "migrateBuckets: at least one bucket")
+    buckets.foreach(b => require(b >= 0 && b < CODES_BUCKETS,
+      s"bucket must be in [0, $CODES_BUCKETS), got $b"))
     if (batchId <= codesSink.lastCommittedBatchId) return
     val latest = currentEpoch
-    val stale = codesSink.bucketRows(Seq(bucket))
+    val stale = codesSink.bucketRows(buckets)
       .filter(col("epoch") < latest).select(col("vec_id"))
-    val slice = corpus.filter(pmod(col("vec_id"), lit(CODES_BUCKETS)) === bucket)
+    val slice = corpus.filter(
+      pmod(col("vec_id"), lit(CODES_BUCKETS)).isin(buckets.map(b => b: Any): _*))
     val present = slice.join(stale, Seq("vec_id"), "left_semi")
     val gone = stale.join(slice.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .withColumn("norm", lit(null).cast(DoubleType))
@@ -459,8 +469,13 @@ object VectorIndexOps {
     idx.train(corpus.filter(expr(TRAIN_WHERE)))          // epoch 0
     idx.encode(corpus, 0L)
     idx.train(corpus.filter(expr(RETRAIN_WHERE)), 1L)    // epoch 1 (drift)
-    (0 until MIGRATED).foreach(b => idx.migrateBucket(corpus, b, 1L + b))
-    idx.migrateBucket(corpus, 0, 1L)                     // replay: guarded no-op
+    // two migration WAVES + a bucket-at-a-time tail: same final epoch-1
+    // set (buckets 0..MIGRATED-1), three commits instead of eight — the
+    // wave driver a production migration runs
+    idx.migrateBuckets(corpus, 0 until MIGRATED / 2, 1L)
+    idx.migrateBuckets(corpus, MIGRATED / 2 until MIGRATED - 1, 2L)
+    idx.migrateBucket(corpus, MIGRATED - 1, 3L)
+    idx.migrateBuckets(corpus, 0 until MIGRATED / 2, 1L) // replay: guarded no-op
     idx.search(probesOf(corpus), 3)
   }
 
