@@ -25,7 +25,23 @@ object JoinPrune {
       .orderBy(col("c_custkey").asc_nulls_first)
   }
 
-  val queries: Map[String, Q] = Map("join_prune_scan" -> joinPruneScan)
+  /** The weaker declaration: a LEFT OUTER join to a unique key never
+    * drops or duplicates a fact row, so elimination needs uniqueness
+    * alone (no referential integrity, no residual filter). */
+  private val joinPruneOuter: Q = (s, dir) => {
+    val ord = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    JoinPruneRule.register(s"$dir/customer_pk", cust, Seq("c_custkey"))
+    ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey").asc_nulls_first)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "join_prune_scan" -> joinPruneScan,
+    "join_prune_outer" -> joinPruneOuter)
 
   val oracle: Map[String, String] = Map(
     // the oracle RUNS the join the engine eliminated: equal rows IS the
@@ -33,6 +49,10 @@ object JoinPrune {
     "join_prune_scan" ->
       """SELECT c.c_custkey, c.c_name, c.c_acctbal
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |ORDER BY c.c_custkey ASC NULLS FIRST""".stripMargin
+        |ORDER BY c.c_custkey ASC NULLS FIRST""".stripMargin,
+    "join_prune_outer" ->
+      """SELECT o.o_orderkey, o.o_totalprice
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey ASC NULLS FIRST""".stripMargin
   )
 }

@@ -6,19 +6,25 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Constraint-based join elimination: an INNER join to a registered
-  * primary-key dimension whose columns are never used above the join is
-  * dropped entirely — the RELY-constraint query rewrite every warehouse
+/** Constraint-based join elimination: a join to a registered primary-key
+  * dimension whose columns are never used above the join is dropped
+  * entirely — the RELY-constraint query rewrite every warehouse
   * optimizer ships (Oracle join elimination, Snowflake RELY, Trino with
   * connector PK metadata) and Spark itself cannot do for lack of a
-  * constraint framework. The ETL-tool shape this kills at 100 TB: a
-  * generated star-schema query joins every dimension it MIGHT need, the
-  * projection uses two fact columns — each eliminated dimension is a
-  * broadcast build (or worse, a shuffle) that never runs.
+  * constraint framework. INNER joins eliminate under the full
+  * uniqueness+RI declaration; LEFT/RIGHT OUTER joins to the dimension
+  * eliminate under the UNIQUENESS half alone (an outer join to a unique
+  * key never drops or duplicates a preserved-side row, whatever the
+  * extra ON predicates decide), with no residual filter at all.
+  *
+  * The ETL-tool shape this kills at 100 TB: a generated star-schema
+  * query joins every dimension it MIGHT need, the projection uses two
+  * fact columns — each eliminated dimension is a broadcast build (or
+  * worse, a shuffle) that never runs.
   *
   * Soundness contract (the registrant's RELY declaration, exactly like
   * `MvRewriteRule`'s freshness contract):
@@ -32,13 +38,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * if the keys are non-null, semantics-preserving if they are not.
   *
   * Matching (post-hoc resolution, like the MV rewrite — the plan is
-  * still the user's shape): `Project` or `Aggregate` over `Join(Inner)`
-  * where one join side is `sameResult` with a registered dimension, the join
-  * condition is a pure conjunction of attribute equalities covering
-  * EXACTLY the declared key set (a partial key cannot guarantee
-  * uniqueness; an extra non-key equality is a real predicate on the
-  * dimension and blocks elimination), and the projection references no
-  * dimension attribute. All-or-nothing; anything else is untouched.
+  * still the user's shape): `Project` or `Aggregate` over the join,
+  * where one join side is `sameResult` with a registered dimension and
+  * the parent references no dimension attribute. For INNER the
+  * condition must be a pure conjunction of attribute equalities
+  * covering EXACTLY the declared key set (a partial key cannot
+  * guarantee uniqueness; an extra predicate changes which fact rows
+  * survive); for LEFT/RIGHT OUTER the equalities must cover the key and
+  * any extra deterministic conjuncts are tolerated. All-or-nothing;
+  * anything else is untouched.
   */
 object JoinPruneRule extends Rule[LogicalPlan] {
 
@@ -63,28 +71,42 @@ object JoinPruneRule extends Rule[LogicalPlan] {
     // the generated-BI shapes: a projection, or an aggregate, directly
     // over the star join — in both, "uses no dimension column" is decided
     // by the parent's references
-    case p @ Project(projList, Join(left, right, Inner, Some(cond), _)) =>
-      tryPrune(projList.flatMap(_.references), left, right, cond,
+    case p @ Project(projList, j: Join) if j.condition.isDefined =>
+      tryPrune(projList.flatMap(_.references), j,
         fact => Project(projList, fact)).getOrElse(p)
-    case a @ Aggregate(groupExprs, aggExprs, Join(left, right, Inner, Some(cond), _), hint) =>
-      tryPrune((groupExprs ++ aggExprs).flatMap(_.references), left, right, cond,
+    case a @ Aggregate(groupExprs, aggExprs, j: Join, hint) if j.condition.isDefined =>
+      tryPrune((groupExprs ++ aggExprs).flatMap(_.references), j,
         fact => Aggregate(groupExprs, aggExprs, fact, hint)).getOrElse(a)
   }
 
-  private def tryPrune(used: Seq[Attribute], left: LogicalPlan, right: LogicalPlan,
-                       cond: Expression,
-                       rebuild: LogicalPlan => LogicalPlan): Option[LogicalPlan] =
+  private def tryPrune(used: Seq[Attribute], j: Join,
+                       rebuild: LogicalPlan => LogicalPlan): Option[LogicalPlan] = {
+    val cond = j.condition.get
     registry.values().asScala
       .collectFirst(Function.unlift { e =>
-        prune(used, left, right, cond, e).orElse(prune(used, right, left, cond, e))
+        j.joinType match {
+          // inner joins drop NULL/unmatched fact keys: elimination leans on
+          // declared RI and must preserve the NULL-key drop itself
+          case Inner =>
+            prune(used, j.left, j.right, cond, e, outer = false)
+              .orElse(prune(used, j.right, j.left, cond, e, outer = false))
+          // OUTER joins to a unique key never drop or duplicate a fact row,
+          // whatever the extra ON predicates do — elimination needs ONLY
+          // the uniqueness half of the declaration, not RI, and no filter
+          case LeftOuter => prune(used, j.left, j.right, cond, e, outer = true)
+          case RightOuter => prune(used, j.right, j.left, cond, e, outer = true)
+          case _ => None
+        }
       })
       .map(rebuild)
+  }
 
-  /** The fact side wrapped in the key-not-null filter, if `dim` (matched
-    * against `e`) can be eliminated from fact ⋈ dim. */
+  /** The replacement for the fact side, if `dim` (matched against `e`)
+    * can be eliminated from fact ⋈ dim: the fact itself for an outer
+    * join, the key-not-null filtered fact for an inner join. */
   private def prune(used: Seq[Attribute], fact: LogicalPlan,
                     dim: LogicalPlan, cond: Expression,
-                    e: PkEntry): Option[LogicalPlan] = {
+                    e: PkEntry, outer: Boolean): Option[LogicalPlan] = {
     if (!dim.sameResult(e.dim)) return None
     val dimIds = dim.outputSet
     val factIds = fact.outputSet
@@ -92,28 +114,38 @@ object JoinPruneRule extends Rule[LogicalPlan] {
     val dimNameOf: Map[ExprId, String] =
       dim.output.map(_.exprId).zip(e.dim.output.map(_.name)).toMap
 
-    // the condition must be a pure conjunction of fact-attr = dim-attr
-    val pairs = splitConjunction(cond).map {
+    val conjuncts = splitConjunction(cond)
+    val classified = conjuncts.map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
-          if factIds.contains(a) && dimIds.contains(b) => Some((a, b))
+          if factIds.contains(a) && dimIds.contains(b) => scala.Right((a, b))
       case EqualTo(b: AttributeReference, a: AttributeReference)
-          if factIds.contains(a) && dimIds.contains(b) => Some((a, b))
-      case _ => None
+          if factIds.contains(a) && dimIds.contains(b) => scala.Right((a, b))
+      case other => scala.Left(other)
     }
-    if (pairs.exists(_.isEmpty)) return None
-    val eqs = pairs.map(_.get)
-    // equated dim columns = EXACTLY the declared unique key
+    val eqs = classified.collect { case scala.Right(p) => p }
+    val others = classified.collect { case scala.Left(c) => c }
     val equatedDim = eqs.map { case (_, d) => dimNameOf(d.exprId) }
-    if (equatedDim.toSet != e.pkCols.toSet || equatedDim.distinct.size != equatedDim.size)
-      return None
+    if (outer) {
+      // extra predicates only turn a match into a non-match — the fact row
+      // is output exactly once either way, provided ≤ 1 match (pk covered)
+      if (!e.pkCols.toSet.subsetOf(equatedDim.toSet)) return None
+      if (others.exists(!_.deterministic)) return None
+    } else {
+      // inner: a pure equi-conjunction covering EXACTLY the unique key
+      if (others.nonEmpty) return None
+      if (equatedDim.toSet != e.pkCols.toSet ||
+        equatedDim.distinct.size != equatedDim.size) return None
+    }
     // the parent must not touch the dimension
     if (used.exists(dimIds.contains)) return None
 
-    // inner-join null semantics: rows with a NULL fact key are dropped by
-    // the join, so they must be dropped by the replacement too
-    val notNulls = eqs.map { case (f, _) => IsNotNull(f): Expression }
-      .reduce(And.apply)
-    Some(Filter(notNulls, fact))
+    if (outer) Some(fact)
+    else {
+      // inner-join null semantics: rows with a NULL fact key are dropped
+      // by the join, so they must be dropped by the replacement too
+      Some(Filter(eqs.map { case (f, _) => IsNotNull(f): Expression }
+        .reduce(And.apply), fact))
+    }
   }
 
   private def splitConjunction(e: Expression): Seq[Expression] = e match {

@@ -85,6 +85,45 @@ class BpeSpec extends SparkTestBase {
         s"piece $p must come from the learned merge table"))
   }
 
+  test("property: the fold pass equals an imperative greedy reference on random inputs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the semantics both the Spark fold and the oracle's run-parity
+    // windows must implement: scan left to right, merge non-overlapping
+    def reference(toks: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toList
+    }
+    val tok = Gen.oneOf("a", "b", "c", "ab", "ba")
+    val gen: Gen[(List[String], String, String)] = for {
+      n <- Gen.choose(1, 12)
+      toks <- Gen.listOfN(n, tok)
+      l <- tok; r <- tok
+    } yield (toks, l, r)
+    // raw generators + fixed seeds (the FreqSketchSpec convention); all
+    // cases of one (l, r) batch ride a single applyMerge call
+    val cases = (0 until 60).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i * 13L + 5)).map(c => (i, c)))
+    cases.groupBy { case (_, (_, l, r)) => (l, r) }.foreach { case ((l, r), grp) =>
+      val session = spark
+      import session.implicits._
+      val seg = grp.map { case (id, (toks, _, _)) => (id.toString, 1L, toks) }
+        .toDF("word", "freq", "toks")
+      val got = Bpe.applyMerge(seg, l, r).collect()
+        .map(row => row.getString(0) -> row.getSeq[String](2).toList).toMap
+      grp.foreach { case (id, (toks, _, _)) =>
+        assert(got(id.toString) == reference(toks, l, r),
+          s"case $id: toks=$toks pair=($l,$r)")
+      }
+    }
+  }
+
   test("graded encode: per-document piece counts are bounded below by token counts") {
     val enc = graft.SparkEntry.queries("bpe_encode")(spark, "/root/testdata/sf0.001")
       .collect()

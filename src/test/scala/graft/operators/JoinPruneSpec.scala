@@ -55,8 +55,8 @@ class JoinPruneSpec extends SparkTestBase {
       // a dim column is projected
       assert(hasJoin(fact.join(dim, fact("fk") === dim("dk"))
         .select(col("fid"), col("dname"))))
-      // outer joins have different null semantics
-      assert(hasJoin(fact.join(dim, fact("fk") === dim("dk"), "left")
+      // full outer is not derivable (dim-only rows would be lost)
+      assert(hasJoin(fact.join(dim, fact("fk") === dim("dk"), "full")
         .select(col("fid"), col("amount"))))
       // an extra non-key equality is a real dimension predicate
       assert(hasJoin(fact.join(dim,
@@ -66,6 +66,29 @@ class JoinPruneSpec extends SparkTestBase {
       assert(hasJoin(fact.join(dim,
         fact("fk") === dim("dk") && dim("dregion") > 5)
         .select(col("fid"))))
+    } finally JoinPruneRule.unregister("dimpk")
+  }
+
+  test("LEFT OUTER eliminates on uniqueness alone: every fact row survives, no filter") {
+    val (fact, dim) = fixture()
+    def q(joinCond: org.apache.spark.sql.Column): DataFrame =
+      fact.join(dim, joinCond, "left").select(col("fid"), col("amount")).orderBy("fid")
+    val plain = fact("fk") === dim("dk")
+    val expected = q(plain).collect().toSeq
+    assert(expected.map(_.getLong(0)) == Seq(100L, 101L, 102L, 103L),
+      "left join preserves the NULL-fk row — the semantics elimination must keep")
+    JoinPruneRule.register("dimpk", dim, Seq("dk"))
+    try {
+      val got = q(plain)
+      assert(!hasJoin(got), "left join to the unique key must be eliminated")
+      assert(got.collect().toSeq == expected, "including the NULL-fk row")
+      // extra dim predicates in ON can only turn matches into non-matches:
+      // still one output row per fact row, still eliminated
+      val extra = q(plain && dim("dregion") > 15)
+      assert(!hasJoin(extra) && extra.collect().toSeq == expected)
+      // RIGHT OUTER with the dim on the left is the mirror
+      val r = dim.join(fact, plain, "right").select(col("fid"), col("amount")).orderBy("fid")
+      assert(!hasJoin(r) && r.collect().toSeq == expected)
     } finally JoinPruneRule.unregister("dimpk")
   }
 
@@ -101,6 +124,24 @@ class JoinPruneSpec extends SparkTestBase {
       // equating only k1 cannot guarantee uniqueness: join stays
       assert(hasJoin(fact.join(dim, fact("f1") === dim("k1")).select(col("fid"))))
     } finally JoinPruneRule.unregister("cpk")
+  }
+
+  test("the SQL surface prunes too: view-aliased join sides match through the alias") {
+    val (fact, dim) = fixture()
+    JoinPruneRule.register("dimpk", dim, Seq("dk"))
+    try {
+      fact.createOrReplaceTempView("jp_fact_v")
+      dim.createOrReplaceTempView("jp_dim_v")
+      val got = spark.sql(
+        """SELECT f.fid, f.amount FROM jp_fact_v f
+          |JOIN jp_dim_v d ON f.fk = d.dk ORDER BY f.fid""".stripMargin)
+      assert(!hasJoin(got), "SQL join to the declared-PK view must be eliminated")
+      assert(got.collect().map(_.getLong(0)).toSeq == Seq(100L, 101L, 102L))
+    } finally {
+      JoinPruneRule.unregister("dimpk")
+      spark.catalog.dropTempView("jp_fact_v")
+      spark.catalog.dropTempView("jp_dim_v")
+    }
   }
 
   test("registration validates declared key columns") {

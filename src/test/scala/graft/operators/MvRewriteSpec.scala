@@ -180,6 +180,27 @@ class MvRewriteSpec extends SparkTestBase {
     } finally MvRewriteRule.unregister(s"$dir/mvsink")
   }
 
+  test("the SQL surface rewrites too: a view over the base matches through the alias") {
+    val (base, dir) = fixture()
+    val (mv, mvPath) = buildMv(base, dir)
+    register(base, mv, mvPath)
+    try {
+      base.createOrReplaceTempView("mv_base_v")
+      // SubqueryAlias canonicalizes to its child, so the view-shaped child
+      // still sameResult-matches the registered frame
+      val got = spark.sql(
+        "SELECT etype, count(*) AS n, sum(vd) AS s FROM mv_base_v GROUP BY etype ORDER BY etype")
+      assert(scannedFiles(got).forall(_.contains("/mv/")),
+        s"SQL over the view must ride the MV, got ${scannedFiles(got)}")
+      val direct = base.groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"), sum(col("vd")).as("s")).orderBy("etype")
+      assert(got.collect().toSeq == direct.collect().toSeq)
+    } finally {
+      MvRewriteRule.unregister(mvPath)
+      spark.catalog.dropTempView("mv_base_v")
+    }
+  }
+
   test("declared MV columns are validated at registration") {
     val (base, dir) = fixture()
     val (mv, mvPath) = buildMv(base, dir)
