@@ -28,8 +28,21 @@ import graft.{Q, Tables}
   */
 object DedupText {
 
-  private[operators] val K = 8      // minhash permutations
+  private[operators] val K = 8      // minhash permutations (word lane)
   private[operators] val BANDS = 4  // bands of r = K/BANDS = 2 rows each
+
+  /** Char-gram lane signature length: 3 bands x 8 rows. The 10x organic
+    * scale smoke measured the old 2x4 geometry at 19x runtime for 10x data
+    * — with per-band collision p = J^4, background char-gram similarity
+    * (J ~ 0.1 .. 0.3 tail) admits ~1e-4 of ALL pairs as candidates, which
+    * is quadratic in corpus size until buckets hit MAX_BUCKET and get
+    * dropped (silently shrinking recall as the corpus grows). At r = 8
+    * rows the background rate falls to ~3e-8 per pair (a 0.3-tail pair:
+    * 8e-3 -> 2e-7) while planted near-dups (J ~ 0.98) still collide with
+    * p = 1-(1-0.98^8)^3 = 0.997. Geometry is mirrored in the oracle, so
+    * the trade is graded semantics, not a silent truncation. */
+  private[operators] val NGRAM_K = 24
+  private[operators] val NGRAM_BANDS = 3
 
   /** 60-bit engine-agnostic hash of "<seed>:" + x (shared Hashing kernel). */
   private def h60(seed: Int, x: Column): Column =
@@ -90,11 +103,11 @@ object DedupText {
     * one pass over the hash array instead of K transform+array_min passes;
     * bit-identical to the composition the DuckDB oracle runs.
     */
-  private[operators] def minhashedFrom(sets: DataFrame): DataFrame = {
+  private[operators] def minhashedFrom(sets: DataFrame, sigK: Int = K): DataFrame = {
     val hashed = sets.withColumn("hs", transform(col("s"), x => h60(0, x)))
       .withColumn("_sig", graft.functions.MinHashExpression.minhash(
-        col("hs"), (0 until K).map(seed)))
-    (0 until K).foldLeft(hashed) { (df, j) =>
+        col("hs"), (0 until sigK).map(seed)))
+    (0 until sigK).foldLeft(hashed) { (df, j) =>
       df.withColumn(s"mh_$j", element_at(col("_sig"), j + 1))
     }.drop("_sig")
   }
@@ -106,8 +119,8 @@ object DedupText {
     * Band geometry is the recall/candidate-cost dial: collision probability
     * is 1-(1-J^r)^b with r = K/nBands rows — more rows per band suppresses
     * low-J background pairs exponentially. */
-  private[operators] def banded(mh: DataFrame, nBands: Int): DataFrame = {
-    val r = K / nBands
+  private[operators] def banded(mh: DataFrame, nBands: Int, sigK: Int = K): DataFrame = {
+    val r = sigK / nBands
     mh.select(col("doc_id"), explode(array((0 until nBands).map { g =>
       struct(lit(g).as("band"),
         md5(concat_ws(",", (0 until r).map(k => col(s"mh_${r * g + k}")): _*)).as("sig"))
@@ -152,7 +165,7 @@ object DedupText {
 
   /** Verified near-dup pairs: band-bucket candidates with exact Jaccard. */
   private[operators] def verifiedPairsFrom(sets: DataFrame, threshold: Double,
-                                nBands: Int = BANDS): DataFrame = {
+                                nBands: Int = BANDS, sigK: Int = K): DataFrame = {
     // cache: the frame is read three times within this query (band join +
     // both sides of the verification join). Identical plans share one
     // CacheManager entry across the graded dedup queries (the word-gram
@@ -160,12 +173,12 @@ object DedupText {
     // two entries (word + char). Session owners (Verify/Bench) release them
     // with cacheManager.clearCache() once the query batch completes — a
     // library query must not park cache entries for the life of the session.
-    val mh = minhashedFrom(sets).cache()
+    val mh = minhashedFrom(sets, sigK).cache()
     // Shingle-less docs have NULL minhashes: concat_ws drops NULLs, so they
     // would all share one band signature, pair quadratically, and divide by
     // a zero-sized union (ANSI error). They can't be near-dups — exclude.
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
-    val bands = banded(mh.filter(size(col("s")) > 0), nBands)
+    val bands = banded(mh.filter(size(col("s")) > 0), nBands, sigK)
       .withColumn("bsz", count(lit(1)).over(wB))
       .filter(col("bsz") <= MAX_BUCKET)
       .drop("bsz")
@@ -200,13 +213,15 @@ object DedupText {
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
 
   // n-gram-Jaccard variant: char 6-grams through the same MinHash machinery
-  // but banded 2×4 instead of 4×2 — char-gram background J (~0.10 here) is
-  // far above word-gram background, so candidate probability must fall as
-  // J^4 (≈1e-4) rather than J^2 (≈1e-2) or verification work explodes
-  // quadratically with corpus size. Near-dups (J≈0.98) still collide with
-  // p≈0.999.
+  // but banded 3×8 instead of 4×2 — char-gram background J (~0.10 mean,
+  // tail to ~0.3) is far above word-gram background, so candidate
+  // probability must fall as J^8 (~1e-8 at the mean, ~2e-7 at the tail)
+  // or verification work grows quadratically with corpus size — the
+  // NGRAM_K note has the measured 19×-at-10× failure of the old r = 4
+  // geometry. Near-dups (J≈0.98) still collide with p≈0.997.
   private val dedupNgram: Q = (s, dir) =>
-    verifiedPairsFrom(shingledChars(s, dir), 0.6, nBands = 2)
+    verifiedPairsFrom(shingledChars(s, dir), 0.6,
+        nBands = NGRAM_BANDS, sigK = NGRAM_K)
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
 
   // Greedy keep-lowest-id survivor policy: any doc appearing as the higher id
@@ -562,19 +577,21 @@ object DedupText {
        |      ELSE [] END AS s
        |  FROM nrm)""".stripMargin
 
-  private def mhColsSql: String = (0 until K).map { j =>
+  private def mhColsSqlFor(sigK: Int): String = (0 until sigK).map { j =>
     s"list_min(list_transform(hs, h -> xor(h, ${seed(j)}))) AS mh_$j"
   }.mkString(",\n    ")
 
-  private[operators] val mhSql =
+  private def mhSqlFor(sigK: Int): String =
     s"""hsd AS (
        |  SELECT doc_id, s,
        |    list_transform(s, x -> CAST(('0x'||substr(md5('0:'||x),1,15)) AS BIGINT)) AS hs
        |  FROM sh),
-       |mh AS (\n  SELECT doc_id, s,\n    $mhColsSql\n  FROM hsd)""".stripMargin
+       |mh AS (\n  SELECT doc_id, s,\n    ${mhColsSqlFor(sigK)}\n  FROM hsd)""".stripMargin
 
-  private def bandsSqlFor(nBands: Int): String = {
-    val r = K / nBands
+  private[operators] val mhSql = mhSqlFor(K)
+
+  private def bandsSqlFor(nBands: Int, sigK: Int = K): String = {
+    val r = sigK / nBands
     val union = (0 until nBands).map { g =>
       val sig = (0 until r).map(k => s"mh_${r * g + k}").mkString("||','||")
       s"SELECT doc_id, $g AS band, md5($sig) AS sig FROM mh WHERE len(s) > 0"
@@ -635,7 +652,7 @@ object DedupText {
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
     "dedup_ngram" ->
-      s"""WITH $chShSql,\n$mhSql,\n${bandsSqlFor(2)},\n$pairsSql
+      s"""WITH $chShSql,\n${mhSqlFor(NGRAM_K)},\n${bandsSqlFor(NGRAM_BANDS, NGRAM_K)},\n$pairsSql
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
          |WHERE jaccard >= 0.6
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
