@@ -48,7 +48,8 @@ object SparkEntry {
     (Scd.queries, Scd.oracle),
     (Intervals.queries, Intervals.oracle),
     (Quality.queries, Quality.oracle),
-    (Geo.queries, Geo.oracle)
+    (Geo.queries, Geo.oracle),
+    (HybridRetrieval.queries, HybridRetrieval.oracle)
   )
 
   /** A duplicate query key across modules would silently shadow one

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -187,9 +187,13 @@ object TextAnalysis {
   // (≤|terms| rows per doc cross the one fan-out exchange); df and the
   // (N, Σdl) corpus stats are tiny broadcast sides; top-k is
   // TakeOrderedAndProject (per-partition heads, never a global sort).
-  private val BM25_TERMS = Seq("vector", "hash", "window", "merge")
+  private[operators] val BM25_TERMS = Seq("vector", "hash", "window", "merge")
   private val BM25_K = 20
-  private val textBm25: Q = (s, dir) => {
+
+  /** (doc_id, dl, s_<term>…, bm25) for every doc matching ≥ 1 query term —
+    * the shared scoring core of `text_bm25` and the RRF hybrid lane
+    * (HybridRetrieval). Raw doubles; consumers round/top-k. */
+  private[operators] def bm25PerDoc(s: SparkSession, dir: String): DataFrame = {
     val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
     val d = Tables(s, dir, "documents")
       .select(col("doc_id"), toks.as("t"))
@@ -210,14 +214,17 @@ object TextAnalysis {
       .agg(first(col("dl")).as("dl"), BM25_TERMS.map(t =>
         coalesce(sum(when(col("term") === t, col("score"))), lit(0.0)).as(s"s_$t")): _*)
     val total = BM25_TERMS.map(t => col(s"s_$t")).reduceLeft(_ + _)
+    perDoc.withColumn("bm25", total)
+  }
+
+  private val textBm25: Q = (s, dir) =>
     ord(
-      perDoc.withColumn("bm25", total)
+      bm25PerDoc(s, dir)
         .orderBy(col("bm25").desc, col("doc_id").asc).limit(BM25_K)
         .select(col("doc_id") +: col("dl") +:
           BM25_TERMS.map(t => round(col(s"s_$t"), 6).as(s"s_$t")) :+
           round(col("bm25"), 6).as("bm25"): _*),
       "doc_id")
-  }
 
   // Deterministic train/val/test assignment: hash-bucket the stable key so
   // the split is reproducible across runs and engines (never random()).
@@ -374,6 +381,38 @@ object TextAnalysis {
     s"CASE $arms ELSE '${langs.last}' END"
   }
 
+  /** Oracle mirror of `bm25PerDoc` as a CTE chain ending in
+    * `agg(doc_id, dl, s_<term>…)` — same log-free idf / literal-constant /
+    * fixed-order-sum discipline as the Spark side (see textBm25's
+    * scaladoc). Shared with HybridRetrieval's lexical lane. */
+  private[operators] val bm25TotalSql: String = BM25_TERMS.map(t => s"s_$t").mkString(" + ")
+  private[operators] val bm25CtesSql: String = {
+    val terms = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+    val sCols = BM25_TERMS.map(t =>
+      s"coalesce(sum(score) FILTER (WHERE term = '$t'), 0.0) AS s_$t").mkString(",\n       |    ")
+    s"""t AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+       |  FROM documents),
+       |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM t),
+       |tok AS (SELECT doc_id, dl, unnest(t) AS term FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf FROM tok
+       |  WHERE term IN ($terms) GROUP BY 1, 2, 3),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM d),
+       |sc AS (
+       |  SELECT doc_id, dl, tf.term,
+       |    ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |    * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |        (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS score
+       |  FROM tf JOIN df ON df.term = tf.term CROSS JOIN n),
+       |agg AS (
+       |  SELECT doc_id, min(dl) AS dl,
+       |    $sCols
+       |  FROM sc GROUP BY doc_id)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     // nfc_normalize/strip_accents mirror graft_nfc/graft_unaccent (parity
     // pinned by text_normalize); list set ops mirror the jaccard kernel
@@ -432,35 +471,11 @@ object TextAnalysis {
     // the Spark side (see textBm25's scaladoc) — every arithmetic token in
     // the same order, so the hash gate holds on raw doubles
     "text_bm25" -> {
-      val terms = BM25_TERMS.map(t => s"'$t'").mkString(", ")
-      val sCols = BM25_TERMS.map(t =>
-        s"coalesce(sum(score) FILTER (WHERE term = '$t'), 0.0) AS s_$t").mkString(",\n         |    ")
-      val totalExpr = BM25_TERMS.map(t => s"s_$t").mkString(" + ")
       val roundCols = BM25_TERMS.map(t => s"round(s_$t, 6) AS s_$t").mkString(", ")
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
-         |  FROM documents),
-         |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM t),
-         |tok AS (SELECT doc_id, dl, unnest(t) AS term FROM d),
-         |tf AS (
-         |  SELECT doc_id, dl, term, count(*) AS tf FROM tok
-         |  WHERE term IN ($terms) GROUP BY 1, 2, 3),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |n AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM d),
-         |sc AS (
-         |  SELECT doc_id, dl, tf.term,
-         |    ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-         |    * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-         |        (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS score
-         |  FROM tf JOIN df ON df.term = tf.term CROSS JOIN n),
-         |agg AS (
-         |  SELECT doc_id, min(dl) AS dl,
-         |    $sCols
-         |  FROM sc GROUP BY doc_id),
+      s"""WITH $bm25CtesSql,
          |top AS (
          |  SELECT doc_id, dl, ${BM25_TERMS.map(t => s"s_$t").mkString(", ")},
-         |    $totalExpr AS bm25
+         |    $bm25TotalSql AS bm25
          |  FROM agg ORDER BY bm25 DESC, doc_id ASC LIMIT $BM25_K)
          |SELECT doc_id, dl, $roundCols, round(bm25, 6) AS bm25
          |FROM top ORDER BY doc_id ASC NULLS FIRST""".stripMargin
