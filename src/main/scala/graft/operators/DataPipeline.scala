@@ -118,6 +118,42 @@ object DataPipeline {
           explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx")),
       "doc_id", "copy_idx")
 
+  // ---- sample_temperature: α-temperature domain rebalancing -----------------
+  //
+  // The multilingual/multi-domain LM recipe (mBERT/XLM-R's exponentiated
+  // smoothing; the multilingual-T5 line uses the same form): sample domain
+  // d with probability ∝ (n_d/N)^α, α = 0.5, flattening the head so
+  // low-resource languages aren't drowned (the domain here is `lang`, the
+  // skewed axis of this corpus). Realized by SUBSAMPLING only
+  // (never upsampling): acceptance rate r_d = sqrt(n_min/n_d), which makes
+  // expected kept counts ∝ sqrt(n_d) with the smallest domain kept whole.
+  // The accept draw is the stable md5 hash — deterministic, rerun- and
+  // engine-stable, and independent per doc. FP discipline: r_d is one
+  // divide + one sqrt + one multiply (all correctly-rounded IEEE ops in
+  // the same order on both engines) floored to integer ppm, so the accept
+  // threshold compares longs, never raw doubles.
+  //
+  // Scale: domain counts are one partial-aggregated groupBy over the
+  // corpus (|domains| rows), broadcast back; the accept filter is per-row
+  // map work. One corpus-proportional exchange total — same cost class as
+  // sample_mixture.
+  private val TEMP_PPM = 1000000L
+  private val sampleTemperature: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_d"))
+    val nMin = counts.agg(min(col("n_d")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("rate_ppm",
+        floor(sqrt(col("n_min").cast("double") / col("n_d").cast("double"))
+          * lit(1000000.0)).cast("long"))
+      .select(col("lang"), col("n_d"), col("rate_ppm"))
+    ord(
+      d.join(broadcast(rates), "lang")
+        .filter(md5long(concat(lit("temp:"), col("doc_id"))) % TEMP_PPM < col("rate_ppm"))
+        .select(col("doc_id"), col("lang"), col("n_d"), col("rate_ppm")),
+      "doc_id")
+  }
+
   // ---- sample_stratified: deterministic per-stratum uniform sample ----------
   //
   // Keep the k docs with the SMALLEST stable hash within each stratum
@@ -319,6 +355,7 @@ object DataPipeline {
     "corpus_shuffle" -> corpusShuffle,
     "decontam_ngram" -> decontamNgram,
     "sample_mixture" -> sampleMixture,
+    "sample_temperature" -> sampleTemperature,
     "sample_stratified" -> sampleStratified,
     "pack_sequences" -> packSequences,
     "text_pii_scrub" -> textPiiScrub,
@@ -326,6 +363,19 @@ object DataPipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "sample_temperature" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY 1),
+         |m AS (SELECT min(n_d) AS n_min FROM c),
+         |r AS (
+         |  SELECT lang, n_d,
+         |    CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_d AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |      AS rate_ppm
+         |  FROM c CROSS JOIN m)
+         |SELECT d.doc_id, d.lang, r.n_d, r.rate_ppm
+         |FROM documents d JOIN r USING (lang)
+         |WHERE CAST(('0x' || substr(md5('temp:' || d.doc_id), 1, 15)) AS BIGINT) % $TEMP_PPM
+         |  < r.rate_ppm
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "sample_reservoir" ->
       s"""WITH d AS (
          |  SELECT doc_id, n_chars,

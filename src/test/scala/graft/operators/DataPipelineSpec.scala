@@ -143,4 +143,28 @@ class DataPipelineSpec extends SparkTestBase {
     }
     assert(shuffled, "within-shard order must be the hash draw, not doc_id order")
   }
+
+  test("sample_temperature: smallest lang kept whole, heads flattened toward sqrt(n_d), deterministic") {
+    val session = spark
+    import session.implicits._
+    // skewed language mix: 256 en, 64 de, 16 fr → rates 1/4, 1/2, 1
+    val rows = (0L until 256L).map(i => (i, s"text $i", "en", "src1", 10L)) ++
+      (256L until 320L).map(i => (i, s"text $i", "de", "src1", 10L)) ++
+      (320L until 336L).map(i => (i, s"text $i", "fr", "src1", 10L))
+    val dir = Files.createTempDirectory("graft-temp").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run() = DataPipeline.queries("sample_temperature")(spark, dir)
+      .select("doc_id", "lang", "rate_ppm").as[(Long, String, Long)].collect().toSeq
+    val kept = run()
+    assert(kept == run(), "the draw must replay bit-equal")
+    val byLang = kept.groupBy(_._2)
+    // exact rates: sqrt(16/256) = 1/4, sqrt(16/64) = 1/2, sqrt(16/16) = 1
+    assert(byLang("en").head._3 == 250000L && byLang("de").head._3 == 500000L &&
+      byLang("fr").head._3 == 1000000L, "rate_ppm must be floor(sqrt(n_min/n_d)*1e6)")
+    assert(byLang("fr").size == 16, "the smallest domain is kept whole")
+    // hash-thinning concentration: kept(en) ≈ 64, kept(de) ≈ 32 within ±40%
+    assert(math.abs(byLang("en").size - 64) <= 26, s"en kept ${byLang("en").size}, want ~64")
+    assert(math.abs(byLang("de").size - 32) <= 13, s"de kept ${byLang("de").size}, want ~32")
+  }
 }
