@@ -67,17 +67,19 @@ object JoinPruneRule extends Rule[LogicalPlan] {
   def unregister(key: String): Unit = registry.remove(key)
   def clear(): Unit = registry.clear()
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    // the generated-BI shapes: a projection, or an aggregate, directly
-    // over the star join — in both, "uses no dimension column" is decided
-    // by the parent's references
-    case p @ Project(projList, j: Join) if j.condition.isDefined =>
-      tryPrune(projList.flatMap(_.references), j,
-        fact => Project(projList, fact)).getOrElse(p)
-    case a @ Aggregate(groupExprs, aggExprs, j: Join, hint) if j.condition.isDefined =>
-      tryPrune((groupExprs ++ aggExprs).flatMap(_.references), j,
-        fact => Aggregate(groupExprs, aggExprs, fact, hint)).getOrElse(a)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (registry.isEmpty) plan
+    else plan.transform {
+      // the generated-BI shapes: a projection, or an aggregate, directly
+      // over the star join — in both, "uses no dimension column" is decided
+      // by the parent's references
+      case p @ Project(projList, j: Join) if j.condition.isDefined =>
+        tryPrune(projList.flatMap(_.references), j,
+          fact => Project(projList, fact)).getOrElse(p)
+      case a @ Aggregate(groupExprs, aggExprs, j: Join, hint) if j.condition.isDefined =>
+        tryPrune((groupExprs ++ aggExprs).flatMap(_.references), j,
+          fact => Aggregate(groupExprs, aggExprs, fact, hint)).getOrElse(a)
+    }
 
   private def tryPrune(used: Seq[Attribute], j: Join,
                        rebuild: LogicalPlan => LogicalPlan): Option[LogicalPlan] = {
@@ -107,6 +109,13 @@ object JoinPruneRule extends Rule[LogicalPlan] {
   private def prune(used: Seq[Attribute], fact: LogicalPlan,
                     dim: LogicalPlan, cond: Expression,
                     e: PkEntry, outer: Boolean): Option[LogicalPlan] = {
+    // sameResult canonicalizes both trees (O(plan size) per call, paid by
+    // every candidate join in every query while a registration is live) —
+    // plans with positionally different output types can never match, so
+    // an O(#columns) schema check gates the expensive comparison
+    if (dim.output.length != e.dim.output.length ||
+      !dim.output.iterator.zip(e.dim.output.iterator)
+        .forall { case (x, y) => x.dataType == y.dataType }) return None
     if (!dim.sameResult(e.dim)) return None
     val dimIds = dim.outputSet
     val factIds = fact.outputSet

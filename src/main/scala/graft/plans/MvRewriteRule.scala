@@ -90,23 +90,39 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   def unregister(key: String): Unit = registry.remove(key)
   def clear(): Unit = registry.clear()
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    // a deterministic filter BETWEEN the aggregate and the base commutes
-    // with the rollup when it only references grain columns: it selects
-    // whole groups, so filtering the MV's rows is the same set algebra
-    case agg @ Aggregate(_, _, Filter(cond, child), _) if cond.deterministic =>
-      registry.values().asScala
-        .collectFirst(Function.unlift { e =>
-          if (child.sameResult(e.base)) rewrite(agg, child, Some(cond), e) else None
-        })
-        .getOrElse(agg)
-    case agg @ Aggregate(_, _, child, _) =>
-      registry.values().asScala
-        .collectFirst(Function.unlift { e =>
-          if (child.sameResult(e.base)) rewrite(agg, child, None, e) else None
-        })
-        .getOrElse(agg)
-  }
+  /** `sameResult` canonicalizes BOTH trees — O(plan size) with allocation,
+    * and the query side pays it fresh on every optimizer invocation. A
+    * session keeps MVs registered for its lifetime (that is the contract),
+    * so every Aggregate in every unrelated query would pay that tax per
+    * registered entry. Two plans can only be sameResult if their outputs
+    * align positionally in type — check that in O(#columns) first. */
+  private def schemaCompatible(a: LogicalPlan, b: LogicalPlan): Boolean =
+    a.output.length == b.output.length &&
+      a.output.iterator.zip(b.output.iterator).forall { case (x, y) => x.dataType == y.dataType }
+
+  /** First registered entry whose base matches `child` AND whose partials
+    * can map this aggregate (two MVs at different grains over one base:
+    * a failed mapping falls through to the next entry). */
+  private def firstRewrite(agg: Aggregate, child: LogicalPlan,
+                           filter: Option[Expression]): Option[Aggregate] =
+    registry.values().asScala
+      .collectFirst(Function.unlift { e =>
+        if (schemaCompatible(child, e.base) && child.sameResult(e.base))
+          rewrite(agg, child, filter, e)
+        else None
+      })
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (registry.isEmpty) plan
+    else plan.transform {
+      // a deterministic filter BETWEEN the aggregate and the base commutes
+      // with the rollup when it only references grain columns: it selects
+      // whole groups, so filtering the MV's rows is the same set algebra
+      case agg @ Aggregate(_, _, Filter(cond, child), _) if cond.deterministic =>
+        firstRewrite(agg, child, Some(cond)).getOrElse(agg)
+      case agg @ Aggregate(_, _, child, _) =>
+        firstRewrite(agg, child, None).getOrElse(agg)
+    }
 
   private def rewrite(agg: Aggregate, child: LogicalPlan,
                       filter: Option[Expression], e: MvEntry): Option[Aggregate] = {
