@@ -86,6 +86,18 @@ object ZonemapRouteRule extends Rule[LogicalPlan] with PredicateHelper {
         // an all-NULL or uncastable zone entry proves nothing: keep
         if (lo == null || hi == null) None else Some((lo, hi))
       }
+    // keep iff any of `vs` (internal-typed candidate match values, nulls
+    // ignored) could fall in the column's zone — or nothing is provable
+    def anyHit(a: AttributeReference, vs: Seq[Any]): Boolean = {
+      val nonNull = vs.filter(_ != null)
+      if (nonNull.isEmpty) true
+      else zone(a) match {
+        case None => true
+        case Some((zlo, zhi)) =>
+          val ord = TypeUtils.getInterpretedOrdering(a.dataType)
+          nonNull.exists(v => !(ord.lt(zhi, v) || ord.gt(zlo, v)))
+      }
+    }
     // overlap test for the value interval [glo, ghi] the conjunct admits
     // (null bound = unbounded on that side); skip iff provably disjoint
     def overlap(a: AttributeReference, v: Any, dt: DataType,
@@ -123,6 +135,34 @@ object ZonemapRouteRule extends Rule[LogicalPlan] with PredicateHelper {
         overlap(a, v, dt, (ord, zlo, zhi) => !(ord.lt(zhi, v) || ord.gt(zlo, v)))
       case EqualTo(Literal(v, dt), a: AttributeReference) =>
         overlap(a, v, dt, (ord, zlo, zhi) => !(ord.lt(zhi, v) || ord.gt(zlo, v)))
+      // a <=> v: for a non-null literal identical to a = v; a <=> NULL
+      // matches null rows, which zones don't track — keep
+      case EqualNullSafe(a: AttributeReference, Literal(v, dt)) =>
+        overlap(a, v, dt, (ord, zlo, zhi) => !(ord.lt(zhi, v) || ord.gt(zlo, v)))
+      case EqualNullSafe(Literal(v, dt), a: AttributeReference) =>
+        overlap(a, v, dt, (ord, zlo, zhi) => !(ord.lt(zhi, v) || ord.gt(zlo, v)))
+      // a IN (v1..vn): skip iff EVERY non-null value misses [min, max].
+      // NULL list entries can never produce a TRUE match (three-valued =)
+      // so they contribute nothing to the keep proof. Small lists survive
+      // to this batch as In; larger ones are already InSet (OptimizeIn).
+      case In(a: AttributeReference, list)
+          if list.forall { case Literal(_, dt) => dt == a.dataType; case _ => false } =>
+        anyHit(a, list.collect { case Literal(v, _) => v })
+      case InSet(a: AttributeReference, hset) =>
+        anyHit(a, hset.toSeq)
+      // a LIKE 'p%': matching strings sort in [p, p+ε) — skip iff the
+      // whole zone is below p, or the zone min already sorts above every
+      // p-prefixed string (its p-length prefix exceeds p)
+      case StartsWith(a: AttributeReference, Literal(p: UTF8String, StringType))
+          if a.dataType == StringType && p != null =>
+        zone(a) match {
+          case None => true
+          case Some((zlo, zhi)) =>
+            val lo = zlo.asInstanceOf[UTF8String]
+            val hi = zhi.asInstanceOf[UTF8String]
+            val loPfx = lo.substring(0, p.numChars())
+            !(hi.compareTo(p) < 0 || loPfx.compareTo(p) > 0)
+        }
       case _ => true // unrecognized shape: proves nothing
     }
   }

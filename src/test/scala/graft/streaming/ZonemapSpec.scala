@@ -104,6 +104,54 @@ class ZonemapSpec extends SparkTestBase {
     assert(none.count() == 0)
   }
 
+  test("IN-lists, null-safe equality, and string prefixes prune through the zonemap") {
+    val dir = Files.createTempDirectory("graft-zm-in").toString
+    val sink = daySink(dir)
+    sink.merge(rows(0 until 64), 0L)
+    // small IN list (stays a logical In): candidate values land in days 1 and 6
+    val small = sink.table().filter(col("x").isin(105L, 610L))
+    assert(plannedBuckets(small) == Seq(1, 6),
+      "an IN-list must keep exactly the buckets whose zones admit a value")
+    assert(sortedRows(small) ==
+      sortedRows(sink.current.filter(col("x").isin(105L, 610L))))
+    // a large IN list is InSet by this optimizer batch (OptimizeIn): all
+    // twelve candidates live in day 2's zone
+    val big: Seq[Any] = (200 until 212).map(_.toLong)
+    val inset = sink.table().filter(col("x").isin(big: _*))
+    assert(plannedBuckets(inset) == Seq(2))
+    assert(sortedRows(inset) ==
+      sortedRows(sink.current.filter(col("x").isin(big: _*))))
+    // null-safe equality with a non-null literal prunes like equality
+    assert(plannedBuckets(sink.table().filter(col("x") <=> 315L)) == Seq(3))
+    // <=> NULL matches null rows, which zones do not track: full read
+    assert(plannedBuckets(
+      sink.table().filter(col("x") <=> lit(null).cast("long"))).size == 8)
+
+    // string zones: s carries the day in its prefix, so each bucket's
+    // [min, max] shares a 3-char prefix and LIKE 'k03%' proves bucket 3
+    val sdir = Files.createTempDirectory("graft-zm-str").toString
+    val session = spark
+    import session.implicits._
+    def srows(ids: Range): DataFrame =
+      ids.map(i => (i.toLong % 8, i.toLong, f"k${i % 8}%02d-${i}%03d"))
+        .toDF("d", "id", "s")
+    val ssink = new ParquetTableSink(spark, sdir, srows(0 until 0),
+      keys = Seq("d", "id"), buckets = 8,
+      route = col("d").cast("int"), zonemapCols = Seq("s"))
+    ssink.merge(srows(0 until 64), 0L)
+    val pfx = ssink.table().filter(col("s").startsWith("k03"))
+    assert(plannedBuckets(pfx) == Seq(3))
+    assert(sortedRows(pfx) ==
+      sortedRows(ssink.current.filter(col("s").startsWith("k03"))))
+    // a prefix every bucket shares proves nothing; an impossible one
+    // collapses to the empty relation
+    assert(plannedBuckets(ssink.table().filter(col("s").startsWith("k"))).size == 8)
+    val nothing = ssink.table().filter(col("s").startsWith("z"))
+    assert(nothing.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    assert(nothing.count() == 0)
+  }
+
   test("automatic routing degrades to a full read on unprovable predicates") {
     val dir = Files.createTempDirectory("graft-zm-auto-deg").toString
     val sink = daySink(dir)
