@@ -534,6 +534,22 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     val (ver, committed) = readPointer().getOrElse((-1L, -1L))
     if (batchId <= committed) return // replay of an already-committed batch
     val next = ver + 1
+    // Cross-process lost-update guard. `synchronized` covers one instance;
+    // a second process (or second sink object) running merge concurrently
+    // would promote data dirs under the same b{X}-v{next} names and the
+    // last pointer swap would silently discard the other COMMITTED batch.
+    // Claim the version atomically (hard link — EEXIST is atomic) BEFORE
+    // any destructive step, then re-read the pointer: a foreign commit
+    // that slipped in between the read and the claim moved the pointer,
+    // and a foreign in-flight attempt holds the claim — either way this
+    // writer stops loudly before touching anything. A claim with OUR
+    // batchId is our own crashed attempt: reclaimed, replay proceeds.
+    claimVersion(next, batchId)
+    if (readPointer().map(_._1).getOrElse(-1L) != ver) {
+      Files.deleteIfExists(claimPath(next))
+      sys.error(s"ParquetTableSink($dir): a concurrent writer committed while " +
+        s"batch $batchId was preparing v$next — rerun the merge against the new state")
+    }
     val manifest: Map[Int, String] = if (ver >= 0) readManifest(ver) else Map.empty
 
     val hasDel = batch.columns.contains(ParquetTableSink.DeleteCol)
@@ -702,8 +718,50 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     Files.move(ptrTmp, pointer, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
 
+    Files.deleteIfExists(claimPath(next)) // committed: the claim is spent
     gc(next)
     deleteRecursively(stagingDir)
+  }
+
+  private def claimPath(v: Long) = manifestDir.resolve(s".claim-v$v")
+
+  /** Atomically claim version `v` for `batchId`. A live claim from a
+    * DIFFERENT batch is a concurrent (or crashed foreign) writer — fail
+    * loud; `breakClaim()` clears it once the operator has verified no
+    * writer is live. A claim carrying OUR batchId is this batch's own
+    * crashed attempt and is reclaimed so replay stays idempotent. */
+  private def claimVersion(v: Long, batchId: Long): Unit = {
+    val claim = claimPath(v)
+    if (Files.exists(claim) &&
+        scala.util.Try(Files.readString(claim).trim).getOrElse("") == batchId.toString)
+      Files.deleteIfExists(claim)
+    val tmp = manifestDir.resolve(s".claim-v$v.tmp-$batchId")
+    Files.writeString(tmp, batchId.toString)
+    try Files.createLink(claim, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val owner = scala.util.Try(Files.readString(claim).trim).getOrElse("?")
+        Files.deleteIfExists(tmp)
+        sys.error(s"ParquetTableSink($dir): version v$v is claimed by batch " +
+          s"$owner — a concurrent writer, or a crashed foreign attempt; " +
+          "verify no writer is live, then breakClaim() to proceed")
+    }
+    Files.delete(tmp)
+  }
+
+  /** Clear any version claim above the committed pointer. ONLY for the
+    * operator-verified case of a crashed foreign writer whose claim blocks
+    * the table — breaking the claim of a LIVE writer reintroduces the
+    * lost-update race this guard exists to prevent. */
+  def breakClaim(): Unit = {
+    val cur = readPointer().map(_._1).getOrElse(-1L)
+    listDirs(manifestDir)
+      .filter(_.getFileName.toString.startsWith(".claim-v"))
+      .filter { p =>
+        val n = p.getFileName.toString.stripPrefix(".claim-v")
+        n.forall(_.isDigit) && n.nonEmpty && n.toLong > cur
+      }
+      .foreach(Files.deleteIfExists)
   }
 
   /** Shallow clone — fork the CURRENT committed snapshot to `destDir`

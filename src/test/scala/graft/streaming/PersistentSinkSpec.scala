@@ -658,4 +658,34 @@ class PersistentSinkSpec extends SparkTestBase {
     val probe = Seq(5L, 123L, 321L, 449L, 9999L).toDF("event_id")
     assert(sortedIds(wide.lookupKeys(probe)) == Seq(5L, 123L, 321L, 449L))
   }
+
+  test("version claim: a foreign writer's claim blocks merge loudly; own claim replays; commit spends it") {
+    val dir = Files.createTempDirectory("graft-claim").toString
+    val sink = new ParquetTableSink(spark, dir, events.limit(0), Seq("event_id"))
+    sink.merge(events.filter(col("event_id") < 100), 0L)
+    val manifest = Paths.get(dir, "manifest")
+    assert(!Files.exists(manifest.resolve(".claim-v0")),
+      "a successful commit must spend its claim")
+
+    // a FOREIGN batch's claim on the next version = a concurrent (or
+    // crashed foreign) writer: merge must stop loudly before touching data
+    Files.writeString(manifest.resolve(".claim-v1"), "999")
+    val e = intercept[RuntimeException](
+      sink.merge(events.filter(col("event_id") >= 100 && col("event_id") < 200), 1L))
+    assert(e.getMessage.contains("claimed by batch 999"))
+    assert(sortedIds(sink.current) == sortedIds(events.filter(col("event_id") < 100)),
+      "the blocked merge must leave the committed state untouched")
+
+    // operator-verified unblock, then the same merge lands
+    sink.breakClaim()
+    sink.merge(events.filter(col("event_id") >= 100 && col("event_id") < 200), 1L)
+    assert(sortedIds(sink.current) == sortedIds(events.filter(col("event_id") < 200)))
+
+    // OUR OWN crashed attempt (claim carries the batch's id) is reclaimed:
+    // the replay proceeds without operator intervention
+    Files.writeString(manifest.resolve(".claim-v2"), "2")
+    sink.merge(events.filter(col("event_id") >= 200 && col("event_id") < 300), 2L)
+    assert(sortedIds(sink.current) == sortedIds(events.filter(col("event_id") < 300)))
+    assert(!Files.exists(manifest.resolve(".claim-v2")))
+  }
 }
