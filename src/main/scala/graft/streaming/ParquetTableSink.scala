@@ -531,25 +531,27 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     * column itself is never stored and never joins the table schema.
     */
   def merge(batch: DataFrame, batchId: Long): Unit = synchronized {
-    val (ver, committed) = readPointer().getOrElse((-1L, -1L))
-    if (batchId <= committed) return // replay of an already-committed batch
-    val next = ver + 1
+    if (batchId <= lastCommittedBatchId) return // replay of a committed batch
     // Cross-process lost-update guard. `synchronized` covers one instance;
     // a second process (or second sink object) running merge concurrently
-    // would promote data dirs under the same b{X}-v{next} names and the
-    // last pointer swap would silently discard the other COMMITTED batch.
-    // Claim the version atomically (hard link — EEXIST is atomic) BEFORE
-    // any destructive step, then re-read the pointer: a foreign commit
-    // that slipped in between the read and the claim moved the pointer,
-    // and a foreign in-flight attempt holds the claim — either way this
-    // writer stops loudly before touching anything. A claim with OUR
-    // batchId is our own crashed attempt: reclaimed, replay proceeds.
-    claimVersion(next, batchId)
-    if (readPointer().map(_._1).getOrElse(-1L) != ver) {
-      Files.deleteIfExists(claimPath(next))
-      sys.error(s"ParquetTableSink($dir): a concurrent writer committed while " +
-        s"batch $batchId was preparing v$next — rerun the merge against the new state")
-    }
+    // would promote data dirs under the same b{X}-v{next} names, race the
+    // shared staging dir and the post-commit GC, and the last pointer swap
+    // would silently discard the other COMMITTED batch. The writer lock is
+    // table-wide and held through the WHOLE merge including the commit
+    // tail (GC + staging cleanup are table-global resources, so a
+    // version-scoped claim would still let the next writer race them).
+    // Everything destructive happens inside the lock; the loser of an
+    // acquire stops loudly with nothing touched.
+    acquireWriterLock(batchId)
+    try mergeLocked(batch, batchId) finally releaseWriterLock()
+  }
+
+  private def mergeLocked(batch: DataFrame, batchId: Long): Unit = {
+    val (ver, committed) = readPointer().getOrElse((-1L, -1L))
+    // a duplicate writer may have committed this batch between the cheap
+    // pre-check and the lock acquisition
+    if (batchId <= committed) return
+    val next = ver + 1
     val manifest: Map[Int, String] = if (ver >= 0) readManifest(ver) else Map.empty
 
     val hasDel = batch.columns.contains(ParquetTableSink.DeleteCol)
@@ -718,51 +720,97 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     Files.move(ptrTmp, pointer, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
 
-    Files.deleteIfExists(claimPath(next)) // committed: the claim is spent
     gc(next)
     deleteRecursively(stagingDir)
   }
 
-  private def claimPath(v: Long) = manifestDir.resolve(s".claim-v$v")
+  private def lockPath = manifestDir.resolve(".writer-lock")
 
-  /** Atomically claim version `v` for `batchId`. A live claim from a
-    * DIFFERENT batch is a concurrent (or crashed foreign) writer — fail
-    * loud; `breakClaim()` clears it once the operator has verified no
-    * writer is live. A claim carrying OUR batchId is this batch's own
-    * crashed attempt and is reclaimed so replay stays idempotent. */
-  private def claimVersion(v: Long, batchId: Long): Unit = {
-    val claim = claimPath(v)
-    if (Files.exists(claim) &&
-        scala.util.Try(Files.readString(claim).trim).getOrElse("") == batchId.toString)
-      Files.deleteIfExists(claim)
-    val tmp = manifestDir.resolve(s".claim-v$v.tmp-$batchId")
-    Files.writeString(tmp, batchId.toString)
-    try Files.createLink(claim, tmp)
+  /** This writer instance's identity for the writer lock. The batch id
+    * alone cannot distinguish "our crashed earlier attempt" from "a live
+    * duplicate writer replaying the same logical batch" — the two cases
+    * need opposite handling, and the duplicate-deployment scenario drives
+    * identical batch ids by construction. */
+  private val writerNonce = java.util.UUID.randomUUID().toString.take(12)
+
+  private def pidAlive(pid: Long): Boolean =
+    scala.util.Try(ProcessHandle.of(pid)).toOption
+      .flatMap(o => if (o.isPresent) Some(o.get.isAlive) else Some(false))
+      .getOrElse(true) // unverifiable (bad pid string, exotic platform): assume live
+
+  /** Atomically take the table-wide writer lock (hard link — EEXIST is
+    * atomic). An existing lock is swept only when it is provably not a
+    * live concurrent writer: it carries OUR nonce (this instance's own
+    * failed earlier attempt whose finally-release was skipped by a hard
+    * kill), or its holder pid is dead (a crashed process — hands-off
+    * restart recovery). The sweep goes through an atomic rename so two
+    * sweepers cannot both "delete the stale file" and race past each
+    * other; a swept lock that turns out live is renamed back untouched.
+    * A live (or unverifiable) holder fails the acquire loudly —
+    * `breakLock()` is the operator's escape hatch. */
+  private def acquireWriterLock(batchId: Long): Unit = {
+    def holderOf(c: String): (Boolean, Boolean) = { // (ownNonce, deadPid)
+      val parts = c.split(",", -1)
+      (parts.lift(1).contains(writerNonce),
+        parts.lift(2).flatMap(p => scala.util.Try(p.toLong).toOption)
+          .exists(p => !pidAlive(p)))
+    }
+    scala.util.Try(Files.readString(lockPath).trim).toOption.foreach { c =>
+      val (ownNonce, deadPid) = holderOf(c)
+      if (ownNonce)
+        // only this instance ever writes this nonce, and merge is
+        // synchronized — the lock is our own earlier failed attempt's
+        // leftover; a plain delete cannot race anyone
+        Files.deleteIfExists(lockPath)
+      else if (deadPid) {
+        // sweep a crashed writer's lock through an atomic rename (single
+        // sweeper wins), then RE-verify the taken file: in the window
+        // between read and rename another sweeper may have cleared it and
+        // a fresh live writer taken the lock — renaming THAT one by
+        // accident must be undone, not deleted
+        val swept = manifestDir.resolve(s".writer-lock.sweep-$writerNonce")
+        if (scala.util.Try(Files.move(lockPath, swept,
+            StandardCopyOption.ATOMIC_MOVE)).isSuccess) {
+          val c2 = scala.util.Try(Files.readString(swept).trim).getOrElse("")
+          val (own2, dead2) = holderOf(c2)
+          if (own2 || dead2) Files.deleteIfExists(swept)
+          else scala.util.Try(
+            Files.move(swept, lockPath, StandardCopyOption.ATOMIC_MOVE))
+        }
+      }
+      else
+        sys.error(s"ParquetTableSink($dir): the table is locked by a " +
+          s"live writer ($c) — a concurrent duplicate deployment; if the " +
+          "writer is verified gone, breakLock() to proceed")
+    }
+    val tmp = manifestDir.resolve(s".writer-lock.tmp-$writerNonce")
+    Files.writeString(tmp, s"$batchId,$writerNonce,${ProcessHandle.current().pid()}")
+    try Files.createLink(lockPath, tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        val owner = scala.util.Try(Files.readString(claim).trim).getOrElse("?")
+        val owner = scala.util.Try(Files.readString(lockPath).trim).getOrElse("?")
         Files.deleteIfExists(tmp)
-        sys.error(s"ParquetTableSink($dir): version v$v is claimed by batch " +
-          s"$owner — a concurrent writer, or a crashed foreign attempt; " +
-          "verify no writer is live, then breakClaim() to proceed")
+        sys.error(s"ParquetTableSink($dir): the writer lock was taken " +
+          s"concurrently (by $owner) — rerun once the winning merge lands")
     }
     Files.delete(tmp)
   }
 
-  /** Clear any version claim above the committed pointer. ONLY for the
-    * operator-verified case of a crashed foreign writer whose claim blocks
-    * the table — breaking the claim of a LIVE writer reintroduces the
+  /** Release the lock only if it is still OURS — if an operator broke it
+    * and another writer re-took it, deleting here would unlock them. */
+  private def releaseWriterLock(): Unit =
+    if (scala.util.Try(Files.readString(lockPath).trim).toOption
+        .exists(_.split(",", -1).lift(1).contains(writerNonce)))
+      Files.deleteIfExists(lockPath)
+
+  /** Clear the writer lock and any sweep/tmp leftovers. ONLY for the
+    * operator-verified case of a crashed foreign writer whose lock blocks
+    * the table — breaking a LIVE writer's lock reintroduces the
     * lost-update race this guard exists to prevent. */
-  def breakClaim(): Unit = {
-    val cur = readPointer().map(_._1).getOrElse(-1L)
+  def breakLock(): Unit =
     listDirs(manifestDir)
-      .filter(_.getFileName.toString.startsWith(".claim-v"))
-      .filter { p =>
-        val n = p.getFileName.toString.stripPrefix(".claim-v")
-        n.forall(_.isDigit) && n.nonEmpty && n.toLong > cur
-      }
+      .filter(_.getFileName.toString.startsWith(".writer-lock"))
       .foreach(Files.deleteIfExists)
-  }
 
   /** Shallow clone — fork the CURRENT committed snapshot to `destDir`
     * without copying data (the CLONE TABLE feature of the copy-on-write

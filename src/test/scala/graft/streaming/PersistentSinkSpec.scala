@@ -659,33 +659,79 @@ class PersistentSinkSpec extends SparkTestBase {
     assert(sortedIds(wide.lookupKeys(probe)) == Seq(5L, 123L, 321L, 449L))
   }
 
-  test("version claim: a foreign writer's claim blocks merge loudly; own claim replays; commit spends it") {
+  test("writer lock: a live foreign lock blocks merge loudly; a dead one sweeps; release on commit") {
     val dir = Files.createTempDirectory("graft-claim").toString
     val sink = new ParquetTableSink(spark, dir, events.limit(0), Seq("event_id"))
     sink.merge(events.filter(col("event_id") < 100), 0L)
     val manifest = Paths.get(dir, "manifest")
-    assert(!Files.exists(manifest.resolve(".claim-v0")),
-      "a successful commit must spend its claim")
+    assert(!Files.exists(manifest.resolve(".writer-lock")),
+      "a completed merge must release the writer lock")
 
-    // a FOREIGN batch's claim on the next version = a concurrent (or
-    // crashed foreign) writer: merge must stop loudly before touching data
-    Files.writeString(manifest.resolve(".claim-v1"), "999")
+    // a lock held by a LIVE foreign writer (this very process — the pid
+    // is alive, the nonce is not ours): merge must stop loudly before
+    // touching anything, and breakLock() is the operator's unlock
+    Files.writeString(manifest.resolve(".writer-lock"),
+      s"999,feedfeedfeed,${ProcessHandle.current().pid()}")
     val e = intercept[RuntimeException](
       sink.merge(events.filter(col("event_id") >= 100 && col("event_id") < 200), 1L))
-    assert(e.getMessage.contains("claimed by batch 999"))
+    assert(e.getMessage.contains("locked by a live writer"))
     assert(sortedIds(sink.current) == sortedIds(events.filter(col("event_id") < 100)),
       "the blocked merge must leave the committed state untouched")
 
     // operator-verified unblock, then the same merge lands
-    sink.breakClaim()
+    sink.breakLock()
     sink.merge(events.filter(col("event_id") >= 100 && col("event_id") < 200), 1L)
     assert(sortedIds(sink.current) == sortedIds(events.filter(col("event_id") < 200)))
 
-    // OUR OWN crashed attempt (claim carries the batch's id) is reclaimed:
-    // the replay proceeds without operator intervention
-    Files.writeString(manifest.resolve(".claim-v2"), "2")
+    // a DEAD writer's lock (crashed process) is swept automatically: the
+    // restarted process replays hands-off, no operator intervention
+    val gone = new ProcessBuilder("true").start()
+    gone.waitFor()
+    Files.writeString(manifest.resolve(".writer-lock"), s"2,deadbeefdead,${gone.pid()}")
     sink.merge(events.filter(col("event_id") >= 200 && col("event_id") < 300), 2L)
     assert(sortedIds(sink.current) == sortedIds(events.filter(col("event_id") < 300)))
-    assert(!Files.exists(manifest.resolve(".claim-v2")))
+    assert(!Files.exists(manifest.resolve(".writer-lock")))
+
+    // a malformed / pid-less lock is unverifiable: treated as live (the
+    // conservative direction — never steal what might be held)
+    Files.writeString(manifest.resolve(".writer-lock"), "7")
+    intercept[RuntimeException](
+      sink.merge(events.filter(col("event_id") >= 300 && col("event_id") < 400), 3L))
+    sink.breakLock()
+  }
+
+  test("duplicate concurrent writers race the same batches: exactly-once, nothing lost") {
+    // the accidental double-deployment scenario the claim guard exists
+    // for: two writer instances drive the SAME logical batch sequence
+    // concurrently; each version must be won by exactly one of them, the
+    // loser must stop loudly (and find the batch committed on retry), and
+    // the final table must hold every batch exactly once
+    val dir = Files.createTempDirectory("graft-claim-race").toString
+    val batches = (0 until 6).map(b =>
+      (b.toLong, events.filter(col("event_id") >= b * 50 && col("event_id") < (b + 1) * 50)))
+    def writer(): Unit = {
+      val sink = new ParquetTableSink(spark, dir, events.limit(0), Seq("event_id"))
+      batches.foreach { case (id, df) =>
+        var done = false
+        while (!done) {
+          try { sink.merge(df, id); done = true }
+          catch {
+            case e: RuntimeException
+                if Option(e.getMessage).exists(m =>
+                  m.contains("locked by a live writer") || m.contains("lock was taken")) =>
+              Thread.sleep(5) // loser: back off, re-attempt (replay guard skips if won)
+          }
+        }
+      }
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq.fill(2)(new Thread(() =>
+      try writer() catch { case t: Throwable => errs.add(t) }))
+    ts.foreach(_.start()); ts.foreach(_.join(300000))
+    assert(errs.isEmpty, s"unexpected writer failure: ${errs.asScala.headOption}")
+    val fin = new ParquetTableSink(spark, dir, events.limit(0), Seq("event_id"))
+    assert(sortedIds(fin.current) == sortedIds(events.filter(col("event_id") < 300)),
+      "the racing writers must land every batch exactly once")
+    assert(fin.lastCommittedBatchId == 5L)
   }
 }
