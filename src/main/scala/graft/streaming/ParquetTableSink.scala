@@ -929,7 +929,12 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     */
   def vacuum(keep: Int): Unit = synchronized {
     require(keep >= 1, s"vacuum must keep at least the current version, got $keep")
-    readPointer().foreach { case (v, _) => gc(v, keep) }
+    // GC deletes table-global state: a vacuum racing another process's
+    // in-flight merge could drop dirs that merge is still reading, so it
+    // contends for the same writer lock merges hold
+    acquireWriterLock(batchId = -1L)
+    try readPointer().foreach { case (v, _) => gc(v, keep) }
+    finally releaseWriterLock()
   }
 
   /** Keep the last `keep` manifest versions and every data dir they
