@@ -700,6 +700,39 @@ class PersistentSinkSpec extends SparkTestBase {
     sink.breakLock()
   }
 
+  test("vacuum contends for the writer lock: blocked by a live foreign writer, deletes nothing") {
+    val table = Files.createTempDirectory("graft-vacuum-lock").toString
+    val sink = new ParquetTableSink(spark, Paths.get(table).resolve("t").toString,
+      events.limit(0), Seq("event_id"), retain = 4)
+    (0 to 2).foreach(i => sink.merge(
+      events.filter(col("event_id").between(100, 100 + i)), i.toLong))
+    val manifest = Paths.get(table, "t", "manifest")
+    val dataDirsBefore = Files.list(Paths.get(table).resolve("t/data")).count()
+
+    // another process's in-flight merge may still be reading the dirs GC
+    // would delete — a vacuum against its live lock must stop loudly
+    // BEFORE touching any bytes
+    Files.writeString(manifest.resolve(".writer-lock"),
+      s"999,feedfeedfeed,${ProcessHandle.current().pid()}")
+    val e = intercept[RuntimeException](sink.vacuum(keep = 1))
+    assert(e.getMessage.contains("locked by a live writer"))
+    assert(sink.versions == Seq(0L, 1L, 2L),
+      "a blocked vacuum must leave every retained version intact")
+    assert(Files.list(Paths.get(table).resolve("t/data")).count() == dataDirsBefore,
+      "a blocked vacuum must not delete any data dir")
+
+    // unblocked, the same vacuum lands AND releases the lock so the next
+    // merge proceeds hands-off
+    sink.breakLock()
+    sink.vacuum(keep = 1)
+    assert(sink.versions == Seq(2L))
+    assert(!Files.exists(manifest.resolve(".writer-lock")),
+      "a completed vacuum must release the writer lock")
+    sink.merge(events.filter(col("event_id") === 103), 3L)
+    assert(sortedIds(sink.current) ==
+      sortedIds(events.filter(col("event_id").between(100, 103))))
+  }
+
   test("duplicate concurrent writers race the same batches: exactly-once, nothing lost") {
     // the accidental double-deployment scenario the claim guard exists
     // for: two writer instances drive the SAME logical batch sequence
