@@ -733,6 +733,15 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     * identical batch ids by construction. */
   private val writerNonce = java.util.UUID.randomUUID().toString.take(12)
 
+  /** Pid liveness is only checkable for processes on THIS machine — the
+    * lock records the holder's hostname so a lock taken from another host
+    * sharing the table dir (NFS / shared volume, the canonical
+    * double-deployment) is never pid-swept: its pid namespace is not ours
+    * and `ProcessHandle.of` would misread a live foreign writer as dead. */
+  private val localHost: String =
+    scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
+      .toOption.filter(_.nonEmpty).getOrElse("unknown-host")
+
   private def pidAlive(pid: Long): Boolean =
     scala.util.Try(ProcessHandle.of(pid)).toOption
       .flatMap(o => if (o.isPresent) Some(o.get.isAlive) else Some(false))
@@ -751,9 +760,13 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
   private def acquireWriterLock(batchId: Long): Unit = {
     def holderOf(c: String): (Boolean, Boolean) = { // (ownNonce, deadPid)
       val parts = c.split(",", -1)
+      // the pid-liveness verdict only counts on the holder's own host: a
+      // lock missing the host field, or stamped by another machine, is
+      // unverifiable and must fall through to the loud live-writer error
       (parts.lift(1).contains(writerNonce),
-        parts.lift(2).flatMap(p => scala.util.Try(p.toLong).toOption)
-          .exists(p => !pidAlive(p)))
+        parts.lift(3).contains(localHost) &&
+          parts.lift(2).flatMap(p => scala.util.Try(p.toLong).toOption)
+            .exists(p => !pidAlive(p)))
     }
     scala.util.Try(Files.readString(lockPath).trim).toOption.foreach { c =>
       val (ownNonce, deadPid) = holderOf(c)
@@ -774,8 +787,20 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
           val c2 = scala.util.Try(Files.readString(swept).trim).getOrElse("")
           val (own2, dead2) = holderOf(c2)
           if (own2 || dead2) Files.deleteIfExists(swept)
-          else scala.util.Try(
-            Files.move(swept, lockPath, StandardCopyOption.ATOMIC_MOVE))
+          else {
+            // the swept file turned out to be a LIVE holder's lock: put it
+            // back via createLink, which fails atomically on EEXIST — a
+            // rename here would silently clobber a fresh lock taken during
+            // the sweep window, leaving two writers both "holding" it
+            try { Files.createLink(lockPath, swept); Files.delete(swept) }
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException =>
+                sys.error(s"ParquetTableSink($dir): lock sweep raced a " +
+                  s"new writer — a live holder's lock ($c2) is parked at " +
+                  s"$swept for operator inspection; resolve which writer " +
+                  "owns the table, then breakLock() and rerun")
+            }
+          }
         }
       }
       else
@@ -784,7 +809,8 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
           "writer is verified gone, breakLock() to proceed")
     }
     val tmp = manifestDir.resolve(s".writer-lock.tmp-$writerNonce")
-    Files.writeString(tmp, s"$batchId,$writerNonce,${ProcessHandle.current().pid()}")
+    Files.writeString(tmp,
+      s"$batchId,$writerNonce,${ProcessHandle.current().pid()},$localHost")
     try Files.createLink(lockPath, tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>

@@ -683,14 +683,33 @@ class PersistentSinkSpec extends SparkTestBase {
     sink.merge(events.filter(col("event_id") >= 100 && col("event_id") < 200), 1L)
     assert(sortedIds(sink.current) == sortedIds(events.filter(col("event_id") < 200)))
 
-    // a DEAD writer's lock (crashed process) is swept automatically: the
-    // restarted process replays hands-off, no operator intervention
+    // a DEAD writer's lock (crashed process, SAME host) is swept
+    // automatically: the restarted process replays hands-off
+    val host = java.net.InetAddress.getLocalHost.getHostName
     val gone = new ProcessBuilder("true").start()
     gone.waitFor()
-    Files.writeString(manifest.resolve(".writer-lock"), s"2,deadbeefdead,${gone.pid()}")
+    Files.writeString(manifest.resolve(".writer-lock"),
+      s"2,deadbeefdead,${gone.pid()},$host")
     sink.merge(events.filter(col("event_id") >= 200 && col("event_id") < 300), 2L)
     assert(sortedIds(sink.current) == sortedIds(events.filter(col("event_id") < 300)))
     assert(!Files.exists(manifest.resolve(".writer-lock")))
+
+    // the SAME dead pid stamped by ANOTHER host (NFS / shared volume) is
+    // unverifiable — that pid may be a live writer in the foreign pid
+    // namespace; sweeping it would re-open the lost-update race
+    Files.writeString(manifest.resolve(".writer-lock"),
+      s"2,deadbeefdead,${gone.pid()},other-host.example")
+    val foreign = intercept[RuntimeException](
+      sink.merge(events.filter(col("event_id") >= 300 && col("event_id") < 350), 9L))
+    assert(foreign.getMessage.contains("locked by a live writer"))
+    sink.breakLock()
+
+    // a host-less (legacy / truncated) lock with a dead pid is equally
+    // unverifiable: never stolen on pid evidence alone
+    Files.writeString(manifest.resolve(".writer-lock"), s"2,deadbeefdead,${gone.pid()}")
+    intercept[RuntimeException](
+      sink.merge(events.filter(col("event_id") >= 300 && col("event_id") < 350), 9L))
+    sink.breakLock()
 
     // a malformed / pid-less lock is unverifiable: treated as live (the
     // conservative direction — never steal what might be held)
