@@ -115,22 +115,32 @@ final class VectorIndex(spark: SparkSession, dir: String) {
 
   def lastEncodedBatchId: Long = codesSink.lastCommittedBatchId
 
-  /** Latest committed codebook epoch, −1 before the first train.
+  /** Latest FULLY-committed codebook epoch, −1 before the first train.
     *
-    * Consulted on every encode/migrate, but the answer only changes when
-    * the cents table commits — so the memo is keyed on the sink's pointer
-    * (a driver-side file read, no Spark job). A train from ANOTHER
-    * VectorIndex instance on the same dir moves the pointer and
-    * invalidates correctly. The uncached read is the ≤ 32·epochs-row
-    * codebook table — metadata-class work, paid once per commit. */
-  @volatile private var epochMemo: (Long, Long) = (Long.MinValue, -1L)
+    * `train` lands the coarse and PQ codebooks as two sink transactions; a
+    * crash between them leaves the coarse epoch N+1 on disk without its PQ
+    * half. Deriving the epoch from the MIN of the two sinks' max epochs
+    * makes that window invisible: encode/search keep serving epoch N until
+    * BOTH halves of N+1 exist, and the replayed train converges (the cents
+    * merge no-ops under its batchId, the pcents merge completes the pair).
+    *
+    * Consulted on every encode/migrate, but the answer only changes when a
+    * codebook table commits — so the memo is keyed on both sinks' pointers
+    * (driver-side file reads, no Spark job). A train from ANOTHER
+    * VectorIndex instance on the same dir moves a pointer and invalidates
+    * correctly. The uncached reads are the ≤ 32·epochs-row and ≤ M·K·epochs-
+    * row codebook tables — metadata-class work, paid once per commit. */
+  @volatile private var epochMemo: ((Long, Long), Long) = ((Long.MinValue, Long.MinValue), -1L)
   def currentEpoch: Long = {
-    val ptr = centsSink.lastCommittedBatchId
+    val ptr = (centsSink.lastCommittedBatchId, pcentsSink.lastCommittedBatchId)
     val memo = epochMemo
     if (memo._1 == ptr) memo._2
     else {
-      val m = centsSink.current.agg(max(col("epoch"))).head().get(0)
-      val e = if (m == null) -1L else m.asInstanceOf[Long]
+      def maxEpoch(df: DataFrame): Long = {
+        val m = df.agg(max(col("epoch"))).head().get(0)
+        if (m == null) -1L else m.asInstanceOf[Long]
+      }
+      val e = math.min(maxEpoch(centsSink.current), maxEpoch(pcentsSink.current))
       epochMemo = (ptr, e)
       e
     }
@@ -158,10 +168,18 @@ final class VectorIndex(spark: SparkSession, dir: String) {
     centsSink.merge(
       conform(Similarity.trainedCodebookOf(corpus).withColumn("epoch", lit(epoch)),
         centsSchema), batchId)
+    // a crash HERE leaves the coarse epoch without its PQ half; currentEpoch
+    // (min over both sinks) keeps serving the prior epoch and the replayed
+    // train converges — the cents merge no-ops, this merge completes the pair
+    if (killBeforePcentsMerge)
+      sys.error(s"VectorIndex($dir): injected crash between codebook merges")
     pcentsSink.merge(
       conform(Similarity.pqCodebooksOf(Similarity.pqSubOf(corpus))
         .withColumn("epoch", lit(epoch)), pcentsSchema), batchId)
   }
+
+  /** Test-only kill point for the window between the two codebook merges. */
+  private[operators] var killBeforePcentsMerge: Boolean = false
 
   /** The codes rows of `vectors` quantized under `epoch`'s codebooks. Both
     * quantizers collapse their scored rows map-side (assignTo / pqAssign

@@ -167,6 +167,40 @@ class VectorIndexSpec extends SparkTestBase {
       "hash-wave chunked search must equal the single-wave result")
   }
 
+  test("a crash between the two codebook merges never exposes a half-registered epoch") {
+    val all = corpus(0 until N)
+    val dir = Files.createTempDirectory("graft-vidx-kill").toString
+    val idx = new VectorIndex(spark, dir)
+    idx.train(all.filter(col("vec_id") < 200))         // epoch 0, complete
+    idx.encode(all, 0L)
+    val before = rows(idx.search(probes(all), 3))
+
+    // retrain dies between the cents commit and the pcents commit — the
+    // half-registered epoch 1 (coarse codebooks, no PQ) is on disk
+    idx.killBeforePcentsMerge = true
+    intercept[RuntimeException](idx.train(all.filter(col("vec_id") % 2 === 1), 1L))
+    idx.killBeforePcentsMerge = false
+
+    // a fresh instance on the same dir (the restarted process) must still
+    // report the last COMPLETE epoch and serve/encode against it
+    val reopened = new VectorIndex(spark, dir)
+    assert(reopened.currentEpoch == 0L,
+      "currentEpoch must never expose an epoch missing its PQ codebooks")
+    assert(rows(reopened.search(probes(all), 3)) == before,
+      "search during the crash window serves the last complete epoch")
+    reopened.encode(all.filter(col("vec_id") === 42L), 1L) // upsert, not epoch-1 garbage
+    assert(rows(reopened.search(probes(all), 3)) == before)
+
+    // the replayed train (same batchId) converges: cents no-ops under the
+    // replay guard, pcents completes the pair, epoch 1 becomes visible
+    reopened.train(all.filter(col("vec_id") % 2 === 1), 1L)
+    assert(reopened.currentEpoch == 1L)
+    reopened.encode(all, 2L)
+    val fresh = bulkIndex(Files.createTempDirectory("graft-vidx-kfresh").toString)
+    assert(rows(reopened.search(probes(all), 3)) == rows(fresh.search(probes(all), 3)),
+      "healed retrain + re-encode equals a fresh build on the new training slice")
+  }
+
   test("search before train fails loud, not silently empty") {
     val idx = new VectorIndex(spark, Files.createTempDirectory("graft-vidx-raw").toString)
     val e = intercept[IllegalArgumentException] {
