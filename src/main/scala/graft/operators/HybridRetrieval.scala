@@ -51,14 +51,30 @@ object HybridRetrieval {
   private def rankOver(df: DataFrame, ord: Seq[Column], as: String): DataFrame =
     df.withColumn(as, row_number().over(Window.orderBy(ord: _*)))
 
-  private val hybridRrf: Q = (s, dir) => {
-    // lexical lane: BM25 top-LANE_K for the fixed query-term set
-    val lex = rankOver(
+  /** lexical lane: BM25 top-LANE_K for the fixed query-term set */
+  private def lexLane(s: SparkSession, dir: String): DataFrame =
+    rankOver(
       TextAnalysis.bm25PerDoc(s, dir)
         .select(col("doc_id"), col("bm25"))
         .orderBy(col("bm25").desc, col("doc_id").asc).limit(LANE_K),
       Seq(col("bm25").desc, col("doc_id").asc), "rank_lex")
       .select(col("doc_id"), col("rank_lex"))
+
+  /** RRF fusion of the two ≤ LANE_K ranked lists: full outer join,
+    * fixed-order (lex + vec) sum, global top-OUT_K. */
+  private def fuse(lex: DataFrame, vec: DataFrame): DataFrame = {
+    val rrf =
+      coalesce(lit(1.0) / (lit(RRF_K0).cast("double") + col("rank_lex").cast("double")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(RRF_K0).cast("double") + col("rank_vec").cast("double")), lit(0.0))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", rrf)
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(OUT_K)
+      .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc_nulls_first)
+  }
+
+  private val hybridRrf: Q = (s, dir) => {
     // vector lane: cosine top-LANE_K from the probe embedding
     val corpus = Similarity.vecs(s, dir)
     val probe = corpus.filter(col("vec_id") === PROBE_ID)
@@ -72,21 +88,112 @@ object HybridRetrieval {
         .orderBy(col("cos_sim").desc, col("doc_id").asc).limit(LANE_K),
       Seq(col("cos_sim").desc, col("doc_id").asc), "rank_vec")
       .select(col("doc_id"), col("rank_vec"))
-    // RRF fusion: full outer over the two ≤ LANE_K lists, fixed-order sum
-    val rrf =
-      coalesce(lit(1.0) / (lit(RRF_K0).cast("double") + col("rank_lex").cast("double")), lit(0.0)) +
-      coalesce(lit(1.0) / (lit(RRF_K0).cast("double") + col("rank_vec").cast("double")), lit(0.0))
-    lex.join(vec, Seq("doc_id"), "full_outer")
-      .withColumn("rrf", rrf)
-      .orderBy(col("rrf").desc, col("doc_id").asc).limit(OUT_K)
-      .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
-        round(col("rrf"), 6).as("rrf"))
-      .orderBy(col("rrf").desc, col("doc_id").asc_nulls_first)
+    fuse(lexLane(s, dir), vec)
   }
 
-  val queries: Map[String, Q] = Map("sim_hybrid_rrf" -> hybridRrf)
+  /** The production variant the brute lane's Scaladoc promises: the vector
+    * lane is `VectorIndex.search` over the PERSISTED IVFPQ artifact (train
+    * on the arrived odd half, encode the corpus, probe with doc 0), so the
+    * corpus-proportional vector work is one pruned candidate scan of the
+    * probed cells' codes — not a full-corpus cosine pass. Fusion semantics
+    * are byte-identical to `sim_hybrid_rrf`: the lane is cut at LANE_K by
+    * the search's own rank, the RRF sum is the same fixed-order expression.
+    * ADC ranks differ from exact-cosine ranks by construction (that is the
+    * ANN trade) — the oracle replays the same quantized chain, so the grade
+    * stays hash-exact. */
+  private val hybridIndexed: Q = (s, dir) => {
+    val (idx, corpus) = VectorIndexOps.freshIndex(s, dir)
+    idx.train(corpus.filter(expr(VectorIndexOps.TRAIN_WHERE)))
+    idx.encode(corpus, 0L)
+    val probe = corpus.filter(col("vec_id") === PROBE_ID)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("norm").as("p_norm"))
+    val vec = idx.search(probe, LANE_K)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("rank_vec"))
+    // lex lane on the index's cloned session so the fused plan lives in one
+    // session (freshIndex narrows shuffle partitions for the small batches)
+    fuse(lexLane(corpus.sparkSession, dir), vec)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_hybrid_rrf" -> hybridRrf,
+    "sim_hybrid_indexed" -> hybridIndexed)
+
+  /** Oracle twin of the `VectorIndex.search(probe, LANE_K)` lane: the
+    * single-epoch IVFPQ chain of `Similarity.ivfpqSql`, prefixed `vx*` so
+    * it composes with the BM25 CTEs (which own `sc`/`df`/`agg`) in one
+    * WITH, probe set narrowed to doc `PROBE_ID`, rank cut at LANE_K. */
+  private def indexedLaneSql: String = {
+    import Similarity.{LLOYD_ROUNDS, PQ_ROUNDS, PQ_M, NPROBE}
+    val aCols = (0 until PQ_M).map(i =>
+      s"sum(lv) FILTER (WHERE l.m = $i) AS a_$i").mkString(",\n       |    ")
+    val adc = (0 until PQ_M).map(i => s"a_$i").mkString(" + ")
+    val tw = VectorIndexOps.TRAIN_WHERE
+    s"""vecs AS (${Similarity.vecsSql}),
+       |${Similarity.lloydCentsSql(LLOYD_ROUNDS, Some(tw), "vx")},
+       |${Similarity.pqCentsSql(PQ_ROUNDS, Some(tw), "vx")},
+       |vxasg AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT c.vec_id, k.cent_id,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY list_dot_product(c.v, k.c_v) / (c.norm * k.c_norm) DESC, k.cent_id ASC) AS arn
+       |    FROM vecs c CROSS JOIN vxcents k) WHERE arn = 1),
+       |vxprobes AS (
+       |  SELECT vec_id AS probe_id, v AS p_v, norm AS p_norm
+       |  FROM vecs WHERE vec_id = $PROBE_ID),
+       |vxpcells AS (
+       |  SELECT probe_id, cent_id AS p_cent FROM (
+       |    SELECT p.probe_id, k.cent_id,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY list_dot_product(p.p_v, k.c_v) / (p.p_norm * k.c_norm) DESC,
+       |                 k.cent_id ASC) AS cell_rank
+       |    FROM vxprobes p CROSS JOIN vxcents k) WHERE cell_rank <= $NPROBE),
+       |vxcodes AS (
+       |  SELECT vec_id, norm, m, cent_id AS code FROM (
+       |    SELECT s.vec_id, s.norm, s.m, k.cent_id,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${Similarity.d2Sql("s.x", "k.c_v")} ASC, k.cent_id ASC) AS rn
+       |    FROM sub s JOIN vxpqcents k ON s.m = k.m) WHERE rn = 1),
+       |vxpsub AS (SELECT vec_id AS probe_id, norm AS p_norm, m, x AS p_x FROM sub
+       |           WHERE vec_id = $PROBE_ID),
+       |vxlut AS (SELECT p.probe_id, p.p_norm, p.m, k.cent_id,
+       |            list_dot_product(p.p_x, k.c_v) AS lv
+       |          FROM vxpsub p JOIN vxpqcents k ON p.m = k.m),
+       |vxcand AS (
+       |  SELECT c.vec_id, c.norm, c.m, c.code, pc.probe_id
+       |  FROM vxcodes c JOIN vxasg a ON c.vec_id = a.vec_id
+       |  JOIN vxpcells pc ON a.cent_id = pc.p_cent AND c.vec_id <> pc.probe_id),
+       |vxsc AS (
+       |  SELECT d.probe_id, d.vec_id, min(d.norm) AS norm, min(l.p_norm) AS p_norm,
+       |    $aCols
+       |  FROM vxcand d JOIN vxlut l ON d.m = l.m AND d.code = l.cent_id
+       |    AND d.probe_id = l.probe_id
+       |  GROUP BY 1, 2),
+       |vxtop AS (
+       |  SELECT vec_id, adc_sim,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY adc_sim DESC, vec_id ASC) AS rank
+       |  FROM (SELECT probe_id, vec_id, ($adc) / (norm * p_norm) AS adc_sim FROM vxsc)),
+       |vr AS (SELECT vec_id AS doc_id, rank AS rank_vec FROM vxtop WHERE rank <= $LANE_K)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
+    "sim_hybrid_indexed" ->
+      s"""WITH ${TextAnalysis.bm25CtesSql},
+         |lex AS (
+         |  SELECT doc_id, rank_lex FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_lex
+         |    FROM (SELECT doc_id, ${TextAnalysis.bm25TotalSql} AS bm25 FROM agg))
+         |  WHERE rank_lex <= $LANE_K),
+         |$indexedLaneSql,
+         |fused AS (
+         |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.rank_lex, v.rank_vec,
+         |    coalesce(1.0 / (CAST($RRF_K0 AS DOUBLE) + CAST(l.rank_lex AS DOUBLE)), 0.0)
+         |    + coalesce(1.0 / (CAST($RRF_K0 AS DOUBLE) + CAST(v.rank_vec AS DOUBLE)), 0.0) AS rrf
+         |  FROM lex l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id)
+         |SELECT doc_id, rank_lex, rank_vec, round(rrf, 6) AS rrf
+         |FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT $OUT_K)
+         |ORDER BY rrf DESC, doc_id ASC NULLS FIRST""".stripMargin,
     "sim_hybrid_rrf" ->
       s"""WITH ${TextAnalysis.bm25CtesSql},
          |lex AS (

@@ -443,7 +443,7 @@ object VectorIndexOps {
     * `vec_id % CODES_BUCKETS < MIGRATED`. */
   private val MIGRATED = VectorIndex.CODES_BUCKETS / 2
 
-  private def freshIndex(s: SparkSession, dir: String): (VectorIndex, DataFrame) = {
+  private[operators] def freshIndex(s: SparkSession, dir: String): (VectorIndex, DataFrame) = {
     // cloned-session scoping (the dedup_admit_incremental convention):
     // index maintenance batches are small and run many exchanges; 8
     // partitions quarters task overhead without touching concurrent queries

@@ -148,6 +148,40 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("sim_hybrid_indexed: vector lane rides the pruned codes join, never a corpus cosine scan") {
+    withStaticPlans {
+      // the query runs on a cloned session (freshIndex), which keeps its own
+      // AQE default — traverse through the adaptive wrapper to the real tree
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def deep(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: deep(a.executedPlan)
+        case _ => p +: p.children.flatMap(deep)
+      }
+      val ns = deep(staticPlan(
+        graft.operators.HybridRetrieval.queries("sim_hybrid_indexed")(spark, sf)))
+      assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
+        "the indexed lane must never go all-pairs")
+      // the probed-cell candidate join reads the persisted codes table...
+      assert(ns.exists(n => n.getClass.getSimpleName.startsWith("FileSourceScan") &&
+        n.toString.contains("/codes")),
+        "the vector lane must read the persisted codes table")
+      // ...streamed, never broadcast (it is the corpus-proportional side)
+      ns.collect { case b: BroadcastExchangeExec => b }
+        .foreach(b => assert(!b.toString.contains("/codes"),
+          s"codes table must never be broadcast, got:\n$b"))
+      // and the ONLY embeddings reads are probe-row lookups with the point
+      // predicate pushed to the scan — a brute lane would scan the whole
+      // corpus for the cosine pass
+      val embScans = ns.filter(n =>
+        n.getClass.getSimpleName.startsWith("FileSourceScan") &&
+          n.toString.contains("embeddings"))
+      assert(embScans.nonEmpty, "the probe row comes from the embeddings table")
+      embScans.foreach(s => assert(
+        s.toString.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)"),
+        s"embeddings scans must be probe point-lookups, got:\n$s"))
+    }
+  }
+
   test("sim_ivf_topk assignment aggregates map-side; no window over n×k scored rows") {
     withStaticPlans {
       val ns = nodes(staticPlan(graft.operators.Similarity.ivfAssigned(spark, sf)))
