@@ -1,0 +1,145 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Dedup-family recall, measured — not argued — against exact-Jaccard
+  * ground truth on planted corpora (the dedup twin of AnnRecallSpec,
+  * added after the r14 char-lane band widening traded one borderline
+  * pair at sf0.01: the geometry's recall now has a pinned floor).
+  *
+  * Fixture: 300 background docs of 60 words each, plus 40 planted
+  * near-dup pairs — 20 light (one word replaced) and 20 heavier (two
+  * words replaced). Recall is measured on the planted pairs (verified
+  * brute-force to clear each lane's graded threshold: word-3-shingles
+  * ≥ 0.5 for dedup_lsh_pairs, char-6-grams ≥ 0.6 for dedup_ngram); the
+  * graded queries verify candidates with the same exact Jaccard, so any
+  * recall loss is candidate generation alone: band non-collision plus
+  * MAX_BUCKET drops. Exactness is pinned the other way too — every
+  * emitted pair must be in the brute-force threshold-truth.
+  *
+  * Two background-similarity levels exercise exactly the regime the 3×8
+  * char geometry was widened for:
+  *   - vocab 5000: organic low background (char-gram J ≈ 0)
+  *   - vocab 30:   template-heavy background (shared vocabulary pushes
+  *     char-gram background J to the 0.3–0.5 band where the old 2×4
+  *     geometry went quadratic; bucket sizes grow, MAX_BUCKET engages)
+  *
+  * Expected from the band geometry (p = 1 − (1 − J^r)^b):
+  *   - word lane 4×2: 1-edit J ≈ 0.9 → p ≈ 0.9997; 2-edit J ≈ 0.7 →
+  *     p ≈ 0.93 — mixed expectation ≈ 0.96
+  *   - char lane 3×8: 1-edit J ≈ 0.94 → p ≈ 0.94; 2-edit J ≈ 0.89 →
+  *     p ≈ 0.77 — mixed expectation ≈ 0.85
+  * The asserted floors (0.85 word, 0.65 char) sit under those rates but
+  * far above what a broken geometry or an over-eager bucket cap yields.
+  */
+class DedupRecallSpec extends SparkTestBase {
+
+  private val N_BG = 300
+  private val N_PAIRS = 40
+  private val DOC_WORDS = 60
+
+  /** Planted corpus: background docs + near-dup pairs, deterministic. */
+  private def plantCorpus(vocabSize: Int): String = {
+    val rnd = new Random(42 + vocabSize)
+    val vocab = if (vocabSize >= 1000)
+      (0 until vocabSize).map(i => s"w${i}x") // distinct, no substring overlap
+    else
+      (0 until vocabSize).map(i => s"word${i}q")
+    def doc(): Array[String] = Array.fill(DOC_WORDS)(vocab(rnd.nextInt(vocab.size)))
+    val bg = (0 until N_BG).map(i => (i.toLong, doc().mkString(" ")))
+    val pairs = (0 until N_PAIRS).map { p =>
+      val base = doc()
+      val edits = if (p < N_PAIRS / 2) 1 else 2
+      val near = base.clone()
+      (0 until edits).foreach { e =>
+        near(7 + 17 * e) = vocab(rnd.nextInt(vocab.size))
+      }
+      val (ida, idb) = (1000L + 2 * p, 1000L + 2 * p + 1)
+      Seq((ida, base.mkString(" ")), (idb, near.mkString(" ")))
+    }
+    val dir = Files.createTempDirectory(s"graft-dedup-recall-$vocabSize").toString
+    val session = spark
+    import session.implicits._
+    (bg ++ pairs.flatten).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Exact ground truth: every (a < b) pair whose Jaccard over `sets`'
+    * shingle column clears `threshold` — brute force over the small
+    * planted corpus (the graded queries must never do this; the TEST may). */
+  private def exactTruth(sets: DataFrame, threshold: Double): Set[(Long, Long)] = {
+    val session = spark
+    import session.implicits._
+    val a = sets.select(col("doc_id").as("doc_a"), col("s").as("s_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("s").as("s_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("j", DedupText.jaccard(col("s_a"), col("s_b")))
+      .filter(col("j") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)].collect().toSet
+  }
+
+  private def gotPairs(query: String, dir: String): Set[(Long, Long)] = {
+    val session = spark
+    import session.implicits._
+    DedupText.queries(query)(spark, dir)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+  }
+
+  private def recallAt(vocabSize: Int): (Double, Double) = {
+    val dir = plantCorpus(vocabSize)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    val wordTruth = exactTruth(
+      DedupText.withWordShingles(docs).filter(size(col("s")) > 0), 0.5)
+    val charTruth = exactTruth(
+      docs.withColumn("s",
+          graft.functions.ShingleExpression.charShingles(col("text"), 6))
+        .select(col("doc_id"), col("s")), 0.6)
+    // recall is measured on the PLANTED near-dups (J ≈ 0.9 — the pairs the
+    // geometry is built to catch). The full threshold-truth additionally
+    // contains borderline background pairs at J barely over the threshold,
+    // where the S-curve (p = 1 − (1 − J^r)^b, centered near (1/b)^(1/r))
+    // is DESIGNED to pass almost nothing — at vocab 30 the char lane's
+    // threshold-truth is dominated by such J ≈ 0.6 background pairs.
+    val planted = (0 until N_PAIRS)
+      .map(p => (1000L + 2 * p, 1000L + 2 * p + 1)).toSet
+    assert(planted.subsetOf(wordTruth) && planted.subsetOf(charTruth),
+      s"every planted pair must clear both thresholds " +
+        s"(word ${wordTruth.size}, char ${charTruth.size})")
+
+    val wordGot = gotPairs("dedup_lsh_pairs", dir)
+    val charGot = gotPairs("dedup_ngram", dir)
+    // the graded outputs verify with exact Jaccard — they can only MISS
+    // truth pairs, never add false ones
+    assert(wordGot.subsetOf(wordTruth), "word-lane output must be truth-exact")
+    assert(charGot.subsetOf(charTruth), "char-lane output must be truth-exact")
+    info(s"threshold-truth sizes: word ${wordTruth.size} " +
+      s"(found ${wordTruth.count(wordGot.contains)}), " +
+      s"char ${charTruth.size} (found ${charTruth.count(charGot.contains)})")
+
+    (planted.count(wordGot.contains).toDouble / planted.size,
+      planted.count(charGot.contains).toDouble / planted.size)
+  }
+
+  test("recall floors vs exact Jaccard: low-similarity background (vocab 5000)") {
+    val (word, char) = recallAt(5000)
+    info(f"vocab 5000: word-lane recall $word%.3f, char-lane recall $char%.3f")
+    assert(word >= 0.85, f"word-lane (4×2) recall floor 0.85, measured $word%.3f")
+    assert(char >= 0.65, f"char-lane (3×8) recall floor 0.65, measured $char%.3f")
+  }
+
+  test("recall floors hold under template-heavy background (vocab 30, buckets engage)") {
+    val (word, char) = recallAt(30)
+    info(f"vocab 30: word-lane recall $word%.3f, char-lane recall $char%.3f")
+    assert(word >= 0.85, f"word-lane (4×2) recall floor 0.85, measured $word%.3f")
+    assert(char >= 0.65, f"char-lane (3×8) recall floor 0.65, measured $char%.3f")
+  }
+}

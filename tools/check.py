@@ -22,7 +22,8 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -41,6 +42,7 @@ def main(sf_dir, out_dir):
             f"SELECT {', '.join(q(c) for c in scols)} FROM read_parquet('{d}/*.parquet')").fetchall()
         if name not in oracles:
             print(f"  [rows-only] {name}: {len(srows)} rows")
+            results[name] = {"status": "rows-only", "rows": len(srows)}
             continue
         try:
             orel = con.sql(oracles[name])
@@ -49,10 +51,13 @@ def main(sf_dir, out_dir):
                 f"SELECT {', '.join(q(c) for c in ocols)} FROM ({oracles[name]})").fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            results[name] = {"status": "fail", "err": str(e)[:500]}
             n_bad += 1
             continue
         if scols != ocols:
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+            results[name] = {"status": "fail",
+                             "err": f"columns spark={scols} oracle={ocols}"}
             n_bad += 1
             continue
         # Dtype parity: the driver's hash path materializes via pandas, where
@@ -66,12 +71,14 @@ def main(sf_dir, out_dir):
                    if family(stypes[c]) != family(otypes[c])]
         if fam_bad:
             print(f"FAIL {name}: dtype divergence (spark vs oracle): {fam_bad}")
+            results[name] = {"status": "fail", "err": f"dtype divergence: {fam_bad}"}
             n_bad += 1
             continue
         a = sorted([tuple(norm(v) for v in r) for r in srows], key=repr)
         b = sorted([tuple(norm(v) for v in r) for r in orows], key=repr)
         if a == b:
             print(f"ok   {name}: {len(a)} rows")
+            results[name] = {"status": "ok", "rows": len(a)}
             n_ok += 1
         else:
             n_bad += 1
@@ -82,7 +89,16 @@ def main(sf_dir, out_dir):
             diff_b = [r for r in b if r not in a][:3]
             print(f"     spark-only: {diff_a}")
             print(f"     oracle-only: {diff_b}")
+            results[name] = {"status": "fail",
+                             "err": f"rowset mismatch: spark {len(a)} vs oracle {len(b)} rows",
+                             "spark_only": [repr(r) for r in diff_a],
+                             "oracle_only": [repr(r) for r in diff_b]}
     print(f"== {n_ok} ok, {n_bad} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "ok": n_ok, "fail": n_bad,
+                       "queries": results}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_bad else 0
 
 
@@ -109,4 +125,5 @@ def family(t):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
