@@ -3,7 +3,8 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -53,6 +54,34 @@ object ZonemapRouteRule extends Rule[LogicalPlan] with PredicateHelper {
     pathZones.put(path, zones)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // DPP-analog for the versioned sink: in `fact ⋈ dim ON fact.k = dim.k`
+    // with a filtered dim side, the dim's SURVIVING buckets' zonemap
+    // entries for k bound the join-key interval, and fact buckets provably
+    // outside it are dropped — a dim-predicate-driven fact prune with zero
+    // Spark jobs (Spark's own DPP needs a runtime subquery; the sink's
+    // committed per-bucket bounds give a static, conservative analog).
+    // Inner/LeftSemi only: every output row needs a join match, so a fact
+    // row outside the dim key interval cannot contribute. Both orientations
+    // are tried — "fact" is just whichever side the other side can narrow.
+    case j @ Join(left, right, jt, Some(cond), _) if jt == Inner || jt == LeftSemi =>
+      val keyPairs = splitConjunctivePredicates(cond).collect {
+        case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
+      }
+      if (keyPairs.isEmpty) j
+      else {
+        val newLeft = keyPairs.foldLeft(left) { case (side, (a, b)) =>
+          val (lk, rk) = if (left.outputSet.contains(a)) (a, b) else (b, a)
+          if (!left.outputSet.contains(lk) || !right.outputSet.contains(rk)) side
+          else keyBounds(right, rk).map(bs => pruneByKey(side, lk, bs)).getOrElse(side)
+        }
+        val newRight = keyPairs.foldLeft(right) { case (side, (a, b)) =>
+          val (lk, rk) = if (left.outputSet.contains(a)) (a, b) else (b, a)
+          if (!left.outputSet.contains(lk) || !right.outputSet.contains(rk)) side
+          else keyBounds(left, lk).map(bs => pruneByKey(side, rk, bs)).getOrElse(side)
+        }
+        if (newLeft.eq(left) && newRight.eq(right)) j
+        else j.copy(left = newLeft, right = newRight)
+      }
     case f @ Filter(cond, l: LogicalRelation) =>
       l.relation match {
         case fs: HadoopFsRelation if fs.location.rootPaths.nonEmpty =>
@@ -166,6 +195,84 @@ object ZonemapRouteRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => true // unrecognized shape: proves nothing
     }
   }
+
+  /** The sink-backed scan under a Project/Filter chain, with every filter
+    * conjunct collected on the way down — None unless EVERY root path of
+    * the relation is registered (a foreign parquet scan is never ours). */
+  private def scanOf(p: LogicalPlan)
+      : Option[(LogicalRelation, HadoopFsRelation, Seq[Expression])] = p match {
+    case Project(_, child) => scanOf(child)
+    case Filter(c, child) =>
+      scanOf(child).map { case (l, fs, cs) => (l, fs, cs ++ splitConjunctivePredicates(c)) }
+    case l: LogicalRelation => l.relation match {
+      case fs: HadoopFsRelation if fs.location.rootPaths.nonEmpty &&
+          fs.location.rootPaths.forall(r => pathZones.get(r.toUri.getPath) != null) =>
+        Some((l, fs, Nil))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** The join-key interval `side` can contribute: the union of the key's
+    * zone entries over the buckets SURVIVING side's own filters. None —
+    * no pruning possible — if the side is not a fully-registered sink
+    * scan, the key is computed rather than stored, any surviving bucket
+    * lacks a provable key zone, or no bucket survives at all (the empty
+    * side is the Filter case's job, via LocalRelation + empty-relation
+    * propagation). */
+  private def keyBounds(side: LogicalPlan, key: AttributeReference): Option[(Any, Any)] =
+    scanOf(side).flatMap { case (l, fs, conjuncts) =>
+      if (!l.outputSet.contains(key)) None
+      else {
+        val surviving = fs.location.rootPaths
+          .map(p => pathZones.get(p.toUri.getPath))
+          .filter(zs => conjuncts.forall(keeps(zs, _)))
+        val bounds = surviving.map(zs =>
+          zs.get(key.name).flatMap { case (loS, hiS) =>
+            val lo = tryCastStr(loS, key.dataType)
+            val hi = tryCastStr(hiS, key.dataType)
+            if (lo == null || hi == null) None else Some((lo, hi))
+          })
+        if (surviving.isEmpty || bounds.exists(_.isEmpty)) None
+        else {
+          val ord = TypeUtils.getInterpretedOrdering(key.dataType)
+          Some(bounds.flatten.reduce((x, y) =>
+            (if (ord.lt(x._1, y._1)) x._1 else y._1,
+              if (ord.gt(x._2, y._2)) x._2 else y._2)))
+        }
+      }
+    }
+
+  /** Drop `side`'s buckets whose zone for `key` is provably outside
+    * `bounds`; buckets with no/uncastable key zone are kept. Returns
+    * `side` untouched (reference-equal) when nothing prunes. */
+  private def pruneByKey(side: LogicalPlan, key: AttributeReference,
+                         bounds: (Any, Any)): LogicalPlan =
+    scanOf(side) match {
+      case Some((l, fs, _)) if l.outputSet.contains(key) =>
+        val ord = TypeUtils.getInterpretedOrdering(key.dataType)
+        val (blo, bhi) = bounds
+        val kept = fs.location.rootPaths.filter { p =>
+          pathZones.get(p.toUri.getPath).get(key.name) match {
+            case None => true
+            case Some((loS, hiS)) =>
+              val zlo = tryCastStr(loS, key.dataType)
+              val zhi = tryCastStr(hiS, key.dataType)
+              if (zlo == null || zhi == null) true
+              else !(ord.lt(zhi, blo) || ord.gt(zlo, bhi))
+          }
+        }
+        if (kept.size == fs.location.rootPaths.size) side
+        else if (kept.isEmpty)
+          side.transform { case ll: LogicalRelation if ll.eq(l) => LocalRelation(l.output) }
+        else {
+          val idx = new InMemoryFileIndex(
+            fs.sparkSession, kept, Map.empty, Some(fs.dataSchema))
+          side.transform { case ll: LogicalRelation if ll.eq(l) =>
+            l.copy(relation = fs.copy(location = idx)(fs.sparkSession)) }
+        }
+      case _ => side
+    }
 
   /** TRY-cast a stored zone string to the column type under the session
     * timezone (zones are written as `CAST(x AS STRING)` by the sink). */

@@ -547,6 +547,40 @@ object StreamingOps {
       .orderBy(col("event_id").asc_nulls_first)
   }
 
+  /** Zonemap JOIN routing (the DPP-analog), graded: a dim-filtered equi-join
+    * where the dim side's surviving buckets bound the fact scan. The fact
+    * table routes events into 8 four-day buckets with a `day` zonemap; the
+    * day dimension routes by week with `day`+`week` zonemaps. Filtering the
+    * dim to week 2 prunes it to one bucket, whose day zone [Jan 15, Jan 21]
+    * then drops every fact bucket outside days 13–24 — ZonemapRouteRule's
+    * Join case reads 3 of 8 fact buckets (pinned by ZonemapJoinSpec) with
+    * zero Spark jobs spent deriving the bound. The residual join still
+    * verifies row-wise, so kept false-positive days (13, 14, 22–24) filter
+    * exactly like a scanRange over-read. */
+  private val sinkZonemapJoin: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), to_date(col("ts")).as("day"))
+    val work = graft.Scratch.dir("graft-zonejoin")
+    val fact = new ParquetTableSink(s, work.resolve("fact").toString,
+      ev.limit(0), keys = Seq("day", "event_id"), buckets = 8,
+      route = (dayofmonth(col("day")) - 1).divide(4).cast("int"),
+      zonemapCols = Seq("day"))
+    fact.merge(ev, 0L)
+    val days = ev.select(col("day")).distinct()
+      .withColumn("week", floor((dayofmonth(col("day")) - 1) / 7).cast("int"))
+    val dim = new ParquetTableSink(s, work.resolve("dim").toString,
+      days.limit(0), keys = Seq("day"), buckets = 5,
+      route = col("week"), zonemapCols = Seq("day", "week"))
+    dim.merge(days, 0L)
+    fact.table()
+      .join(dim.table().filter(col("week") === 2), Seq("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"))
+      .orderBy(col("day").asc_nulls_first)
+  }
+
   /** The streaming MATERIALIZED VIEW, graded: the same overlapping two-drop
     * at-least-once stream as `stream_sink_table`, but each micro-batch is
     * pre-aggregated to a per-(cohort, event_type) partial state and folded
@@ -1078,6 +1112,7 @@ object StreamingOps {
     "jdbc_merge_delete" -> jdbcMergeDelete,
     "sink_point_lookup" -> sinkPointLookup,
     "sink_zonemap_scan" -> sinkZonemapScan,
+    "sink_zonemap_join" -> sinkZonemapJoin,
     "stream_rollup_table" -> streamRollupTable,
     "stream_distinct_mv" -> streamDistinctMv,
     "stream_quantile_mv" -> streamQuantileMv,
@@ -1192,6 +1227,21 @@ object StreamingOps {
         |  AND ts < TIMESTAMP '2024-01-14 00:00:00'
         |  AND event_id % 2 = 0
         |ORDER BY event_id ASC NULLS FIRST""".stripMargin,
+    // the join-routed fact scan must reproduce the declarative dim-filtered
+    // join exactly — week 2 is days 15..21 of January
+    "sink_zonemap_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, value, CAST(ts AS DATE) AS day FROM events),
+        |dim AS (
+        |  SELECT DISTINCT day,
+        |    CAST(floor((day(day) - 1) / 7) AS INT) AS week
+        |  FROM ev)
+        |SELECT ev.day, count(*) AS n_events,
+        |  CAST(sum(CAST(ev.value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |FROM ev JOIN dim ON ev.day = dim.day
+        |WHERE dim.week = 2
+        |GROUP BY ev.day
+        |ORDER BY ev.day ASC NULLS FIRST""".stripMargin,
     // lookup hits = loaded window ∩ probe ids; probes past the window miss
     "sink_point_lookup" ->
       """SELECT event_id, ts, user_id, event_type, value

@@ -152,6 +152,95 @@ class ZonemapSpec extends SparkTestBase {
     assert(nothing.count() == 0)
   }
 
+  // bucket ids planned for the relation whose paths live under `dir` —
+  // the per-side view of plannedBuckets for join plans with two sinks
+  private def plannedBucketsIn(df: DataFrame, dir: String): Seq[Int] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.filter(_.toString.contains(dir))
+          .map(p => p.getName.stripPrefix("b").takeWhile(_ != '-').toInt)
+    }.flatten.sorted
+
+  // dim side for the join-routing tests: one row per fact x, grouped two
+  // days per grp, routed by grp with x+grp zonemapped — so a grp filter
+  // prunes dim buckets and the survivors' x zones bound the fact scan
+  private def dimRows: DataFrame = {
+    val session = spark
+    import session.implicits._
+    (0 until 64).map(i => (i.toLong % 8 * 100 + i, i.toLong % 8 / 2))
+      .toDF("x", "grp")
+  }
+  private def grpDim(dir: String): ParquetTableSink =
+    new ParquetTableSink(spark, dir, dimRows.limit(0), keys = Seq("x"),
+      buckets = 4, route = col("grp").cast("int"), zonemapCols = Seq("x", "grp"))
+
+  test("a dim-filtered equi-join prunes the fact side through the dim's key zones") {
+    val fdir = Files.createTempDirectory("graft-zmj-fact").toString
+    val ddir = Files.createTempDirectory("graft-zmj-dim").toString
+    val fact = daySink(fdir); fact.merge(rows(0 until 64), 0L)
+    val dim = grpDim(ddir); dim.merge(dimRows, 0L)
+
+    // grp 1 = days {2,3} → dim bucket 1 survives, its x zone is [202, 359]
+    // → fact keeps exactly buckets 2 and 3 (their x zones overlap the bound)
+    val joined = fact.table().join(dim.table().filter(col("grp") === 1), Seq("x"))
+    assert(plannedBucketsIn(joined, fdir) == Seq(2, 3),
+      "the dim filter must bound the fact scan to a strict bucket subset")
+    assert(plannedBucketsIn(joined, ddir) == Seq(1),
+      "the dim's own filter prunes its buckets too")
+    assert(sortedRows(joined.select("x", "d", "id", "grp")) ==
+      sortedRows(fact.current.join(dimRows.filter(col("grp") === 1), Seq("x"))
+        .select("x", "d", "id", "grp")),
+      "join-routed scan must stay value-identical to the unpruned join")
+
+    // orientation-independent: fact on the RIGHT prunes the same way
+    val flipped = dim.table().filter(col("grp") === 1).join(fact.table(), Seq("x"))
+    assert(plannedBucketsIn(flipped, fdir) == Seq(2, 3))
+
+    // left-semi joins prune too (existence probe against a filtered dim)
+    val semi = fact.table().join(
+      dim.table().filter(col("grp") === 1), Seq("x"), "left_semi")
+    assert(plannedBucketsIn(semi, fdir) == Seq(2, 3))
+    assert(sortedRows(semi) == sortedRows(
+      fact.current.join(dimRows.filter(col("grp") === 1), Seq("x"), "left_semi")))
+
+    // an OUTER join must NOT prune the preserved side: every fact row
+    // survives unmatched, so all 8 buckets are read
+    val outer = fact.table().join(
+      dim.table().filter(col("grp") === 1), Seq("x"), "left_outer")
+    assert(plannedBucketsIn(outer, fdir).size == 8,
+      "left-outer keeps unmatched fact rows — pruning them would drop output")
+
+    // a provably-empty dim side collapses the whole join
+    val none = fact.table().join(dim.table().filter(col("grp") === 99), Seq("x"))
+    assert(none.count() == 0)
+  }
+
+  test("join routing stays conservative when the dim key zone is unprovable") {
+    val fdir = Files.createTempDirectory("graft-zmj-cons-f").toString
+    val fact = daySink(fdir); fact.merge(rows(0 until 64), 0L)
+    // dim WITHOUT an x zonemap: grp prunes dim buckets, but no key bound
+    // is derivable — the fact side must degrade to a full (correct) read
+    val ddir = Files.createTempDirectory("graft-zmj-cons-d").toString
+    val dim = new ParquetTableSink(spark, ddir, dimRows.limit(0), keys = Seq("x"),
+      buckets = 4, route = col("grp").cast("int"), zonemapCols = Seq("grp"))
+    dim.merge(dimRows, 0L)
+    val joined = fact.table().join(dim.table().filter(col("grp") === 1), Seq("x"))
+    assert(plannedBucketsIn(joined, fdir).size == 8,
+      "no provable dim key zone → no fact pruning")
+    assert(sortedRows(joined.select("x", "d", "id", "grp")) ==
+      sortedRows(fact.current.join(dimRows.filter(col("grp") === 1), Seq("x"))
+        .select("x", "d", "id", "grp")))
+    // a plain (unregistered) parquet dim is not ours: fact untouched
+    val pdir = Files.createTempDirectory("graft-zmj-plain").toString
+    dimRows.filter(col("grp") === 1).write.parquet(s"$pdir/dim.parquet")
+    val foreign = fact.table()
+      .join(spark.read.parquet(s"$pdir/dim.parquet"), Seq("x"))
+    assert(plannedBucketsIn(foreign, fdir).size == 8)
+    assert(foreign.count() ==
+      fact.current.join(dimRows.filter(col("grp") === 1), Seq("x")).count())
+  }
+
   test("automatic routing degrades to a full read on unprovable predicates") {
     val dir = Files.createTempDirectory("graft-zm-auto-deg").toString
     val sink = daySink(dir)
