@@ -42,16 +42,24 @@ object Bpe {
   private val K = 8   // merge rounds (graded unrolled in the oracle)
   private val V = 256 // word-type table cap
   private val MARK = "</w>"
+  /** The realistic-parameter lane (`bpe_train_big`): vocabulary-building
+    * scale — 1024 merge rounds over a 4096-type table. Not DuckDB-graded
+    * (the oracle unrolls one CTE block per round; at K=1024 that is the
+    * exponential-inlining trap the graded chain documents) — correctness
+    * at these parameters is pinned by BpeSpec's round-trip/closure
+    * invariants, scale by the bench entry. */
+  private[operators] val BIG_K = 1024
+  private[operators] val BIG_V = 4096
 
   /** Frequency-capped word-type table: the one corpus-proportional stage. */
-  private def wordTypes(s: SparkSession, dir: String): DataFrame =
+  private def wordTypes(s: SparkSession, dir: String, cap: Int = V): DataFrame =
     Tables(s, dir, "documents")
       .select(explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
         .as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word").asc)
-      .limit(V)
+      .limit(cap)
 
   /** Character segmentation + end-of-word marker. */
   private[operators] def seg0(types: DataFrame): DataFrame =
@@ -94,15 +102,45 @@ object Bpe {
     * segmentation is cached because two consumers read it (the next
     * argmax and the rewrite). Corpus-proportional work stays distributed
     * (the one tokenize+count shuffle inside `wordTypes`). */
-  private def chain(s: SparkSession, dir: String): (Seq[(Int, String, String, Long)], DataFrame) = {
-    var seg = seg0(wordTypes(s, dir)).cache()
+  private def chain(s: SparkSession, dir: String): (Seq[(Int, String, String, Long)], DataFrame) =
+    chainOf(wordTypes(s, dir), K)
+
+  /** The Catalyst K-round trainer over an arbitrary type table (the graded
+    * K=8 lane). A sliding cache window keeps two live entries instead of K
+    * (round i's argmax materializes seg i−1's cache, freeing seg i−2), and
+    * an eager localCheckpoint every `checkpointEvery` rounds truncates the
+    * lineage. Neither changes values (BpeSpec pins the chain). NOTE the
+    * measured limit: the per-round plan nests one higher-order aggregate
+    * per round and optimizer+codegen cost grows EXPONENTIALLY in that
+    * depth (~1.6×/round past ~10 uncheckpointed rounds) — which is why the
+    * realistic-K lane (`bpe_train_big`) runs `localChain` over the
+    * collected type table instead of stretching this chain.
+    * Stops early when no adjacent pair remains (every type fully merged). */
+  private[operators] def chainOf(types: DataFrame, k: Int, checkpointEvery: Int = 8)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var seg = seg0(types).cache()
+    var prev: Option[DataFrame] = None
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (i <- 1 to K) {
-      val row = bestOf(seg).collect()(0) // the round's scalar: 1 row
-      val (l, r) = (row.getString(0), row.getString(1))
-      merges += ((i, l, r, row.getLong(2)))
-      seg = applyMerge(seg, l, r).cache()
+    var i = 1
+    var exhausted = false
+    while (i <= k && !exhausted) {
+      val rows = bestOf(seg).collect() // the round's scalar: ≤ 1 row
+      if (rows.isEmpty) exhausted = true
+      else {
+        val row = rows(0)
+        val (l, r) = (row.getString(0), row.getString(1))
+        merges += ((i, l, r, row.getLong(2)))
+        val next = applyMerge(seg, l, r)
+        val mat =
+          if (i % checkpointEvery == 0) next.localCheckpoint(true)
+          else next.cache()
+        prev.foreach(_.unpersist(false)) // seg i−2: both consumers are done
+        prev = Some(seg)
+        seg = mat
+        i += 1
+      }
     }
+    prev.foreach(_.unpersist(false))
     (merges.result(), seg)
   }
 
@@ -112,6 +150,85 @@ object Bpe {
     chain(s, dir)._1.toDF("merge_rank", "l", "r", "pair_count")
       .select(col("merge_rank"), col("l"), col("r"),
         concat(col("l"), col("r")).as("merged"), col("pair_count"))
+      .orderBy("merge_rank")
+  }
+
+  /** The greedy left-to-right merge pass of (l, r) over one token array —
+    * the local twin of `applyMerge`'s aggregate fold (BpeSpec pins the two
+    * lanes merge-for-merge equal on the graded parameters). */
+  private def localPass(toks: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** The K-round trainer run LOCALLY over a collected type table. The type
+    * table is capped at `V`/`BIG_V` rows by construction — vocabulary-sized
+    * metadata, not corpus data — so collecting it is the same bounded-
+    * driver-read class as the 1-row argmax the graded chain already does,
+    * and is how production tokenizer trainers work (SentencePiece / HF:
+    * distributed count, local merge loop). The Catalyst formulation of the
+    * same loop (`chainOf`) is the graded K=8 lane; per-round plan nesting
+    * makes it exponential in round depth past ~10 rounds (nested
+    * higher-order aggregates defeat both the optimizer and codegen), while
+    * this loop is O(types · len) per round — K=1024 runs in milliseconds.
+    * Returns (merges, final segmentation). */
+  private[operators] def localChain(types: Seq[(String, Long)], k: Int)
+      : (Seq[(Int, String, String, Long)], Seq[(String, Long, Array[String])]) = {
+    var seg = types.map { case (w, f) =>
+      (w, f, w.map(_.toString).toArray :+ MARK)
+    }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var i = 1
+    var exhausted = false
+    while (i <= k && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seg.foreach { case (_, f, toks) =>
+        var j = 0
+        while (j + 1 < toks.length) {
+          val key = (toks(j), toks(j + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + f)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((i, l, r, c))
+        seg = seg.map { case (w, f, toks) => (w, f, localPass(toks, l, r)) }
+        i += 1
+      }
+    }
+    (merges.result(), seg)
+  }
+
+  /** Realistic-parameter training: BIG_K merge rounds over the BIG_V-type
+    * table — the vocabulary-building workload (a real tokenizer is ~32k
+    * merges; 1024 exercises the same shape at bench-able cost). The ONLY
+    * corpus-proportional work is `wordTypes`' tokenize+count shuffle; the
+    * merge rounds run on the collected ≤ BIG_V-row type table via
+    * `localChain`, so round cost is exactly flat in corpus size.
+    * Driver-checked rows-only (no oracle): a K-round unrolled CTE chain at
+    * K=1024 is the exponential-inlining trap the graded K=8 oracle
+    * documents; correctness at scale is pinned by BpeSpec's cross-lane
+    * equality, round-trip, and closure invariants. */
+  private val bpeTrainBig: Q = (s, dir) => {
+    val session = s
+    import session.implicits._
+    val types = wordTypes(s, dir, BIG_V).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val (merges, seg) = localChain(types, BIG_K)
+    val nTypes = seg.size.toLong
+    val totalPieces = seg.map(_._3.length.toLong).sum
+    merges.toDF("merge_rank", "l", "r", "pair_count")
+      .select(col("merge_rank"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("pair_count"),
+        lit(nTypes).as("n_types"), lit(totalPieces).as("total_pieces"))
       .orderBy("merge_rank")
   }
 
@@ -154,6 +271,7 @@ object Bpe {
 
   val queries: Map[String, Q] = Map(
     "bpe_train" -> bpeTrain,
+    "bpe_train_big" -> bpeTrainBig,
     "bpe_segment" -> bpeSegment,
     "bpe_encode" -> bpeEncode)
 

@@ -120,6 +120,15 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
     ensure(c, s"CREATE TABLE $table ($colDefs, PRIMARY KEY (${keys.mkString(", ")}))")
     ensure(c, s"CREATE TABLE $stage ($stageDefs)")
     ensure(c, s"CREATE TABLE $stageDedup ($stageDefs)")
+    // Key indexes on both staging tables: mergeCommit's delete-wins
+    // anti-join probes `stage` per row (NOT EXISTS on key + tombstone) and
+    // the conflict probe groups `stageDedup` by key — unindexed, Derby runs
+    // both as nested-loop full scans, O(batch × tombstones): measured
+    // non-terminating at the 10× scale gate (1M-row batch, 100k
+    // tombstones). Indexed they are O(batch log batch), the shape a
+    // warehouse target gives these probes via its key hash.
+    ensure(c, s"CREATE INDEX ${stage}_k ON $stage (${keys.mkString(", ")}, $DelCol)")
+    ensure(c, s"CREATE INDEX ${stageDedup}_k ON $stageDedup (${keys.mkString(", ")})")
     ensure(c, "CREATE TABLE graft_commits (sink_name VARCHAR(128) PRIMARY KEY, batch_id BIGINT)")
   }
 

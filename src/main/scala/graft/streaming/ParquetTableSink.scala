@@ -543,8 +543,15 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     // Everything destructive happens inside the lock; the loser of an
     // acquire stops loudly with nothing touched.
     acquireWriterLock(batchId)
-    try mergeLocked(batch, batchId) finally releaseWriterLock()
+    try { onLockAcquired(); mergeLocked(batch, batchId) }
+    finally releaseWriterLock()
   }
+
+  /** Test-only stall/kill point invoked while the writer lock is held,
+    * before any destructive work — the two-process LockContentionSpec
+    * parks or hard-kills a REAL writer process here to drive the
+    * cross-process serialization paths with live pids. */
+  private[streaming] var onLockAcquired: () => Unit = () => ()
 
   private def mergeLocked(batch: DataFrame, batchId: Long): Unit = {
     val (ver, committed) = readPointer().getOrElse((-1L, -1L))

@@ -124,6 +124,57 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("local trainer equals the Catalyst chain merge-for-merge on the graded shape") {
+    // a corpus-ish type table with ties, repeats, and shared suffixes —
+    // the two lanes must pick identical (l, r, count) at every round
+    val types = Seq(
+      ("table", 40L), ("tables", 25L), ("stable", 10L), ("tab", 9L),
+      ("merge", 30L), ("merges", 12L), ("merged", 8L),
+      ("scan", 22L), ("scans", 7L), ("span", 7L), ("spans", 5L),
+      ("a", 50L), ("ab", 3L))
+    val session = spark
+    import session.implicits._
+    val df = types.toDF("word", "freq")
+    val (sparkMerges, sparkSeg) = Bpe.chainOf(df, 8)
+    val (localMerges, localSeg) = Bpe.localChain(types, 8)
+    assert(localMerges == sparkMerges,
+      "the local loop and the Catalyst chain must learn identical merges")
+    val sparkFinal = sparkSeg.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    sparkSeg.unpersist(false)
+    val localFinal = localSeg.map { case (w, _, t) => w -> t.toList }.toMap
+    assert(localFinal == sparkFinal,
+      "final segmentations must agree token-for-token")
+  }
+
+  test("realistic parameters: 1024 rounds over a large vocabulary — round-trip + closure") {
+    // a synthetic vocabulary big enough that 1024 merges do not exhaust it:
+    // 3000 types of 6-10 lowercase chars, Zipf-ish frequencies
+    val rnd = new scala.util.Random(17)
+    val types = (0 until 3000).map { i =>
+      val w = (0 until (6 + rnd.nextInt(5)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      (w + i.toString.map(c => ('a' + (c - '0')).toChar), 1L + 5000L / (i + 1))
+    }.distinct
+    val (merges, seg) = Bpe.localChain(types, Bpe.BIG_K)
+    assert(merges.size == Bpe.BIG_K,
+      s"the vocabulary must sustain all ${Bpe.BIG_K} rounds, got ${merges.size}")
+    assert(merges.map(_._1) == (1 to Bpe.BIG_K), "ranks are dense and ordered")
+    // round-trip: pieces always reassemble the word + marker exactly
+    seg.foreach { case (w, _, toks) =>
+      assert(toks.mkString("") == w + "</w>", s"round-trip broke for $w")
+    }
+    // closure: every non-atomic piece is the concatenation of some learned
+    // merge — the vocabulary is exactly {chars} ∪ {marker} ∪ {merges}
+    val learned = merges.map { case (_, l, r, _) => l + r }.toSet
+    seg.flatMap(_._3).distinct.foreach { t =>
+      assert(t.length == 1 || t == "</w>" || learned.contains(t),
+        s"piece $t is neither atomic nor a learned merge")
+    }
+    // determinism: a rerun learns the identical table
+    assert(Bpe.localChain(types, Bpe.BIG_K)._1 == merges)
+  }
+
   test("graded encode: per-document piece counts are bounded below by token counts") {
     val enc = graft.SparkEntry.queries("bpe_encode")(spark, "/root/testdata/sf0.001")
       .collect()

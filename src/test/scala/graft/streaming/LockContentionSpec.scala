@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.TimeUnit
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** The writer lock driven by TWO REAL PROCESSES — the in-process
+  * PersistentSinkSpec forges lock files; this spec forks an actual second
+  * JVM (LockDriveMain) against the same table dir, so what is exercised
+  * is the production shape: live foreign pids, hard-killed holders, and
+  * filesystem-only coordination.
+  *
+  *   - a foreign writer parked MID-MERGE (lock held) blocks both this
+  *     process's merge and its vacuum, loudly, touching nothing;
+  *   - once the foreign merge completes, the local writer proceeds and
+  *     both commits are visible (serialization, no lost update);
+  *   - a foreign writer hard-killed while holding the lock (pid really
+  *     dead, same host) is swept automatically — hands-off restart;
+  *   - vacuum blocked by the in-flight foreign merge deletes nothing.
+  */
+class LockContentionSpec extends SparkTestBase {
+
+  private def childClasspath: String = System.getProperty("java.class.path")
+
+  private def jvmFlags: Seq[String] = {
+    import java.lang.management.ManagementFactory
+    ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq
+      .filter(_.startsWith("--add-opens"))
+  }
+
+  /** Spawn LockDriveMain in a fresh JVM; returns the Process. */
+  private def spawn(mode: String, dir: String, beacon: String,
+                    batchId: Long, lo: Long, hi: Long): Process = {
+    val cmd = Seq("java") ++ jvmFlags ++ Seq(
+      "-Xmx1g", "-cp", childClasspath,
+      "-Dspark.ui.enabled=false",
+      "graft.streaming.LockDriveMain",
+      mode, dir, beacon, batchId.toString, s"$lo:$hi")
+    new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(Files.createTempFile("graft-lockdrive", ".log").toFile)
+      .start()
+  }
+
+  private def awaitFile(p: Path, timeoutMs: Long = 120000): Unit = {
+    val t0 = System.currentTimeMillis()
+    while (!Files.exists(p)) {
+      assert(System.currentTimeMillis() - t0 < timeoutMs, s"timed out waiting for $p")
+      Thread.sleep(100)
+    }
+  }
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("a live foreign writer (real second JVM) blocks merge and vacuum loudly; " +
+      "completion serializes; a hard-killed holder sweeps") {
+    val table = Files.createTempDirectory("graft-2proc").resolve("t").toString
+    val beacon = Files.createTempDirectory("graft-2proc-b").resolve("b").toString
+    val session = spark
+    val local = session.range(0, 0).select(col("id"), (col("id") * 10).as("v"))
+    val sink = new ParquetTableSink(spark, table, local, Seq("id"))
+
+    // establish v0 from THIS process so both sides share committed state
+    sink.merge(session.range(0, 100).select(col("id"), (col("id") * 10).as("v")), 0L)
+
+    // 1) foreign writer parks mid-merge holding the lock
+    val holder = spawn("hold", table, beacon, 1L, 100L, 200L)
+    awaitFile(Paths.get(s"$beacon.held"))
+    val e1 = intercept[RuntimeException](sink.merge(
+      session.range(200, 300).select(col("id"), (col("id") * 10).as("v")), 2L))
+    assert(e1.getMessage.contains("locked by a live writer"),
+      s"local merge must stop loudly against the live foreign lock: ${e1.getMessage}")
+    val e2 = intercept[RuntimeException](sink.vacuum(keep = 1))
+    assert(e2.getMessage.contains("locked by a live writer"),
+      "vacuum must stop loudly against the live foreign lock")
+    assert(ids(sink.current) == (0L until 100L),
+      "the blocked writers must leave committed state untouched")
+
+    // 2) release the foreign writer; its commit lands; local retry serializes
+    Files.writeString(Paths.get(s"$beacon.go"), "go")
+    assert(holder.waitFor(120, TimeUnit.SECONDS) && holder.exitValue() == 0,
+      "the foreign merge must complete cleanly once released")
+    sink.merge(session.range(200, 300).select(col("id"), (col("id") * 10).as("v")), 2L)
+    assert(ids(sink.current) == (0L until 300L),
+      "both processes' commits must be visible — serialized, no lost update")
+
+    // 3) a foreign writer hard-killed while HOLDING the lock: pid is
+    // really dead on this host, so the next local merge sweeps hands-off
+    val victim = spawn("die", table, s"$beacon-die", 3L, 300L, 400L)
+    awaitFile(Paths.get(s"$beacon-die.held"))
+    assert(victim.waitFor(120, TimeUnit.SECONDS) && victim.exitValue() == 7,
+      "the victim must have halted at the lock-held point")
+    assert(Files.exists(Paths.get(table, "manifest", ".writer-lock")),
+      "the hard kill must leave the lock behind (no finally ran)")
+    sink.merge(session.range(300, 400).select(col("id"), (col("id") * 10).as("v")), 3L)
+    assert(ids(sink.current) == (0L until 400L))
+    assert(!Files.exists(Paths.get(table, "manifest", ".writer-lock")))
+
+    // 4) vacuum blocked by an in-flight foreign merge deletes NOTHING,
+    // then proceeds once the merge lands
+    val dataDirs = () => {
+      val s = Files.list(Paths.get(table, "data"))
+      try s.iterator().asScala.size finally s.close()
+    }
+    val before = dataDirs()
+    val holder2 = spawn("hold", table, s"$beacon-v", 4L, 400L, 500L)
+    awaitFile(Paths.get(s"$beacon-v.held"))
+    intercept[RuntimeException](sink.vacuum(keep = 1))
+    assert(dataDirs() == before,
+      "a vacuum blocked by a foreign in-flight merge must not delete any dir")
+    Files.writeString(Paths.get(s"$beacon-v.go"), "go")
+    assert(holder2.waitFor(120, TimeUnit.SECONDS) && holder2.exitValue() == 0)
+    sink.vacuum(keep = 1)
+    assert(ids(sink.current) == (0L until 500L),
+      "vacuum after the foreign merge keeps the merged current version intact")
+  }
+}
