@@ -662,19 +662,30 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
         // Zonemap stats for the rewritten buckets: one aggregate pass over
         // the files just written (O(touched buckets), same cost class as
         // the merge itself), collected as ≤ buckets tiny rows.
+        val wroteBuckets =
+          listDirs(out).exists(_.getFileName.toString.startsWith("_bucket="))
         val zones: Map[Int, Map[String, (String, String)]] =
-          if (zonemapCols.isEmpty) Map.empty
+          if (zonemapCols.isEmpty || !wroteBuckets) Map.empty else {
+          // a zonemap column may not exist yet (declared ahead of its
+          // ADD-only evolution era): stats start recording once the column
+          // arrives; eras before it simply have no entry for it — and a
+          // bucket with no entry is never skipped, so the gap is read
+          // conservatively, not silently pruned
+          val written = spark.read.parquet(out.toString)
+          val present = zonemapCols.filter(written.columns.contains)
+          if (present.isEmpty) Map.empty
           else {
-            val aggs = zonemapCols.flatMap(c => Seq(
+            val aggs = present.flatMap(c => Seq(
               org.apache.spark.sql.functions.min(col(c)).cast("string").as(s"__lo_$c"),
               org.apache.spark.sql.functions.max(col(c)).cast("string").as(s"__hi_$c")))
-            spark.read.parquet(out.toString)
+            written
               .groupBy(col("_bucket")).agg(aggs.head, aggs.tail: _*)
               .collect().map { r =>
-                r.getAs[Int]("_bucket") -> zonemapCols.map(c =>
+                r.getAs[Int]("_bucket") -> present.map(c =>
                   c -> (r.getAs[String](s"__lo_$c"), r.getAs[String](s"__hi_$c"))).toMap
               }.toMap
           }
+        }
 
         // 3. Promote each rewritten bucket dir to its versioned location.
         (listDirs(out).filter(_.getFileName.toString.startsWith("_bucket="))
