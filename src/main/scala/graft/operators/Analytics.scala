@@ -59,6 +59,10 @@ object Analytics {
   // sketch landed within its documented 5% relative error. The oracle asserts
   // the exact count and `true` — a sketch drifting out of tolerance fails the
   // hash check.
+  // The gate is 3× the configured rsd: rsd is a STANDARD deviation, so
+  // gating at 1× is a coin toss per cardinality regime (it passed at
+  // sf0.01–0.1 and failed at the 10× scale gate's cardinalities); 3σ is
+  // the guarantee-backed bound that holds across scales.
   private val approxDistinct: Q = (s, dir) =>
     ord(
       Tables(s, dir, "events")
@@ -69,7 +73,7 @@ object Analytics {
         .select(
           col("event_type"), col("n_users"),
           (abs(col("approx_users") - col("n_users")).cast("double") <=
-            col("n_users").cast("double") * 0.05).as("approx_ok")),
+            col("n_users").cast("double") * 0.15).as("approx_ok")),
       "event_type")
 
   // Tumbling event-time window via Spark's native window() (streaming-identical
