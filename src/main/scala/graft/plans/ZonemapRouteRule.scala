@@ -213,14 +213,16 @@ object ZonemapRouteRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  /** The join-key interval `side` can contribute: the union of the key's
-    * zone entries over the buckets SURVIVING side's own filters. None —
-    * no pruning possible — if the side is not a fully-registered sink
-    * scan, the key is computed rather than stored, any surviving bucket
-    * lacks a provable key zone, or no bucket survives at all (the empty
-    * side is the Filter case's job, via LocalRelation + empty-relation
-    * propagation). */
-  private def keyBounds(side: LogicalPlan, key: AttributeReference): Option[(Any, Any)] =
+  /** The join-key intervals `side` can contribute: one [lo, hi] per bucket
+    * SURVIVING side's own filters — an interval LIST, not their convex
+    * union, so two surviving dim buckets with disjoint key ranges don't
+    * smear into one wide bound that keeps every fact bucket in the gap.
+    * None — no pruning possible — if the side is not a fully-registered
+    * sink scan, the key is computed rather than stored, any surviving
+    * bucket lacks a provable key zone, or no bucket survives at all (the
+    * empty side is the Filter case's job, via LocalRelation +
+    * empty-relation propagation). */
+  private def keyBounds(side: LogicalPlan, key: AttributeReference): Option[Seq[(Any, Any)]] =
     scanOf(side).flatMap { case (l, fs, conjuncts) =>
       if (!l.outputSet.contains(key)) None
       else {
@@ -234,24 +236,19 @@ object ZonemapRouteRule extends Rule[LogicalPlan] with PredicateHelper {
             if (lo == null || hi == null) None else Some((lo, hi))
           })
         if (surviving.isEmpty || bounds.exists(_.isEmpty)) None
-        else {
-          val ord = TypeUtils.getInterpretedOrdering(key.dataType)
-          Some(bounds.flatten.reduce((x, y) =>
-            (if (ord.lt(x._1, y._1)) x._1 else y._1,
-              if (ord.gt(x._2, y._2)) x._2 else y._2)))
-        }
+        else Some(bounds.flatten)
       }
     }
 
-  /** Drop `side`'s buckets whose zone for `key` is provably outside
-    * `bounds`; buckets with no/uncastable key zone are kept. Returns
-    * `side` untouched (reference-equal) when nothing prunes. */
+  /** Drop `side`'s buckets whose zone for `key` is provably disjoint from
+    * EVERY interval in `bounds`; buckets with no/uncastable key zone are
+    * kept. Returns `side` untouched (reference-equal) when nothing
+    * prunes. */
   private def pruneByKey(side: LogicalPlan, key: AttributeReference,
-                         bounds: (Any, Any)): LogicalPlan =
+                         bounds: Seq[(Any, Any)]): LogicalPlan =
     scanOf(side) match {
       case Some((l, fs, _)) if l.outputSet.contains(key) =>
         val ord = TypeUtils.getInterpretedOrdering(key.dataType)
-        val (blo, bhi) = bounds
         val kept = fs.location.rootPaths.filter { p =>
           pathZones.get(p.toUri.getPath).get(key.name) match {
             case None => true
@@ -259,7 +256,9 @@ object ZonemapRouteRule extends Rule[LogicalPlan] with PredicateHelper {
               val zlo = tryCastStr(loS, key.dataType)
               val zhi = tryCastStr(hiS, key.dataType)
               if (zlo == null || zhi == null) true
-              else !(ord.lt(zhi, blo) || ord.gt(zlo, bhi))
+              else bounds.exists { case (blo, bhi) =>
+                !(ord.lt(zhi, blo) || ord.gt(zlo, bhi))
+              }
           }
         }
         if (kept.size == fs.location.rootPaths.size) side

@@ -211,6 +211,16 @@ class ZonemapSpec extends SparkTestBase {
     assert(plannedBucketsIn(outer, fdir).size == 8,
       "left-outer keeps unmatched fact rows — pruning them would drop output")
 
+    // disjoint dim survivors prune as an interval LIST, not their convex
+    // union: grp IN (0, 3) keeps fact days {0,1} and {6,7} — the smeared
+    // union bound would have kept every bucket in the gap too
+    val inlist = fact.table().join(dim.table().filter(col("grp").isin(0, 3)), Seq("x"))
+    assert(plannedBucketsIn(inlist, fdir) == Seq(0, 1, 6, 7),
+      "per-dim-bucket intervals must not smear across the gap")
+    assert(sortedRows(inlist.select("x", "d", "id", "grp")) ==
+      sortedRows(fact.current.join(dimRows.filter(col("grp").isin(0, 3)), Seq("x"))
+        .select("x", "d", "id", "grp")))
+
     // a provably-empty dim side collapses the whole join
     val none = fact.table().join(dim.table().filter(col("grp") === 99), Seq("x"))
     assert(none.count() == 0)
