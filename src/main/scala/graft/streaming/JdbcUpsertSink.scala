@@ -120,15 +120,16 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
     ensure(c, s"CREATE TABLE $table ($colDefs, PRIMARY KEY (${keys.mkString(", ")}))")
     ensure(c, s"CREATE TABLE $stage ($stageDefs)")
     ensure(c, s"CREATE TABLE $stageDedup ($stageDefs)")
-    // Key indexes on both staging tables: mergeCommit's delete-wins
-    // anti-join probes `stage` per row (NOT EXISTS on key + tombstone) and
-    // the conflict probe groups `stageDedup` by key — unindexed, Derby runs
-    // both as nested-loop full scans, O(batch × tombstones): measured
-    // non-terminating at the 10× scale gate (1M-row batch, 100k
-    // tombstones). Indexed they are O(batch log batch), the shape a
-    // warehouse target gives these probes via its key hash.
+    // Key index on the RAW staging table only: mergeCommit's delete-wins
+    // anti-join probes it per row (NOT EXISTS on key + tombstone) —
+    // unindexed, Derby runs that as a nested-loop full scan,
+    // O(batch × tombstones): measured non-terminating at the 10× scale
+    // gate (1M-row batch, 100k tombstones). Indexed it is
+    // O(batch log batch), the shape a warehouse target gives the probe via
+    // its key hash. stageDedup deliberately stays index-free — the MERGE
+    // probes the TARGET's primary key and the conflict probe is a
+    // sort-group-by, so an index there would be pure insert-path overhead.
     ensure(c, s"CREATE INDEX ${stage}_k ON $stage (${keys.mkString(", ")}, $DelCol)")
-    ensure(c, s"CREATE INDEX ${stageDedup}_k ON $stageDedup (${keys.mkString(", ")})")
     ensure(c, "CREATE TABLE graft_commits (sink_name VARCHAR(128) PRIMARY KEY, batch_id BIGINT)")
   }
 
@@ -193,7 +194,10 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
 
   private[streaming] def clearStaging(): Unit = withConn { c =>
     val st = c.createStatement()
-    try st.executeUpdate(s"DELETE FROM $stage") finally st.close()
+    // TRUNCATE, not DELETE: with the staging key index in place a
+    // row-by-row DELETE pays index maintenance per row; the truncate is a
+    // conglomerate swap, O(1) in batch size
+    try st.executeUpdate(s"TRUNCATE TABLE $stage") finally st.close()
   }
 
   /** The executor-parallel staging load. Each partition commits its own
@@ -239,11 +243,17 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
     * boundary. */
   private[streaming] def mergeCommit(batchId: Long): Unit =
     withConn { c =>
+      // pre-transaction cleanup of the PREVIOUS merge's dedup rows: a
+      // TRUNCATE under its own autocommit (conglomerate swap) instead of an
+      // index-maintained row-by-row DELETE inside the transaction. A crash
+      // right after leaves an empty dedup table — exactly what the replay
+      // expects to find.
+      val stTrunc = c.createStatement()
+      try stTrunc.executeUpdate(s"TRUNCATE TABLE $stageDedup") finally stTrunc.close()
       c.setAutoCommit(false)
       try {
         val st0 = c.createStatement()
         try {
-          st0.executeUpdate(s"DELETE FROM $stageDedup")
           // DELETE WINS within a batch (the parquet sink's rule): an upsert
           // row whose key also carries a tombstone in the same batch is
           // dropped here, so only one intent per key survives into the

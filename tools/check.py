@@ -10,6 +10,7 @@ compares: column names (sorted), row count, and full sorted-rowset equality.
 import sys, os, json, math
 import duckdb
 
+BIG = 200_000
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
@@ -38,17 +39,19 @@ def main(sf_dir, out_dir, json_out=None):
             continue
         spark_rel = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
         scols = sorted(spark_rel.columns)
-        srows = con.execute(
-            f"SELECT {', '.join(q(c) for c in scols)} FROM read_parquet('{d}/*.parquet')").fetchall()
+        n_s = con.execute(
+            f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
         if name not in oracles:
-            print(f"  [rows-only] {name}: {len(srows)} rows")
-            results[name] = {"status": "rows-only", "rows": len(srows)}
+            print(f"  [rows-only] {name}: {n_s} rows")
+            results[name] = {"status": "rows-only", "rows": n_s}
             continue
         try:
-            orel = con.sql(oracles[name])
+            # materialize the oracle ONCE; big results then compare
+            # set-wise inside DuckDB instead of as python tuples
+            con.execute(f"CREATE OR REPLACE TEMP TABLE __oracle AS {oracles[name]}")
+            orel = con.sql("SELECT * FROM __oracle")
             ocols = sorted(orel.columns)
-            orows = con.execute(
-                f"SELECT {', '.join(q(c) for c in ocols)} FROM ({oracles[name]})").fetchall()
+            n_o = con.execute("SELECT count(*) FROM __oracle").fetchone()[0]
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             results[name] = {"status": "fail", "err": str(e)[:500]}
@@ -74,6 +77,29 @@ def main(sf_dir, out_dir, json_out=None):
             results[name] = {"status": "fail", "err": f"dtype divergence: {fam_bad}"}
             n_bad += 1
             continue
+        cols = ', '.join(q(c) for c in scols)
+        sq = f"SELECT {cols} FROM read_parquet('{d}/*.parquet')"
+        oq = f"SELECT {cols} FROM __oracle"
+        if max(n_s, n_o) > BIG:
+            # bag-compare in the engine: duplicates respected (EXCEPT ALL),
+            # NaN equal under DuckDB's total order — the same verdict the
+            # python path reaches, without materializing 10^7 tuples
+            d1 = con.execute(f"SELECT count(*) FROM (({sq}) EXCEPT ALL ({oq}))").fetchone()[0]
+            d2 = con.execute(f"SELECT count(*) FROM (({oq}) EXCEPT ALL ({sq}))").fetchone()[0]
+            if n_s == n_o and d1 == 0 and d2 == 0:
+                print(f"ok   {name}: {n_s} rows (engine-side compare)")
+                results[name] = {"status": "ok", "rows": n_s}
+                n_ok += 1
+            else:
+                n_bad += 1
+                print(f"FAIL {name}: spark {n_s} rows vs oracle {n_o} rows "
+                      f"(spark-only {d1}, oracle-only {d2})")
+                results[name] = {"status": "fail",
+                                 "err": f"rowset mismatch: spark {n_s} vs oracle {n_o} "
+                                        f"(spark-only {d1}, oracle-only {d2})"}
+            continue
+        srows = con.execute(sq).fetchall()
+        orows = con.execute(oq).fetchall()
         a = sorted([tuple(norm(v) for v in r) for r in srows], key=repr)
         b = sorted([tuple(norm(v) for v in r) for r in orows], key=repr)
         if a == b:
