@@ -23,8 +23,15 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir, json_out=None):
+def main(sf_dir, out_dir, json_out=None, only=None):
     results = {}
+
+    def flush():
+        if json_out:
+            with open(json_out + ".tmp", "w") as f:
+                json.dump({"sf_dir": sf_dir, "ok": n_ok, "fail": n_bad,
+                           "queries": results}, f, indent=1, sort_keys=True)
+            os.replace(json_out + ".tmp", json_out)
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -37,6 +44,9 @@ def main(sf_dir, out_dir, json_out=None):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
+        if only is not None and name not in only:
+            continue
+        flush()
         spark_rel = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
         scols = sorted(spark_rel.columns)
         n_s = con.execute(
@@ -119,6 +129,7 @@ def main(sf_dir, out_dir, json_out=None):
                              "err": f"rowset mismatch: spark {len(a)} vs oracle {len(b)} rows",
                              "spark_only": [repr(r) for r in diff_a],
                              "oracle_only": [repr(r) for r in diff_b]}
+    flush()
     print(f"== {n_ok} ok, {n_bad} fail ==")
     if json_out:
         with open(json_out, "w") as f:
@@ -152,4 +163,5 @@ def family(t):
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2],
-                  sys.argv[3] if len(sys.argv) > 3 else None))
+                  sys.argv[3] if len(sys.argv) > 3 else None,
+                  set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None))
