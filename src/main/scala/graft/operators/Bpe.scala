@@ -107,16 +107,20 @@ object Bpe {
 
   /** The Catalyst K-round trainer over an arbitrary type table (the graded
     * K=8 lane). A sliding cache window keeps two live entries instead of K
-    * (round i's argmax materializes seg i−1's cache, freeing seg i−2), and
-    * an eager localCheckpoint every `checkpointEvery` rounds truncates the
-    * lineage. Neither changes values (BpeSpec pins the chain). NOTE the
-    * measured limit: the per-round plan nests one higher-order aggregate
-    * per round and optimizer+codegen cost grows EXPONENTIALLY in that
-    * depth (~1.6×/round past ~10 uncheckpointed rounds) — which is why the
+    * (round i's argmax materializes seg i−1's cache, freeing seg i−2); it
+    * changes no values (BpeSpec pins the chain). `checkpointEvery` can
+    * truncate lineage with an eager localCheckpoint but DEFAULTS OFF: a
+    * localCheckpoint's blocks are unrecoverable after executor loss
+    * (unlike the cache chain, which recomputes from source), so it is a
+    * fragility trade no K≤8 caller should pay. NOTE the measured limit:
+    * the per-round plan nests one higher-order aggregate per round and
+    * optimizer+codegen cost grows EXPONENTIALLY in that depth
+    * (~1.6×/round past ~10 unbroken rounds) — which is why the
     * realistic-K lane (`bpe_train_big`) runs `localChain` over the
     * collected type table instead of stretching this chain.
     * Stops early when no adjacent pair remains (every type fully merged). */
-  private[operators] def chainOf(types: DataFrame, k: Int, checkpointEvery: Int = 8)
+  private[operators] def chainOf(types: DataFrame, k: Int,
+                                 checkpointEvery: Int = Int.MaxValue)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     var seg = seg0(types).cache()
     var prev: Option[DataFrame] = None

@@ -226,9 +226,18 @@ object ZonemapRouteRule extends Rule[LogicalPlan] with PredicateHelper {
     scanOf(side).flatMap { case (l, fs, conjuncts) =>
       if (!l.outputSet.contains(key)) None
       else {
+        // only conjuncts whose attributes resolve to the RELATION's own
+        // outputs may narrow the survivor set: a Filter above a Project
+        // can reference an alias that shadows a stored column's NAME
+        // (e.g. (grp+1).as("grp")) — testing that against the stored
+        // zones would derive bounds from the wrong buckets and prune
+        // fact buckets that hold matches. Ignoring such a conjunct only
+        // widens the bound: conservative.
+        val applicable =
+          conjuncts.filter(_.references.subsetOf(l.outputSet))
         val surviving = fs.location.rootPaths
           .map(p => pathZones.get(p.toUri.getPath))
-          .filter(zs => conjuncts.forall(keeps(zs, _)))
+          .filter(zs => applicable.forall(keeps(zs, _)))
         val bounds = surviving.map(zs =>
           zs.get(key.name).flatMap { case (loS, hiS) =>
             val lo = tryCastStr(loS, key.dataType)

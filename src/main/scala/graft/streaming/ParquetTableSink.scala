@@ -758,7 +758,14 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     * and `ProcessHandle.of` would misread a live foreign writer as dead. */
   private val localHost: String =
     scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
-      .toOption.filter(_.nonEmpty).getOrElse("unknown-host")
+      .toOption.filter(_.nonEmpty)
+      // the fallback must be NON-MATCHABLE: a shared constant like
+      // "unknown-host" would compare equal between two misconfigured
+      // machines on one NFS volume and re-enable the cross-host pid sweep
+      // the hostname field exists to prevent. Suffixing the writer nonce
+      // makes an unresolvable host unverifiable everywhere (loud error),
+      // while the own-nonce branch still cleans our own leftovers.
+      .getOrElse(s"unknown-host-$writerNonce")
 
   private def pidAlive(pid: Long): Boolean =
     scala.util.Try(ProcessHandle.of(pid)).toOption
@@ -770,9 +777,15 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     * live concurrent writer: it carries OUR nonce (this instance's own
     * failed earlier attempt whose finally-release was skipped by a hard
     * kill), or its holder pid is dead (a crashed process — hands-off
-    * restart recovery). The sweep goes through an atomic rename so two
-    * sweepers cannot both "delete the stale file" and race past each
-    * other; a swept lock that turns out live is renamed back untouched.
+    * restart recovery). Pid liveness is only ever judged for SAME-HOST
+    * locks (the hostname field), which makes the sweep itself
+    * serializable with an OS advisory lock on a local sidecar file: under
+    * the flock, the lock content is RE-read and deleted only if it still
+    * matches the dead holder we verified — a sweeper that lost the race
+    * (content changed: another sweeper cleared it and a fresh writer took
+    * over) deletes nothing and falls through to the createLink attempt,
+    * which fails loudly against the new holder. No rename/put-back
+    * window exists in which a live holder's lock leaves `lockPath`.
     * A live (or unverifiable) holder fails the acquire loudly —
     * `breakLock()` is the operator's escape hatch. */
   private def acquireWriterLock(batchId: Long): Unit = {
@@ -793,34 +806,7 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
         // synchronized — the lock is our own earlier failed attempt's
         // leftover; a plain delete cannot race anyone
         Files.deleteIfExists(lockPath)
-      else if (deadPid) {
-        // sweep a crashed writer's lock through an atomic rename (single
-        // sweeper wins), then RE-verify the taken file: in the window
-        // between read and rename another sweeper may have cleared it and
-        // a fresh live writer taken the lock — renaming THAT one by
-        // accident must be undone, not deleted
-        val swept = manifestDir.resolve(s".writer-lock.sweep-$writerNonce")
-        if (scala.util.Try(Files.move(lockPath, swept,
-            StandardCopyOption.ATOMIC_MOVE)).isSuccess) {
-          val c2 = scala.util.Try(Files.readString(swept).trim).getOrElse("")
-          val (own2, dead2) = holderOf(c2)
-          if (own2 || dead2) Files.deleteIfExists(swept)
-          else {
-            // the swept file turned out to be a LIVE holder's lock: put it
-            // back via createLink, which fails atomically on EEXIST — a
-            // rename here would silently clobber a fresh lock taken during
-            // the sweep window, leaving two writers both "holding" it
-            try { Files.createLink(lockPath, swept); Files.delete(swept) }
-            catch {
-              case _: java.nio.file.FileAlreadyExistsException =>
-                sys.error(s"ParquetTableSink($dir): lock sweep raced a " +
-                  s"new writer — a live holder's lock ($c2) is parked at " +
-                  s"$swept for operator inspection; resolve which writer " +
-                  "owns the table, then breakLock() and rerun")
-            }
-          }
-        }
-      }
+      else if (deadPid) sweepDeadLock(c)
       else
         sys.error(s"ParquetTableSink($dir): the table is locked by a " +
           s"live writer ($c) — a concurrent duplicate deployment; if the " +
@@ -840,6 +826,33 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     Files.delete(tmp)
   }
 
+  /** Delete a verified-dead holder's lock, serialized against other
+    * sweepers by flock on a sidecar mutex file. Only same-host locks ever
+    * reach here (holderOf's hostname guard), so the advisory lock is
+    * always between processes of ONE machine — the case flock is reliable
+    * for, NFS included. Under the mutex the content is re-read: deletion
+    * happens only if the lock is still exactly the dead holder we
+    * verified; any change means we lost the race and the normal
+    * createLink acquire below reports the new holder loudly. The JVM-wide
+    * guard serializes same-process sweepers (two sink instances), which
+    * would otherwise trip OverlappingFileLockException instead of
+    * blocking. */
+  private def sweepDeadLock(deadContent: String): Unit =
+    ParquetTableSink.sweepGuard.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        manifestDir.resolve(".writer-lock.mutex"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock()
+        try {
+          if (scala.util.Try(Files.readString(lockPath).trim).toOption
+              .contains(deadContent))
+            Files.deleteIfExists(lockPath)
+        } finally fl.release()
+      } finally ch.close()
+    }
+
   /** Release the lock only if it is still OURS — if an operator broke it
     * and another writer re-took it, deleting here would unlock them. */
   private def releaseWriterLock(): Unit =
@@ -853,7 +866,13 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
     * lost-update race this guard exists to prevent. */
   def breakLock(): Unit =
     listDirs(manifestDir)
-      .filter(_.getFileName.toString.startsWith(".writer-lock"))
+      .filter { p =>
+        val n = p.getFileName.toString
+        // never the sweep mutex: deleting a file another process holds
+        // flocked would hand later sweepers a fresh inode and two
+        // "exclusive" holders
+        n.startsWith(".writer-lock") && n != ".writer-lock.mutex"
+      }
       .foreach(Files.deleteIfExists)
 
   /** Shallow clone — fork the CURRENT committed snapshot to `destDir`
@@ -1026,4 +1045,10 @@ object ParquetTableSink {
   /** Reserved CDC column: a BOOLEAN a merge batch may carry; `true` rows are
     * tombstones whose keys are deleted from the table (see `merge`). */
   val DeleteCol = "_deleted"
+
+  /** JVM-wide serialization of dead-lock sweeps (see `sweepDeadLock`):
+    * java's file locks are per-JVM, so two sink instances sweeping the
+    * same table from one process would hit OverlappingFileLockException
+    * rather than queue behind each other. */
+  private[streaming] val sweepGuard = new Object
 }

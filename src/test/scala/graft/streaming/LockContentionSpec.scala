@@ -82,23 +82,28 @@ class LockContentionSpec extends SparkTestBase {
     assert(ids(sink.current) == (0L until 100L),
       "the blocked writers must leave committed state untouched")
 
-    // 2) release the foreign writer; its commit lands; local retry serializes
+    // 2) release the foreign writer; its commit lands; a SECOND foreign
+    // process then merges the next batch, and the local retry serializes
+    // after both — three writers' commits all visible, no lost update
     Files.writeString(Paths.get(s"$beacon.go"), "go")
     assert(holder.waitFor(120, TimeUnit.SECONDS) && holder.exitValue() == 0,
       "the foreign merge must complete cleanly once released")
-    sink.merge(session.range(200, 300).select(col("id"), (col("id") * 10).as("v")), 2L)
+    val plain = spawn("merge", table, s"$beacon-m", 2L, 200L, 250L)
+    assert(plain.waitFor(120, TimeUnit.SECONDS) && plain.exitValue() == 0,
+      "an uncontended foreign merge must land cleanly")
+    sink.merge(session.range(250, 300).select(col("id"), (col("id") * 10).as("v")), 3L)
     assert(ids(sink.current) == (0L until 300L),
-      "both processes' commits must be visible — serialized, no lost update")
+      "all three processes' commits must be visible — serialized, no lost update")
 
     // 3) a foreign writer hard-killed while HOLDING the lock: pid is
     // really dead on this host, so the next local merge sweeps hands-off
-    val victim = spawn("die", table, s"$beacon-die", 3L, 300L, 400L)
+    val victim = spawn("die", table, s"$beacon-die", 4L, 300L, 400L)
     awaitFile(Paths.get(s"$beacon-die.held"))
     assert(victim.waitFor(120, TimeUnit.SECONDS) && victim.exitValue() == 7,
       "the victim must have halted at the lock-held point")
     assert(Files.exists(Paths.get(table, "manifest", ".writer-lock")),
       "the hard kill must leave the lock behind (no finally ran)")
-    sink.merge(session.range(300, 400).select(col("id"), (col("id") * 10).as("v")), 3L)
+    sink.merge(session.range(300, 400).select(col("id"), (col("id") * 10).as("v")), 4L)
     assert(ids(sink.current) == (0L until 400L))
     assert(!Files.exists(Paths.get(table, "manifest", ".writer-lock")))
 
@@ -109,7 +114,7 @@ class LockContentionSpec extends SparkTestBase {
       try s.iterator().asScala.size finally s.close()
     }
     val before = dataDirs()
-    val holder2 = spawn("hold", table, s"$beacon-v", 4L, 400L, 500L)
+    val holder2 = spawn("hold", table, s"$beacon-v", 5L, 400L, 500L)
     awaitFile(Paths.get(s"$beacon-v.held"))
     intercept[RuntimeException](sink.vacuum(keep = 1))
     assert(dataDirs() == before,
