@@ -56,13 +56,13 @@ object Analytics {
   // reproducible in DuckDB (different sketch), but the estimate is deterministic
   // on Spark (register merge is a commutative max — partitioning can't change
   // it), so we emit the exact distinct count plus a boolean asserting the
-  // sketch landed within its documented 5% relative error. The oracle asserts
-  // the exact count and `true` — a sketch drifting out of tolerance fails the
-  // hash check.
-  // The gate is 3× the configured rsd: rsd is a STANDARD deviation, so
-  // gating at 1× is a coin toss per cardinality regime (it passed at
-  // sf0.01–0.1 and failed at the 10× scale gate's cardinalities); 3σ is
-  // the guarantee-backed bound that holds across scales.
+  // sketch landed within 3× its configured 0.05 rsd (0.15 relative error).
+  // The oracle asserts the exact count and `true` — a sketch drifting out of
+  // tolerance fails the hash check.
+  // Why 3×: rsd is a STANDARD deviation, so gating at 1× is a coin toss per
+  // cardinality regime (it passed at sf0.01–0.1 and failed at the 10× scale
+  // gate's cardinalities); 3σ is the guarantee-backed bound that holds across
+  // scales.
   private val approxDistinct: Q = (s, dir) =>
     ord(
       Tables(s, dir, "events")

@@ -144,6 +144,11 @@ object Bpe {
         i += 1
       }
     }
+    // Materialize the final segmentation into its own cache BEFORE dropping
+    // seg k−1: when the loop exits on i > k (rather than exhaustion) the last
+    // round's bestOf never scanned `seg`, and unpersisting its parent first
+    // would make the caller's first action replay the whole K-round lineage.
+    seg.count()
     prev.foreach(_.unpersist(false))
     (merges.result(), seg)
   }
@@ -155,6 +160,21 @@ object Bpe {
       .select(col("merge_rank"), col("l"), col("r"),
         concat(col("l"), col("r")).as("merged"), col("pair_count"))
       .orderBy("merge_rank")
+  }
+
+  /** Tie-breaks by UTF-8 byte order — Spark's binary string ordering — so
+    * `localChain` picks the same argmin pair as the Catalyst lane's `bestOf`
+    * for ANY input, not just the BMP/ASCII range where JVM UTF-16 code-unit
+    * ordering happens to agree (the two diverge for supplementary-plane
+    * characters, where UTF-16 surrogates sort below some BMP code points). */
+  private val utf8Ordering: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    var c = 0
+    while (i < n && c == 0) { c = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+    if (c != 0) c else x.length - y.length
   }
 
   /** The greedy left-to-right merge pass of (l, r) over one token array —
@@ -202,7 +222,8 @@ object Bpe {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        val ((l, r), c) = counts.minBy({ case ((l, r), c) => (-c, l, r) })(
+          Ordering.Tuple3(Ordering.Long, utf8Ordering, utf8Ordering))
         merges += ((i, l, r, c))
         seg = seg.map { case (w, f, toks) => (w, f, localPass(toks, l, r)) }
         i += 1

@@ -752,13 +752,25 @@ final class ParquetTableSink(spark: SparkSession, dir: String,
   private val writerNonce = java.util.UUID.randomUUID().toString.take(12)
 
   /** Pid liveness is only checkable for processes on THIS machine — the
-    * lock records the holder's hostname so a lock taken from another host
-    * sharing the table dir (NFS / shared volume, the canonical
-    * double-deployment) is never pid-swept: its pid namespace is not ours
-    * and `ProcessHandle.of` would misread a live foreign writer as dead. */
+    * lock records the holder's machine identity so a lock taken from
+    * another host sharing the table dir (NFS / shared volume, the
+    * canonical double-deployment) is never pid-swept: its pid namespace is
+    * not ours and `ProcessHandle.of` would misread a live foreign writer
+    * as dead.
+    *
+    * Hostname alone is NOT a machine identity: two containers or cloned
+    * VMs with a default hostname (e.g. "localhost") mounting one shared
+    * volume would pass a bare-hostname same-host check and pid-sweep each
+    * other's live locks. The identity therefore appends a per-pid-namespace
+    * uuid persisted under `java.io.tmpdir` — /tmp is per-container, so two
+    * containers on one kernel (which SHARE boot_id but not pid namespaces)
+    * still get distinct identities, while processes of the same machine
+    * (which share /tmp and a pid namespace) read the same uuid and keep
+    * the legitimate same-host sweep. */
   private val localHost: String =
     scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
       .toOption.filter(_.nonEmpty)
+      .map(h => s"$h+${ParquetTableSink.machineUuid}")
       // the fallback must be NON-MATCHABLE: a shared constant like
       // "unknown-host" would compare equal between two misconfigured
       // machines on one NFS volume and re-enable the cross-host pid sweep
@@ -1051,4 +1063,28 @@ object ParquetTableSink {
     * same table from one process would hit OverlappingFileLockException
     * rather than queue behind each other. */
   private[streaming] val sweepGuard = new Object
+
+  /** Per-machine (strictly: per-pid-namespace) uuid backing the lock's
+    * same-host check. Persisted once under `java.io.tmpdir` so every
+    * process of this machine/container reads the same value; creation
+    * races resolve via `createLink`'s atomic EEXIST (same idiom as the
+    * writer lock itself) so exactly one uuid ever wins. Falls back to a
+    * process-unique value if tmpdir is unwritable — unverifiable-loud,
+    * never falsely matchable. */
+  private[streaming] lazy val machineUuid: String = {
+    val f = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-machine-id")
+    def readIt = scala.util.Try(Files.readString(f).trim).toOption.filter(_.nonEmpty)
+    readIt.getOrElse {
+      val u = java.util.UUID.randomUUID().toString.take(8)
+      val res = scala.util.Try {
+        val tmp = java.nio.file.Files.createTempFile("graft-machine-id", ".tmp")
+        Files.writeString(tmp, u)
+        try { Files.createLink(f, tmp); u }
+        catch { case _: java.nio.file.FileAlreadyExistsException => readIt.getOrElse(u) }
+        finally Files.deleteIfExists(tmp)
+      }
+      res.getOrElse(s"volatile-$u")
+    }
+  }
 }
