@@ -12,11 +12,11 @@ class RegistrySpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  // Deliberately rows-only: a K-round unrolled CTE chain at K=1024 is the
-  // exponential-inlining trap the graded K=8 bpe oracle documents;
-  // correctness at those parameters is pinned by BpeSpec (cross-lane
-  // equality with the graded chain, round-trip, closure, determinism).
-  private val rowsOnlyByDesign = Set("bpe_train_big")
+  // Empty since round 16: bpe_train_big — the last rows-only row — is now
+  // graded via its BIG_P merge prefix (prefix equality pins the greedy
+  // loop's determinism; see Bpe.BIG_P). Kept so any future exemption must
+  // be named here explicitly rather than silently dropping its oracle.
+  private val rowsOnlyByDesign = Set.empty[String]
 
   test("every query key has an oracle — the registry is fully graded") {
     // round 14 closed the one historic exception: now_snapshot reads an
