@@ -3,7 +3,7 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -60,25 +60,47 @@ object ZonemapRouteRule extends Rule[LogicalPlan] with PredicateHelper {
     // outside it are dropped — a dim-predicate-driven fact prune with zero
     // Spark jobs (Spark's own DPP needs a runtime subquery; the sink's
     // committed per-bucket bounds give a static, conservative analog).
-    // Inner/LeftSemi only: every output row needs a join match, so a fact
-    // row outside the dim key interval cannot contribute. Both orientations
-    // are tried — "fact" is just whichever side the other side can narrow.
-    case j @ Join(left, right, jt, Some(cond), _) if jt == Inner || jt == LeftSemi =>
+    // Per-side prunability follows the join type's preservation rules: a
+    // side may be pruned by the other's key bounds only when its rows
+    // contribute to the output EXCLUSIVELY through a join match. Inner and
+    // LeftSemi allow both sides; an outer join's PRESERVED side must never
+    // be pruned (unmatched rows still flow out) but its non-preserved side
+    // may be (an unmatched inner row only pads NULLs that a missing row
+    // pads identically); LeftAnti's right side only matters where it CAN
+    // match, so it too prunes — while its left side is all-preserved-or-
+    // dropped and must stay whole. FullOuter preserves both: untouched.
+    //
+    // Composite keys prune as one interval VECTOR per surviving bucket of
+    // the bounding side, not per-column independently: a fact bucket
+    // survives only if SOME single dim bucket overlaps it on EVERY key —
+    // two dim buckets each matching a different key can no longer keep a
+    // fact bucket neither could serve alone.
+    case j @ Join(left, right, jt, Some(cond), _)
+        if jt == Inner || jt == LeftSemi || jt == LeftOuter ||
+          jt == RightOuter || jt == LeftAnti =>
+      val (canPruneLeft, canPruneRight) = jt match {
+        case Inner | LeftSemi => (true, true)
+        case LeftOuter | LeftAnti => (false, true)
+        case RightOuter => (true, false)
+        case _ => (false, false)
+      }
       val keyPairs = splitConjunctivePredicates(cond).collect {
-        case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
+        case EqualTo(x: AttributeReference, y: AttributeReference) => (x, y)
+      }.flatMap { case (x, y) =>
+        if (left.outputSet.contains(x) && right.outputSet.contains(y)) Some((x, y))
+        else if (left.outputSet.contains(y) && right.outputSet.contains(x)) Some((y, x))
+        else None
       }
       if (keyPairs.isEmpty) j
       else {
-        val newLeft = keyPairs.foldLeft(left) { case (side, (a, b)) =>
-          val (lk, rk) = if (left.outputSet.contains(a)) (a, b) else (b, a)
-          if (!left.outputSet.contains(lk) || !right.outputSet.contains(rk)) side
-          else keyBounds(right, rk).map(bs => pruneByKey(side, lk, bs)).getOrElse(side)
-        }
-        val newRight = keyPairs.foldLeft(right) { case (side, (a, b)) =>
-          val (lk, rk) = if (left.outputSet.contains(a)) (a, b) else (b, a)
-          if (!left.outputSet.contains(lk) || !right.outputSet.contains(rk)) side
-          else keyBounds(left, lk).map(bs => pruneByKey(side, rk, bs)).getOrElse(side)
-        }
+        val newLeft =
+          if (!canPruneLeft) left
+          else multiKeyBounds(right, keyPairs.map(_._2))
+            .map(bs => pruneByKeys(left, keyPairs.map(_._1), bs)).getOrElse(left)
+        val newRight =
+          if (!canPruneRight) right
+          else multiKeyBounds(left, keyPairs.map(_._1))
+            .map(bs => pruneByKeys(right, keyPairs.map(_._2), bs)).getOrElse(right)
         if (newLeft.eq(left) && newRight.eq(right)) j
         else j.copy(left = newLeft, right = newRight)
       }
@@ -213,62 +235,70 @@ object ZonemapRouteRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  /** The join-key intervals `side` can contribute: one [lo, hi] per bucket
-    * SURVIVING side's own filters — an interval LIST, not their convex
-    * union, so two surviving dim buckets with disjoint key ranges don't
-    * smear into one wide bound that keeps every fact bucket in the gap.
-    * None — no pruning possible — if the side is not a fully-registered
-    * sink scan, the key is computed rather than stored, any surviving
-    * bucket lacks a provable key zone, or no bucket survives at all (the
-    * empty side is the Filter case's job, via LocalRelation +
-    * empty-relation propagation). */
-  private def keyBounds(side: LogicalPlan, key: AttributeReference): Option[Seq[(Any, Any)]] =
-    scanOf(side).flatMap { case (l, fs, conjuncts) =>
-      if (!l.outputSet.contains(key)) None
-      else {
-        // only conjuncts whose attributes resolve to the RELATION's own
-        // outputs may narrow the survivor set: a Filter above a Project
-        // can reference an alias that shadows a stored column's NAME
-        // (e.g. (grp+1).as("grp")) — testing that against the stored
-        // zones would derive bounds from the wrong buckets and prune
-        // fact buckets that hold matches. Ignoring such a conjunct only
-        // widens the bound: conservative.
-        val applicable =
-          conjuncts.filter(_.references.subsetOf(l.outputSet))
-        val surviving = fs.location.rootPaths
-          .map(p => pathZones.get(p.toUri.getPath))
-          .filter(zs => applicable.forall(keeps(zs, _)))
-        val bounds = surviving.map(zs =>
-          zs.get(key.name).flatMap { case (loS, hiS) =>
-            val lo = tryCastStr(loS, key.dataType)
-            val hi = tryCastStr(hiS, key.dataType)
-            if (lo == null || hi == null) None else Some((lo, hi))
-          })
-        if (surviving.isEmpty || bounds.exists(_.isEmpty)) None
-        else Some(bounds.flatten)
-      }
+  /** The per-key zone of one bucket's `zones` entry for `key`, as an
+    * internal-typed interval — None when the key has no provable zone in
+    * this bucket (missing entry, uncastable bound, or the attribute isn't
+    * a stored column of relation `l`), which every consumer treats as
+    * "unbounded: proves nothing". */
+  private def keyZone(l: LogicalRelation, zones: Map[String, (String, String)],
+                      key: AttributeReference): Option[(Any, Any)] =
+    if (!l.outputSet.contains(key)) None
+    else zones.get(key.name).flatMap { case (loS, hiS) =>
+      val lo = tryCastStr(loS, key.dataType)
+      val hi = tryCastStr(hiS, key.dataType)
+      if (lo == null || hi == null) None else Some((lo, hi))
     }
 
-  /** Drop `side`'s buckets whose zone for `key` is provably disjoint from
-    * EVERY interval in `bounds`; buckets with no/uncastable key zone are
-    * kept. Returns `side` untouched (reference-equal) when nothing
-    * prunes. */
-  private def pruneByKey(side: LogicalPlan, key: AttributeReference,
-                         bounds: Seq[(Any, Any)]): LogicalPlan =
+  /** The join-key interval VECTORS `side` can contribute: one entry per
+    * bucket surviving the side's own filters, holding that bucket's zone
+    * per key (None = unbounded on that key). A LIST of per-bucket vectors,
+    * not a per-key convex union, so (a) two surviving dim buckets with
+    * disjoint key ranges don't smear into one wide bound that keeps every
+    * fact bucket in the gap, and (b) a composite key prunes on the
+    * CONJUNCTION of its columns' overlaps within one bucket. None — no
+    * pruning possible — if the side is not a fully-registered sink scan,
+    * no bucket survives at all (the empty side is the Filter case's job,
+    * via LocalRelation + empty-relation propagation), or some surviving
+    * bucket is unbounded in EVERY key (it admits anything, so no bucket
+    * on the other side could ever be dropped). */
+  private def multiKeyBounds(side: LogicalPlan, keys: Seq[AttributeReference])
+      : Option[Seq[Seq[Option[(Any, Any)]]]] =
+    scanOf(side).flatMap { case (l, fs, conjuncts) =>
+      // only conjuncts whose attributes resolve to the RELATION's own
+      // outputs may narrow the survivor set: a Filter above a Project
+      // can reference an alias that shadows a stored column's NAME
+      // (e.g. (grp+1).as("grp")) — testing that against the stored
+      // zones would derive bounds from the wrong buckets and prune
+      // fact buckets that hold matches. Ignoring such a conjunct only
+      // widens the bound: conservative.
+      val applicable = conjuncts.filter(_.references.subsetOf(l.outputSet))
+      val surviving = fs.location.rootPaths
+        .map(p => pathZones.get(p.toUri.getPath))
+        .filter(zs => applicable.forall(keeps(zs, _)))
+      val vectors = surviving.map(zs => keys.map(k => keyZone(l, zs, k)))
+      if (surviving.isEmpty || vectors.exists(_.forall(_.isEmpty))) None
+      else Some(vectors)
+    }
+
+  /** Drop `side`'s buckets whose key zones are provably disjoint — on at
+    * least one key — from EVERY interval vector in `bounds`; a key with
+    * no provable zone on either end overlaps trivially. Returns `side`
+    * untouched (reference-equal) when nothing prunes. */
+  private def pruneByKeys(side: LogicalPlan, keys: Seq[AttributeReference],
+                          bounds: Seq[Seq[Option[(Any, Any)]]]): LogicalPlan =
     scanOf(side) match {
-      case Some((l, fs, _)) if l.outputSet.contains(key) =>
-        val ord = TypeUtils.getInterpretedOrdering(key.dataType)
+      case Some((l, fs, _)) =>
+        val ords = keys.map(k => TypeUtils.getInterpretedOrdering(k.dataType))
         val kept = fs.location.rootPaths.filter { p =>
-          pathZones.get(p.toUri.getPath).get(key.name) match {
-            case None => true
-            case Some((loS, hiS)) =>
-              val zlo = tryCastStr(loS, key.dataType)
-              val zhi = tryCastStr(hiS, key.dataType)
-              if (zlo == null || zhi == null) true
-              else bounds.exists { case (blo, bhi) =>
-                !(ord.lt(zhi, blo) || ord.gt(zlo, bhi))
-              }
-          }
+          val zs = pathZones.get(p.toUri.getPath)
+          val mine = keys.map(k => keyZone(l, zs, k))
+          bounds.exists(vec => keys.indices.forall { i =>
+            (mine(i), vec(i)) match {
+              case (Some((zlo, zhi)), Some((blo, bhi))) =>
+                !(ords(i).lt(zhi, blo) || ords(i).gt(zlo, bhi))
+              case _ => true // either side unbounded on this key
+            }
+          })
         }
         if (kept.size == fs.location.rootPaths.size) side
         else if (kept.isEmpty)

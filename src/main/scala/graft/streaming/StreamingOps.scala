@@ -581,6 +581,40 @@ object StreamingOps {
       .orderBy(col("day").asc_nulls_first)
   }
 
+  /** The OUTER-join face of the zonemap DPP-analog: the fact side carries
+    * the day-range filter (pruning its own buckets through the zonemap),
+    * and the surviving fact buckets' day zones then prune the DIM side of
+    * a fact-preserving LEFT OUTER join — sound because an outer join's
+    * non-preserved side only contributes through matches, so dim buckets
+    * provably outside the fact's key interval pad the same NULLs their
+    * absence pads. The dim table is deliberately INCOMPLETE (weeks 0-1
+    * only) so the outer join's NULL-extension lane is value-graded too. */
+  private val sinkZonemapJoinOuter: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("value"), to_date(col("ts")).as("day"))
+    val work = graft.Scratch.dir("graft-zonejoin-outer")
+    val fact = new ParquetTableSink(s, work.resolve("fact").toString,
+      ev.limit(0), keys = Seq("day", "event_id"), buckets = 8,
+      route = (dayofmonth(col("day")) - 1).divide(4).cast("int"),
+      zonemapCols = Seq("day"))
+    fact.merge(ev, 0L)
+    val days = ev.select(col("day")).distinct()
+      .filter(dayofmonth(col("day")) <= 14)
+      .withColumn("week", floor((dayofmonth(col("day")) - 1) / 7).cast("int"))
+    val dim = new ParquetTableSink(s, work.resolve("dim").toString,
+      days.limit(0), keys = Seq("day"), buckets = 5,
+      route = col("week"), zonemapCols = Seq("day", "week"))
+    dim.merge(days, 0L)
+    fact.table()
+      .filter(col("day") >= lit("2024-01-10").cast("date") &&
+        col("day") <= lit("2024-01-17").cast("date"))
+      .join(dim.table(), Seq("day"), "left_outer")
+      .groupBy(col("day"), col("week"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"))
+      .orderBy(col("day").asc_nulls_first)
+  }
+
   /** The streaming MATERIALIZED VIEW, graded: the same overlapping two-drop
     * at-least-once stream as `stream_sink_table`, but each micro-batch is
     * pre-aggregated to a per-(cohort, event_type) partial state and folded
@@ -1113,6 +1147,7 @@ object StreamingOps {
     "sink_point_lookup" -> sinkPointLookup,
     "sink_zonemap_scan" -> sinkZonemapScan,
     "sink_zonemap_join" -> sinkZonemapJoin,
+    "sink_zonemap_join_outer" -> sinkZonemapJoinOuter,
     "stream_rollup_table" -> streamRollupTable,
     "stream_distinct_mv" -> streamDistinctMv,
     "stream_quantile_mv" -> streamQuantileMv,
@@ -1241,6 +1276,21 @@ object StreamingOps {
         |FROM ev JOIN dim ON ev.day = dim.day
         |WHERE dim.week = 2
         |GROUP BY ev.day
+        |ORDER BY ev.day ASC NULLS FIRST""".stripMargin,
+    // the outer-routed scan: dim is weeks 0-1 only, so days 15-17 of the
+    // fact window NULL-extend; the dim prune must not eat day-8..14 matches
+    "sink_zonemap_join_outer" ->
+      """WITH ev AS (
+        |  SELECT event_id, value, CAST(ts AS DATE) AS day FROM events),
+        |dim AS (
+        |  SELECT DISTINCT day,
+        |    CAST(floor((day(day) - 1) / 7) AS INT) AS week
+        |  FROM ev WHERE day(day) <= 14)
+        |SELECT ev.day, dim.week, count(*) AS n_events,
+        |  CAST(sum(CAST(ev.value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |FROM ev LEFT JOIN dim ON ev.day = dim.day
+        |WHERE ev.day >= DATE '2024-01-10' AND ev.day <= DATE '2024-01-17'
+        |GROUP BY ev.day, dim.week
         |ORDER BY ev.day ASC NULLS FIRST""".stripMargin,
     // lookup hits = loaded window ∩ probe ids; probes past the window miss
     "sink_point_lookup" ->

@@ -210,6 +210,37 @@ class ZonemapSpec extends SparkTestBase {
       dim.table().filter(col("grp") === 1), Seq("x"), "left_outer")
     assert(plannedBucketsIn(outer, fdir).size == 8,
       "left-outer keeps unmatched fact rows — pruning them would drop output")
+    // ...but its NON-preserved side prunes: dim rows whose key can't match
+    // any fact row only pad NULLs a missing row pads identically. Fact
+    // filtered to x ∈ [200, 400) keeps fact buckets {2,3} (x zones
+    // [202,258]/[303,359]) → only dim bucket 1 (grp 1 = days {2,3}) can
+    // match.
+    val outerDim = fact.table().filter(col("x") >= 200L && col("x") < 400L)
+      .join(dim.table(), Seq("x"), "left_outer")
+    assert(plannedBucketsIn(outerDim, ddir) == Seq(1),
+      "left-outer's inner side must prune through the preserved side's zones")
+    assert(sortedRows(outerDim.select("x", "d", "id", "grp")) ==
+      sortedRows(fact.current.filter(col("x") >= 200L && col("x") < 400L)
+        .join(dimRows, Seq("x"), "left_outer").select("x", "d", "id", "grp")))
+    // right-outer mirrors: preserved right whole, left prunes
+    val routed = fact.table()
+      .join(dim.table().filter(col("grp") === 1), Seq("x"), "right_outer")
+    assert(plannedBucketsIn(routed, fdir) == Seq(2, 3),
+      "right-outer's inner (left) side prunes through the dim zones")
+    assert(sortedRows(routed.select("x", "grp", "d", "id")) ==
+      sortedRows(fact.current.join(dimRows.filter(col("grp") === 1),
+        Seq("x"), "right_outer").select("x", "grp", "d", "id")))
+    // anti join: the right side only matters where it CAN match — it
+    // prunes; the left is all-preserved-or-dropped and stays whole. An
+    // over-pruned right side would CREATE output rows here (every fact x
+    // has a dim partner, so the true anti result is empty).
+    val anti = fact.table().filter(col("x") >= 200L && col("x") < 400L)
+      .join(dim.table(), Seq("x"), "left_anti")
+    assert(plannedBucketsIn(anti, ddir) == Seq(1),
+      "left-anti's right side prunes through the left's key zones")
+    assert(sortedRows(anti) == sortedRows(
+      fact.current.filter(col("x") >= 200L && col("x") < 400L)
+        .join(dimRows, Seq("x"), "left_anti")))
 
     // disjoint dim survivors prune as an interval LIST, not their convex
     // union: grp IN (0, 3) keeps fact days {0,1} and {6,7} — the smeared
@@ -224,6 +255,46 @@ class ZonemapSpec extends SparkTestBase {
     // a provably-empty dim side collapses the whole join
     val none = fact.table().join(dim.table().filter(col("grp") === 99), Seq("x"))
     assert(none.count() == 0)
+  }
+
+  test("composite keys prune as one interval vector per bucket, not per-column") {
+    val session = spark
+    import session.implicits._
+    // fact bucket 1 holds the MISMATCHED combination (x low, y high): dim
+    // bucket 0 covers its x range and dim bucket 1 its y range, but no
+    // SINGLE dim bucket covers both — per-column independent pruning
+    // would keep it (each column overlaps somewhere), the interval-vector
+    // test drops it
+    val factRows =
+      ((0 until 10).map(i => (i.toLong, 1000L + i, 0)) ++   // b0: matches dim b0
+        (0 until 10).map(i => (i.toLong, 1200L + i, 1)) ++  // b1: mismatched combo
+        (0 until 10).map(i => (500L + i, 1500L + i, 2)))    // b2: disjoint outright
+        .toDF("x", "y", "grp")
+    val dimRows2 =
+      ((0 until 10).map(i => (i.toLong, 1000L + i, 0)) ++
+        (0 until 10).map(i => (200L + i, 1200L + i, 1)))
+        .toDF("x", "y", "grp")
+    val fdir = Files.createTempDirectory("graft-zmj-vec-f").toString
+    val ddir = Files.createTempDirectory("graft-zmj-vec-d").toString
+    val fact = new ParquetTableSink(spark, fdir, factRows.limit(0),
+      keys = Seq("x", "y"), buckets = 3, route = col("grp").cast("int"),
+      zonemapCols = Seq("x", "y"))
+    fact.merge(factRows, 0L)
+    val dim = new ParquetTableSink(spark, ddir, dimRows2.limit(0),
+      keys = Seq("x", "y"), buckets = 2, route = col("grp").cast("int"),
+      zonemapCols = Seq("x", "y"))
+    dim.merge(dimRows2, 0L)
+
+    val joined = fact.table().drop("grp")
+      .join(dim.table().drop("grp"), Seq("x", "y"))
+    assert(plannedBucketsIn(joined, fdir) == Seq(0),
+      "the mismatched-combination fact bucket must prune under the vector test")
+    // symmetric: dim bucket 1's (x,y) pair overlaps no single fact bucket
+    assert(plannedBucketsIn(joined, ddir) == Seq(0))
+    assert(sortedRows(joined.withColumn("id", col("x"))) ==
+      sortedRows(factRows.drop("grp").join(dimRows2.drop("grp"), Seq("x", "y"))
+        .withColumn("id", col("x"))),
+      "vector pruning must stay value-identical to the unpruned join")
   }
 
   test("join routing stays conservative when the dim key zone is unprovable") {
