@@ -98,6 +98,16 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
     case other => sys.error(s"JdbcUpsertSink: unsupported column type $other")
   }
 
+  /** Opt-in statement timing (-Dgraft.jdbc.timing=1): per-phase wall ms on
+    * stderr, for sizing the merge path at scale. Zero cost when off. */
+  private def timed[T](label: String)(body: => T): T =
+    if (System.getProperty("graft.jdbc.timing") == null) body
+    else {
+      val t0 = System.nanoTime()
+      try body finally System.err.println(
+        f"[jdbc-timing] $table $label ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+    }
+
   private def withConn[T](body: Connection => T): T = {
     JdbcUpsertSink.ensureDriver(url)
     val c = DriverManager.getConnection(url)
@@ -120,16 +130,16 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
     ensure(c, s"CREATE TABLE $table ($colDefs, PRIMARY KEY (${keys.mkString(", ")}))")
     ensure(c, s"CREATE TABLE $stage ($stageDefs)")
     ensure(c, s"CREATE TABLE $stageDedup ($stageDefs)")
-    // Key index on the RAW staging table only: mergeCommit's delete-wins
-    // anti-join probes it per row (NOT EXISTS on key + tombstone) —
-    // unindexed, Derby runs that as a nested-loop full scan,
-    // O(batch × tombstones): measured non-terminating at the 10× scale
-    // gate (1M-row batch, 100k tombstones). Indexed it is
-    // O(batch log batch), the shape a warehouse target gives the probe via
-    // its key hash. stageDedup deliberately stays index-free — the MERGE
+    // NOTE the staging key index is NOT created here: it follows the bulk-
+    // load lifecycle — dropped by clearStaging before the parallel INSERT
+    // (per-row index maintenance over a 1M-row load costs more than one
+    // post-load build) and rebuilt by stageIndex()/mergeCommit before the
+    // delete-wins anti-join probes it. Unindexed, Derby runs that probe as
+    // a nested-loop full scan, O(batch × tombstones): measured
+    // non-terminating at the 10× scale gate (1M-row batch, 100k
+    // tombstones). stageDedup deliberately stays index-free — the MERGE
     // probes the TARGET's primary key and the conflict probe is a
     // sort-group-by, so an index there would be pure insert-path overhead.
-    ensure(c, s"CREATE INDEX ${stage}_k ON $stage (${keys.mkString(", ")}, $DelCol)")
     ensure(c, "CREATE TABLE graft_commits (sink_name VARCHAR(128) PRIMARY KEY, batch_id BIGINT)")
   }
 
@@ -194,10 +204,16 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
 
   private[streaming] def clearStaging(): Unit = withConn { c =>
     val st = c.createStatement()
-    // TRUNCATE, not DELETE: with the staging key index in place a
-    // row-by-row DELETE pays index maintenance per row; the truncate is a
-    // conglomerate swap, O(1) in batch size
-    try st.executeUpdate(s"TRUNCATE TABLE $stage") finally st.close()
+    // TRUNCATE, not DELETE: a conglomerate swap, O(1) in batch size. The
+    // key index is dropped FIRST (bulk-load lifecycle): the parallel
+    // INSERT then appends to a bare heap, and mergeCommit rebuilds the
+    // index in one post-load sort — measured cheaper than 1M incremental
+    // B-tree maintenances under 32 writer threads.
+    try {
+      try st.executeUpdate(s"DROP INDEX ${stage}_k")
+      catch { case e: SQLException if e.getSQLState == "42X65" => () }
+      st.executeUpdate(s"TRUNCATE TABLE $stage")
+    } finally st.close()
   }
 
   /** The executor-parallel staging load. Each partition commits its own
@@ -249,7 +265,13 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
       // right after leaves an empty dedup table — exactly what the replay
       // expects to find.
       val stTrunc = c.createStatement()
-      try stTrunc.executeUpdate(s"TRUNCATE TABLE $stageDedup") finally stTrunc.close()
+      try timed("dedup-truncate")(stTrunc.executeUpdate(s"TRUNCATE TABLE $stageDedup"))
+      finally stTrunc.close()
+      // post-load index build (see clearStaging): one bulk sort, under its
+      // own autocommit — a crash leaves it in place and the next
+      // clearStaging drops it again. Idempotent via ensure().
+      timed("stage-index")(ensure(c,
+        s"CREATE INDEX ${stage}_k ON $stage (${keys.mkString(", ")}, $DelCol)"))
       c.setAutoCommit(false)
       try {
         val st0 = c.createStatement()
@@ -267,18 +289,23 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
             if (keys.contains(cn)) s"s.$cn"
             else s"CASE WHEN s.$DelCol = TRUE THEN NULL ELSE s.$cn END"
           }.mkString(", ")
-          st0.executeUpdate(s"INSERT INTO $stageDedup (${stagingCols.mkString(", ")}) " +
-            s"SELECT DISTINCT $sel, COALESCE(s.$DelCol, FALSE) FROM $stage s " +
-            s"WHERE s.$DelCol = TRUE OR NOT EXISTS " +
-            s"(SELECT 1 FROM $stage d WHERE d.$DelCol = TRUE AND $keyEq)")
+          timed("dedup-insert")(
+            st0.executeUpdate(s"INSERT INTO $stageDedup (${stagingCols.mkString(", ")}) " +
+              s"SELECT DISTINCT $sel, COALESCE(s.$DelCol, FALSE) FROM $stage s " +
+              s"WHERE s.$DelCol = TRUE OR NOT EXISTS " +
+              s"(SELECT 1 FROM $stage d WHERE d.$DelCol = TRUE AND $keyEq) " +
+              // key-ordered (select-list ordinals: DISTINCT requires it) so
+              // the MERGE's target-index probes walk the B-tree
+              // sequentially instead of random-access per row
+              s"ORDER BY ${keys.map(k => cols.indexOf(k) + 1).mkString(", ")}"))
           // DISTINCT collapses byte-identical retry duplicates only. If a
           // stage re-run produced same-key rows with DIFFERENT values (a
           // nondeterministic upstream), MERGE behavior would be undefined —
           // fail loud here instead of merging nondeterministically.
-          val rs = st0.executeQuery(
+          val rs = timed("conflict-probe")(st0.executeQuery(
             s"SELECT ${keys.mkString(", ")} FROM $stageDedup " +
               s"GROUP BY ${keys.mkString(", ")} HAVING COUNT(*) > 1 " +
-              "FETCH FIRST 1 ROWS ONLY")
+              "FETCH FIRST 1 ROWS ONLY"))
           try {
             if (rs.next()) sys.error(
               s"JdbcUpsertSink($table): staging holds conflicting rows for key (" +
@@ -299,8 +326,24 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
              |$matched
              |WHEN NOT MATCHED AND s.$DelCol = FALSE THEN INSERT (${cols.mkString(", ")})
              |  VALUES (${cols.map(cn => s"s.$cn").mkString(", ")})""".stripMargin
+        // Initial-load fast path: against an EMPTY target no MATCHED clause
+        // can fire and absent-key tombstones are no-ops, so the MERGE
+        // degenerates to a plain INSERT of the non-deleted rows — stated as
+        // one, Derby takes its empty-table bulk-insert path (deferred index
+        // build) instead of 1M per-row PK probes. Same transaction, same
+        // visible result; the key-uniqueness probe above already ran.
         val st = c.createStatement()
-        try st.executeUpdate(mergeSql) finally st.close()
+        try {
+          val empty = {
+            val rs = st.executeQuery(s"SELECT 1 FROM $table FETCH FIRST 1 ROWS ONLY")
+            try !rs.next() finally rs.close()
+          }
+          if (empty)
+            timed("merge")(st.executeUpdate(
+              s"INSERT INTO $table (${cols.mkString(", ")}) " +
+                s"SELECT ${cols.mkString(", ")} FROM $stageDedup WHERE $DelCol = FALSE"))
+          else timed("merge")(st.executeUpdate(mergeSql))
+        } finally st.close()
 
         val upd = c.prepareStatement(
           "UPDATE graft_commits SET batch_id = ? WHERE sink_name = ?")
@@ -321,15 +364,15 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
   def merge(batch: DataFrame, batchId: Long): Unit = {
     ensureTables()
     if (batchId <= lastCommittedBatchId) return // replay of a committed batch
-    clearStaging() // repeatable: a replayed batch re-stages from scratch
-    loadStaging(batch)
-    mergeCommit(batchId)
+    timed("clear-staging")(clearStaging()) // repeatable: a replayed batch re-stages from scratch
+    timed("load-staging")(loadStaging(batch))
+    timed("merge-commit")(mergeCommit(batchId))
   }
 }
 
 object JdbcUpsertSink {
   /** JDBC executeBatch flush interval for the staging load. */
-  val InsertBatch = 500
+  val InsertBatch = 4000
 
   /** Belt-and-braces driver registration: JDBC 4 service loading normally
     * finds the embedded Derby driver on the classpath, but an isolating
@@ -342,6 +385,21 @@ object JdbcUpsertSink {
     */
   private[streaming] def ensureDriver(url: String): Unit =
     if (url.startsWith("jdbc:derby:")) {
+      // Engine sizing, applied before first boot (Derby reads these once):
+      // the defaults — a 4 MB page cache and 1 MB per-table join memory —
+      // are desktop-era and make a 1M-row MERGE page-thrash; a warehouse
+      // target would be sized for its working set, so the embedded stand-in
+      // is too. Respect values the operator already set.
+      Seq(
+        "derby.storage.pageCacheSize" -> "65536",      // pages: 256 MB data cache
+        "derby.language.maxMemoryPerTable" -> "262144", // KB: lets the optimizer hash-join micro-batch tables
+        "derby.storage.logBufferSize" -> "1048576",     // bytes: fewer WAL flushes under the parallel staging load
+        "derby.storage.pageSize" -> "32768",            // bytes: 8x fewer page allocations/latches on the bulk paths
+        "derby.storage.logSwitchInterval" -> "134217728",  // bytes: not one log-file rotate+sync per MB of merge log
+        "derby.storage.checkpointInterval" -> "134217728", // bytes: don't checkpoint-storm the page cache mid-merge
+        "derby.locks.escalationThreshold" -> "1000000"  // rows: keep the parallel staging writers on row locks (the 5000 default escalates each to an X table lock, serializing the load)
+      ).foreach { case (k, v) =>
+        if (System.getProperty(k) == null) System.setProperty(k, v) }
       try Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
         .getDeclaredConstructor().newInstance()
       catch { case _: ReflectiveOperationException => () } // fall back to ServiceLoader

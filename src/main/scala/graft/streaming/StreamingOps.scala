@@ -408,9 +408,19 @@ object StreamingOps {
       .withColumn(ParquetTableSink.DeleteCol, lit(true))
     sink.merge(ups.unionByName(dels), 1L)
     val cols = Seq("event_id", "user_id", "event_type", "value")
+    // partitioned read-back: the key range comes from the SOURCE's parquet
+    // stats (one footer-only min/max agg — a superset of the table's range
+    // is valid for JDBC range partitioning), so 16 executor connections
+    // stream disjoint key slices instead of one connection pulling ~2M rows
+    val bounds = ev.agg(min("event_id"), max("event_id")).head()
     s.read.format("jdbc")
       .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-      .option("url", url).option("dbtable", "events_cdc").load()
+      .option("url", url).option("dbtable", "events_cdc")
+      .option("partitionColumn", "event_id")
+      .option("lowerBound", bounds.getLong(0))
+      .option("upperBound", bounds.getLong(1) + 1)
+      .option("numPartitions", 16)
+      .load()
       .select(cols.map(c => col(c).as(c)): _*)
       .orderBy(col("event_id").asc_nulls_first)
   }
