@@ -41,6 +41,10 @@ object HybridRetrieval {
   private[operators] val RRF_K0 = 60 // the SIGIR'09 default damping
   private[operators] val OUT_K = 20  // fused result size
   private[operators] val PROBE_ID = 0L
+  // the batched lane: 8 probes through a waveCap of 4 forces the search
+  // into hash-waves, grading the LUT-bounding path inside the fused plan
+  private[operators] val MULTI_PROBES = 8
+  private[operators] val MULTI_WAVE = 4
 
   private def dotD(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.dot(a, b)
@@ -115,15 +119,52 @@ object HybridRetrieval {
     fuse(lexLane(corpus.sparkSession, dir), vec)
   }
 
+  /** Batched retrieval: MULTI_PROBES probe documents fused in ONE plan.
+    * The vector lane is `VectorIndex.search` over the whole probe set with
+    * `waveCap` forced BELOW the probe count, so the per-probe ADC lookup
+    * table provably rides the hash-wave bounding (each wave broadcasts
+    * ≤ waveCap/2·epochs·M·K LUT rows — the probe-set-bounded contract —
+    * and the wave union is exact because results are per-probe). The
+    * lexical lane is probe-independent (the fixed query-term set), so it
+    * computes ONCE and fans out to every probe's fusion — the
+    * production shape for batch decontamination: N suspect documents
+    * scored against one blocklist vocabulary in a single pass. */
+  private val hybridMultiprobe: Q = (s, dir) => {
+    val (idx, corpus) = VectorIndexOps.freshIndex(s, dir)
+    idx.train(corpus.filter(expr(VectorIndexOps.TRAIN_WHERE)))
+    idx.encode(corpus, 0L)
+    val probes = corpus.filter(col("vec_id") < MULTI_PROBES)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("norm").as("p_norm"))
+    val vec = idx.search(probes, LANE_K, waveCap = MULTI_WAVE)
+      .select(col("probe_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rank_vec"))
+    val lexp = probes.select(col("probe_id"))
+      .crossJoin(lexLane(corpus.sparkSession, dir))
+    val rrf =
+      coalesce(lit(1.0) / (lit(RRF_K0).cast("double") + col("rank_lex").cast("double")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(RRF_K0).cast("double") + col("rank_vec").cast("double")), lit(0.0))
+    val w = Window.partitionBy("probe_id").orderBy(col("rrf").desc, col("doc_id").asc)
+    lexp.join(vec, Seq("probe_id", "doc_id"), "full_outer")
+      .withColumn("rrf", rrf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= OUT_K)
+      .select(col("probe_id"), col("doc_id"), col("rank_lex"), col("rank_vec"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("probe_id").asc_nulls_first, col("rrf").desc,
+        col("doc_id").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_hybrid_rrf" -> hybridRrf,
-    "sim_hybrid_indexed" -> hybridIndexed)
+    "sim_hybrid_indexed" -> hybridIndexed,
+    "sim_hybrid_multiprobe" -> hybridMultiprobe)
 
   /** Oracle twin of the `VectorIndex.search(probe, LANE_K)` lane: the
     * single-epoch IVFPQ chain of `Similarity.ivfpqSql`, prefixed `vx*` so
     * it composes with the BM25 CTEs (which own `sc`/`df`/`agg`) in one
     * WITH, probe set narrowed to doc `PROBE_ID`, rank cut at LANE_K. */
-  private def indexedLaneSql: String = {
+  private def indexedLaneSql(probeWhere: String = s"vec_id = $PROBE_ID",
+                             multi: Boolean = false): String = {
     import Similarity.{LLOYD_ROUNDS, PQ_ROUNDS, PQ_M, NPROBE}
     val aCols = (0 until PQ_M).map(i =>
       s"sum(lv) FILTER (WHERE l.m = $i) AS a_$i").mkString(",\n       |    ")
@@ -140,7 +181,7 @@ object HybridRetrieval {
        |    FROM vecs c CROSS JOIN vxcents k) WHERE arn = 1),
        |vxprobes AS (
        |  SELECT vec_id AS probe_id, v AS p_v, norm AS p_norm
-       |  FROM vecs WHERE vec_id = $PROBE_ID),
+       |  FROM vecs WHERE $probeWhere),
        |vxpcells AS (
        |  SELECT probe_id, cent_id AS p_cent FROM (
        |    SELECT p.probe_id, k.cent_id,
@@ -155,7 +196,7 @@ object HybridRetrieval {
        |        ORDER BY ${Similarity.d2Sql("s.x", "k.c_v")} ASC, k.cent_id ASC) AS rn
        |    FROM sub s JOIN vxpqcents k ON s.m = k.m) WHERE rn = 1),
        |vxpsub AS (SELECT vec_id AS probe_id, norm AS p_norm, m, x AS p_x FROM sub
-       |           WHERE vec_id = $PROBE_ID),
+       |           WHERE $probeWhere),
        |vxlut AS (SELECT p.probe_id, p.p_norm, p.m, k.cent_id,
        |            list_dot_product(p.p_x, k.c_v) AS lv
        |          FROM vxpsub p JOIN vxpqcents k ON p.m = k.m),
@@ -170,13 +211,41 @@ object HybridRetrieval {
        |    AND d.probe_id = l.probe_id
        |  GROUP BY 1, 2),
        |vxtop AS (
-       |  SELECT vec_id, adc_sim,
+       |  SELECT probe_id, vec_id, adc_sim,
        |    row_number() OVER (PARTITION BY probe_id ORDER BY adc_sim DESC, vec_id ASC) AS rank
        |  FROM (SELECT probe_id, vec_id, ($adc) / (norm * p_norm) AS adc_sim FROM vxsc)),
-       |vr AS (SELECT vec_id AS doc_id, rank AS rank_vec FROM vxtop WHERE rank <= $LANE_K)""".stripMargin
+       |vr AS (SELECT ${if (multi) "probe_id, " else ""}vec_id AS doc_id, rank AS rank_vec
+       |       FROM vxtop WHERE rank <= $LANE_K)""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
+    // the batched lane: same quantized chain over the 8-probe set (the
+    // chain is per-probe throughout — PARTITION BY probe_id windows), the
+    // shared lexical ranking fanned out per probe, per-probe RRF top-k
+    "sim_hybrid_multiprobe" ->
+      s"""WITH ${TextAnalysis.bm25CtesSql},
+         |lex AS (
+         |  SELECT doc_id, rank_lex FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_lex
+         |    FROM (SELECT doc_id, ${TextAnalysis.bm25TotalSql} AS bm25 FROM agg))
+         |  WHERE rank_lex <= $LANE_K),
+         |${indexedLaneSql(s"vec_id < $MULTI_PROBES", multi = true)},
+         |lexp AS (
+         |  SELECT p.probe_id, l.doc_id, l.rank_lex
+         |  FROM (SELECT DISTINCT probe_id FROM vxprobes) p CROSS JOIN lex l),
+         |fused AS (
+         |  SELECT coalesce(l.probe_id, v.probe_id) AS probe_id,
+         |    coalesce(l.doc_id, v.doc_id) AS doc_id, l.rank_lex, v.rank_vec,
+         |    coalesce(1.0 / (CAST($RRF_K0 AS DOUBLE) + CAST(l.rank_lex AS DOUBLE)), 0.0)
+         |    + coalesce(1.0 / (CAST($RRF_K0 AS DOUBLE) + CAST(v.rank_vec AS DOUBLE)), 0.0) AS rrf
+         |  FROM lexp l FULL OUTER JOIN vr v
+         |    ON l.probe_id = v.probe_id AND l.doc_id = v.doc_id)
+         |SELECT probe_id, doc_id, rank_lex, rank_vec, round(rrf, 6) AS rrf
+         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused)
+         |WHERE rn <= $OUT_K
+         |ORDER BY probe_id ASC NULLS FIRST, rrf DESC, doc_id ASC NULLS FIRST""".stripMargin,
     "sim_hybrid_indexed" ->
       s"""WITH ${TextAnalysis.bm25CtesSql},
          |lex AS (
@@ -185,7 +254,7 @@ object HybridRetrieval {
          |      row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_lex
          |    FROM (SELECT doc_id, ${TextAnalysis.bm25TotalSql} AS bm25 FROM agg))
          |  WHERE rank_lex <= $LANE_K),
-         |$indexedLaneSql,
+         |${indexedLaneSql()},
          |fused AS (
          |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.rank_lex, v.rank_vec,
          |    coalesce(1.0 / (CAST($RRF_K0 AS DOUBLE) + CAST(l.rank_lex AS DOUBLE)), 0.0)

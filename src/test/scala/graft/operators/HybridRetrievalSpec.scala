@@ -10,7 +10,19 @@ class HybridRetrievalSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(nodes)
+  /** Full traversal incl. adaptive wrappers: the index lanes run on a
+    * cloned session where AQE stays on, so the real operators sit under
+    * AdaptiveSparkPlanExec / QueryStageExec / ReusedExchangeExec. */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
+    }
+    p +: kids.flatMap(nodes)
+  }
 
   test("sim_hybrid_rrf: rrf is the fixed-order two-lane sum; both-lane docs outrank equal single-lane ranks") {
     val rows = SparkEntry.queries("sim_hybrid_rrf")(spark, sf).collect()
@@ -49,6 +61,41 @@ class HybridRetrievalSpec extends SparkTestBase {
       }
       assert(ns.exists(_.isInstanceOf[BroadcastExchangeExec]),
         "the probe / query-stats sides ride broadcast")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("sim_hybrid_multiprobe: probe set rides hash-waves; corpus codes never broadcast; per-probe OUT_K") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("sim_hybrid_multiprobe")(spark, sf)
+      val rows = df.collect()
+      // the shared lex lane fans out to every probe, so each probe fuses at
+      // least LANE_K candidates and cuts to exactly OUT_K
+      val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+      assert(byProbe.keySet == (0L until HybridRetrieval.MULTI_PROBES).toSet,
+        "every probe id must produce a fused list")
+      byProbe.values.foreach(g =>
+        assert(g.length == HybridRetrieval.OUT_K, "per-probe cut must be OUT_K"))
+      val ns = nodes(df.queryExecution.executedPlan)
+      // wave structure: 8 probes through waveCap=4 split into the formula's
+      // wave count — the union of that many independent searchWave subtrees
+      val expectedWaves =
+        ((2 * HybridRetrieval.MULTI_PROBES + HybridRetrieval.MULTI_WAVE - 1)
+          / HybridRetrieval.MULTI_WAVE)
+      val unions = ns.collect {
+        case u: org.apache.spark.sql.execution.UnionExec => u.children.size }
+      assert(unions.exists(_ >= expectedWaves),
+        s"the vector lane must union >= $expectedWaves wave subtrees, saw $unions")
+      // the LUT/probe-side broadcasts are probe-set-bounded; the CORPUS side
+      // (the codes table) must always stream — a broadcast subtree that
+      // scans the codes table would be the unbounded-at-100TB shape
+      ns.collect { case b: BroadcastExchangeExec => b }.foreach { b =>
+        val leaves = nodes(b).collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        assert(!leaves.exists(_.relation.location.rootPaths.exists(
+            _.toString.contains("/codes/"))),
+          "the corpus codes table must never sit under a BroadcastExchange")
+      }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
