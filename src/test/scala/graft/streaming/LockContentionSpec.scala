@@ -33,19 +33,27 @@ class LockContentionSpec extends SparkTestBase {
       .filter(_.startsWith("--add-opens"))
   }
 
-  /** Spawn LockDriveMain in a fresh JVM; returns the Process. */
-  private def spawn(mode: String, dir: String, beacon: String,
-                    batchId: Long, lo: Long, hi: Long): Process = {
+  /** Spawn LockDriveMain in a fresh JVM; returns the Process and its
+    * combined stdout/stderr log (the race test reads MERGED/LOST from
+    * it). */
+  private def spawnLogged(mode: String, dir: String, beacon: String,
+                          batchId: Long, lo: Long, hi: Long): (Process, Path) = {
+    val log = Files.createTempFile("graft-lockdrive", ".log")
     val cmd = Seq("java") ++ jvmFlags ++ Seq(
       "-Xmx1g", "-cp", childClasspath,
       "-Dspark.ui.enabled=false",
       "graft.streaming.LockDriveMain",
       mode, dir, beacon, batchId.toString, s"$lo:$hi")
-    new ProcessBuilder(cmd: _*)
+    val p = new ProcessBuilder(cmd: _*)
       .redirectErrorStream(true)
-      .redirectOutput(Files.createTempFile("graft-lockdrive", ".log").toFile)
+      .redirectOutput(log.toFile)
       .start()
+    (p, log)
   }
+
+  private def spawn(mode: String, dir: String, beacon: String,
+                    batchId: Long, lo: Long, hi: Long): Process =
+    spawnLogged(mode, dir, beacon, batchId, lo, hi)._1
 
   private def awaitFile(p: Path, timeoutMs: Long = 120000): Unit = {
     val t0 = System.currentTimeMillis()
@@ -124,5 +132,46 @@ class LockContentionSpec extends SparkTestBase {
     sink.vacuum(keep = 1)
     assert(ids(sink.current) == (0L until 500L),
       "vacuum after the foreign merge keeps the merged current version intact")
+  }
+
+  test("two real processes racing the sweep-restore of a dead lock: single holder, loud loser") {
+    val table = Files.createTempDirectory("graft-race").resolve("t").toString
+    val beacon = Files.createTempDirectory("graft-race-b").resolve("b").toString
+    val session = spark
+    val local = session.range(0, 0).select(col("id"), (col("id") * 10).as("v"))
+    val sink = new ParquetTableSink(spark, table, local, Seq("id"))
+    sink.merge(session.range(0, 100).select(col("id"), (col("id") * 10).as("v")), 0L)
+
+    // leave a genuinely dead holder's lock behind (hard-killed real pid)
+    val victim = spawn("die", table, s"$beacon-die", 1L, 100L, 200L)
+    awaitFile(Paths.get(s"$beacon-die.held"))
+    assert(victim.waitFor(120, TimeUnit.SECONDS) && victim.exitValue() == 7)
+    assert(Files.exists(Paths.get(table, "manifest", ".writer-lock")),
+      "the dead holder's lock must be on disk before the race")
+
+    // two contenders park on the same start gun, then race verify-dead →
+    // flock'd sweep → createLink. The winner parks 5 s inside its critical
+    // section, so the loser's whole attempt provably lands inside it.
+    val (a, aLog) = spawnLogged("race", table, beacon, 2L, 200L, 250L)
+    val (b, bLog) = spawnLogged("race", table, beacon, 3L, 250L, 300L)
+    Thread.sleep(2000) // both JVMs reach the beacon wait before the gun
+    Files.writeString(Paths.get(s"$beacon.go"), "go")
+    assert(a.waitFor(180, TimeUnit.SECONDS) && b.waitFor(180, TimeUnit.SECONDS),
+      "both contenders must terminate")
+    val outs = Seq(aLog, bLog).map(p => Files.readString(p))
+    val merged = outs.count(_.contains("MERGED"))
+    val lost = outs.filter(_.contains("LOST"))
+    assert(merged == 1, s"exactly one contender may win the swept lock; logs:\n${outs.mkString("\n---\n")}")
+    assert(lost.size == 1 && lost.head.toLowerCase.contains("lock"),
+      s"the loser must fail loudly on the lock, not silently or obscurely: $lost")
+
+    // the winner's batch landed exactly once; the loser touched nothing;
+    // no lock or sweep debris survives the winner's release
+    val cur = ids(sink.current)
+    val winnerRows = if (outs.head.contains("MERGED")) (200L until 250L) else (250L until 300L)
+    assert(cur == (0L until 100L) ++ winnerRows,
+      s"committed state must be v0 + exactly the winner's batch, got ${cur.size} rows")
+    assert(!Files.exists(Paths.get(table, "manifest", ".writer-lock")),
+      "the winner's release must leave no lock behind")
   }
 }

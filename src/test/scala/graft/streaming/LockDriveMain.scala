@@ -47,6 +47,21 @@ object LockDriveMain {
           Runtime.getRuntime.halt(7) // no finally, no release: a hard crash
         }
         sink.merge(rows, batchIdS.toLong)
+      case "race" =>
+        // sweep-restore race: park on the shared start gun so both
+        // contenders hit the DEAD lock in the same instant, then hold the
+        // won lock long enough that the loser's attempt provably lands
+        // inside the winner's critical section. Winner prints MERGED; the
+        // loser must fail LOUDLY (createLink EEXIST or live-writer check)
+        // — printed as LOST for the spec to assert on.
+        while (!Files.exists(Paths.get(s"$beacon.go"))) Thread.sleep(10)
+        sink.onLockAcquired = () => {
+          Files.writeString(
+            Paths.get(s"$beacon.${ProcessHandle.current().pid()}.held"), "held")
+          Thread.sleep(5000)
+        }
+        try { sink.merge(rows, batchIdS.toLong); println("MERGED") }
+        catch { case e: Throwable => println(s"LOST ${e.getMessage}") }
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
