@@ -154,7 +154,10 @@ class LockContentionSpec extends SparkTestBase {
     // section, so the loser's whole attempt provably lands inside it.
     val (a, aLog) = spawnLogged("race", table, beacon, 2L, 200L, 250L)
     val (b, bLog) = spawnLogged("race", table, beacon, 3L, 250L, 300L)
-    Thread.sleep(2000) // both JVMs reach the beacon wait before the gun
+    // fire the gun only once BOTH are past startup and parked on it —
+    // boot skew must not exceed the winner's hold window
+    awaitFile(Paths.get(s"$beacon.${a.pid()}.ready"))
+    awaitFile(Paths.get(s"$beacon.${b.pid()}.ready"))
     Files.writeString(Paths.get(s"$beacon.go"), "go")
     assert(a.waitFor(180, TimeUnit.SECONDS) && b.waitFor(180, TimeUnit.SECONDS),
       "both contenders must terminate")

@@ -48,12 +48,17 @@ object LockDriveMain {
         }
         sink.merge(rows, batchIdS.toLong)
       case "race" =>
-        // sweep-restore race: park on the shared start gun so both
-        // contenders hit the DEAD lock in the same instant, then hold the
-        // won lock long enough that the loser's attempt provably lands
-        // inside the winner's critical section. Winner prints MERGED; the
-        // loser must fail LOUDLY (createLink EEXIST or live-writer check)
-        // — printed as LOST for the spec to assert on.
+        // sweep-restore race: announce readiness (the spec fires the gun
+        // only once BOTH contenders are past JVM/Spark startup — raw
+        // sleeps would let boot skew exceed the hold window and serialize
+        // the race), then park on the shared start gun so both hit the
+        // DEAD lock in the same instant, then hold the won lock long
+        // enough that the loser's attempt provably lands inside the
+        // winner's critical section. Winner prints MERGED; the loser must
+        // fail LOUDLY (createLink EEXIST or live-writer check) — printed
+        // as LOST for the spec to assert on.
+        Files.writeString(
+          Paths.get(s"$beacon.${ProcessHandle.current().pid()}.ready"), "ready")
         while (!Files.exists(Paths.get(s"$beacon.go"))) Thread.sleep(10)
         sink.onLockAcquired = () => {
           Files.writeString(
