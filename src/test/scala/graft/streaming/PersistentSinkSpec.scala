@@ -683,16 +683,29 @@ class PersistentSinkSpec extends SparkTestBase {
     sink.merge(events.filter(col("event_id") >= 100 && col("event_id") < 200), 1L)
     assert(sortedIds(sink.current) == sortedIds(events.filter(col("event_id") < 200)))
 
-    // a DEAD writer's lock (crashed process, SAME host) is swept
-    // automatically: the restarted process replays hands-off
+    // a DEAD writer's lock (crashed process, SAME machine identity —
+    // hostname + persisted per-machine uuid) is swept automatically: the
+    // restarted process replays hands-off
     val host = java.net.InetAddress.getLocalHost.getHostName
+    val machine = s"$host+${ParquetTableSink.machineUuid}"
     val gone = new ProcessBuilder("true").start()
     gone.waitFor()
     Files.writeString(manifest.resolve(".writer-lock"),
-      s"2,deadbeefdead,${gone.pid()},$host")
+      s"2,deadbeefdead,${gone.pid()},$machine")
     sink.merge(events.filter(col("event_id") >= 200 && col("event_id") < 300), 2L)
     assert(sortedIds(sink.current) == sortedIds(events.filter(col("event_id") < 300)))
     assert(!Files.exists(manifest.resolve(".writer-lock")))
+
+    // a BARE-hostname lock (pre-machine-uuid format, or a default-hostname
+    // container clone on a shared volume) is unverifiable even with a dead
+    // pid: fails loud, never swept — the documented one-time breakLock()
+    // upgrade path
+    Files.writeString(manifest.resolve(".writer-lock"),
+      s"2,deadbeefdead,${gone.pid()},$host")
+    val bare = intercept[RuntimeException](
+      sink.merge(events.filter(col("event_id") >= 300 && col("event_id") < 350), 8L))
+    assert(bare.getMessage.contains("locked by a live writer"))
+    sink.breakLock()
 
     // the SAME dead pid stamped by ANOTHER host (NFS / shared volume) is
     // unverifiable — that pid may be a live writer in the foreign pid
