@@ -149,12 +149,13 @@ object Bpe {
         i += 1
       }
     }
-    // Materialize the final segmentation into its own cache BEFORE dropping
-    // seg k−1: when the loop exits on i > k (rather than exhaustion) the last
-    // round's bestOf never scanned `seg`, and unpersisting its parent first
-    // would make the caller's first action replay the whole K-round lineage.
-    seg.count()
-    prev.foreach(_.unpersist(false))
+    // Keep seg k−1's cache ALIVE on return: when the loop exits on i > k
+    // (rather than exhaustion) the last round's bestOf never scanned `seg`,
+    // and unpersisting its parent here would make the caller's first action
+    // on the returned frame replay the whole K-round lineage. Eagerly
+    // materializing `seg` instead costs a full pass every caller pays even
+    // when (like bpe_encode) the final segmentation is never read — the
+    // retained entry is ≤ the capped type table, vocabulary-sized.
     (merges.result(), seg)
   }
 
