@@ -33,6 +33,22 @@ class DedupSimilaritySpec extends SparkTestBase {
     "the quick brown fox jumps over the lazy dog while the cat sleeps " +
       "on the warm mat near the old oak door and the clock ticks softly"
 
+  test("planesFor: one extra bit per corpus doubling, base-anchored, capped") {
+    // base regime: everything at or below the calibration size stays at 6
+    assert(Seq(1L, 500L, 2000L, 3999L).map(Similarity.planesFor) == Seq(6, 6, 6, 6))
+    // doubling steps: floor(log2(n/N0)) — integer division first, like the
+    // oracle's `//`, so 3999 rounds down and 4000 steps up
+    assert(Similarity.planesFor(4000L) == 7)
+    assert(Similarity.planesFor(20000L) == 9)   // sf1
+    assert(Similarity.planesFor(200000L) == 12) // sf10
+    // cap: never beyond MAX_PLANES (the oracle computes exactly that many
+    // sign bits, so a P past it would break the mask)
+    assert(Similarity.planesFor(Long.MaxValue / 2) == Similarity.MAX_PLANES)
+    // monotone: occupancy control must never DECREASE resolution with n
+    val samples = Seq(1L, 1999L, 2000L, 4000L, 8000L, 1000000L, 100000000L)
+    assert(samples.map(Similarity.planesFor) == samples.map(Similarity.planesFor).sorted)
+  }
+
   test("MinHash LSH finds the planted near-dup pair and only it") {
     val session = spark
     import session.implicits._
