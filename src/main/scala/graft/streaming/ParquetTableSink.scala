@@ -1068,9 +1068,15 @@ object ParquetTableSink {
     * same-host check. Persisted once under `java.io.tmpdir` so every
     * process of this machine/container reads the same value; creation
     * races resolve via `createLink`'s atomic EEXIST (same idiom as the
-    * writer lock itself) so exactly one uuid ever wins. Falls back to a
-    * process-unique value if tmpdir is unwritable — unverifiable-loud,
-    * never falsely matchable. */
+    * writer lock itself) so exactly one uuid ever wins. The file is made
+    * world-readable so processes of OTHER users sharing the tmpdir read
+    * the same identity (a root-created 0600 file would fork identities
+    * per user). Every fallback — unwritable tmpdir, or an existing file
+    * this process cannot read — carries the `volatile-` marker, so a
+    * process-unique identity is always LOUD: the same-host dead-lock
+    * sweep treats it as unverifiable rather than falsely distinct.
+    * (Per-USER tmpdirs — $TMPDIR pointing at user-private dirs — still
+    * fork identities per user; see README's locking note.) */
   private[streaming] lazy val machineUuid: String = {
     val f = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft-machine-id")
@@ -1080,8 +1086,14 @@ object ParquetTableSink {
       val res = scala.util.Try {
         val tmp = java.nio.file.Files.createTempFile("graft-machine-id", ".tmp")
         Files.writeString(tmp, u)
+        scala.util.Try(Files.setPosixFilePermissions(tmp,
+          java.nio.file.attribute.PosixFilePermissions.fromString("rw-r--r--")))
         try { Files.createLink(f, tmp); u }
-        catch { case _: java.nio.file.FileAlreadyExistsException => readIt.getOrElse(u) }
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          // lost the creation race; if the winner's file is unreadable
+          // (foreign-user 0600 from a pre-fix writer), stay volatile-loud
+          readIt.getOrElse(s"volatile-$u")
+        }
         finally Files.deleteIfExists(tmp)
       }
       res.getOrElse(s"volatile-$u")

@@ -413,14 +413,20 @@ object StreamingOps {
     // is valid for JDBC range partitioning), so 16 executor connections
     // stream disjoint key slices instead of one connection pulling ~2M rows
     val bounds = ev.agg(min("event_id"), max("event_id")).head()
-    s.read.format("jdbc")
+    val reader = s.read.format("jdbc")
       .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       .option("url", url).option("dbtable", "events_cdc")
-      .option("partitionColumn", "event_id")
-      .option("lowerBound", bounds.getLong(0))
-      .option("upperBound", bounds.getLong(1) + 1)
-      .option("numPartitions", 16)
-      .load()
+    // min/max over ZERO rows are NULL — an empty source means an empty
+    // table, so fall back to the unpartitioned read instead of NPEing on
+    // getLong (one connection streaming zero rows is fine).
+    val partitioned =
+      if (bounds.isNullAt(0)) reader
+      else reader
+        .option("partitionColumn", "event_id")
+        .option("lowerBound", bounds.getLong(0))
+        .option("upperBound", bounds.getLong(1) + 1)
+        .option("numPartitions", 16)
+    partitioned.load()
       .select(cols.map(c => col(c).as(c)): _*)
       .orderBy(col("event_id").asc_nulls_first)
   }
