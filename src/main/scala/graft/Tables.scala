@@ -46,6 +46,31 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
 
+  /** Table row count per (dir, table), memoized for the process — the
+    * corpus-size input of the adaptive geometry dials (LSH plane count,
+    * minhash rows-per-band). Keyed on a filesystem snapshot token (file
+    * count + max mtime + total bytes), so an in-process rewrite or append
+    * invalidates the memo instead of silently sizing geometry from a stale
+    * count while the DuckDB oracle counts live rows; superseded-snapshot
+    * entries are dropped eagerly, bounding the map by live (dir, table)s. */
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), java.lang.Long]()
+  private def snapshotToken(dir: String, name: String): String = {
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).iterator.flatten.flatMap(walk)
+      else Iterator.single(f)
+    var n = 0L; var mtime = 0L; var bytes = 0L
+    walk(new java.io.File(s"$dir/$name.parquet")).foreach { f =>
+      n += 1; mtime = math.max(mtime, f.lastModified()); bytes += f.length()
+    }
+    s"$n:$mtime:$bytes"
+  }
+  def cachedCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val snap = snapshotToken(sfDir, name)
+    countMemo.keySet.removeIf(k => k._1 == sfDir && k._2 == name && k._3 != snap)
+    countMemo.computeIfAbsent((sfDir, name, snap), _ => apply(spark, sfDir, name).count())
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     ensureSessionConf(spark)
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")

@@ -466,8 +466,7 @@ object DataPipeline {
          |contaminated AS (
          |  SELECT DISTINCT doc_id FROM g JOIN bench USING (g) WHERE doc_id % 97 <> 0),
          |${DedupText.shSql},
-         |${DedupText.mhSql},
-         |${DedupText.bandsSql},
+         |${DedupText.wordBandsSql},
          |${DedupText.pairsSql},
          |near_dups AS (SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jaccard >= 0.5),
          |clean AS (

@@ -11,8 +11,12 @@ import graft.{Q, Tables}
   * Pipeline shape (the standard web-scale dedup recipe, e.g. Broder '97
   * resemblance + banding as popularized by Mining of Massive Datasets ch.3):
   *
-  *   normalize → word 3-shingles → k=8 MinHashes → 4 bands × 2 rows
+  *   normalize → word 3-shingles → b·r(n) MinHashes → 4 bands × r(n) rows
   *   → band-bucket equi-join (candidates) → exact-Jaccard verify → drop list
+  *
+  * Rows-per-band r(n) is CORPUS-ADAPTIVE (base 2, +1 per corpus doubling
+  * past N0 = 2000, capped at 8; char lane base 8 capped at 16) — see the
+  * `rowsFor` note for why fixed banding is quadratic at scale.
   *
   * Scale design (100 TB corpus): everything up to banding is per-row map work
   * over the scan (no shuffle, codegen'd higher-order expressions). Candidate
@@ -28,10 +32,10 @@ import graft.{Q, Tables}
   */
 object DedupText {
 
-  private[operators] val K = 8      // minhash permutations (word lane)
-  private[operators] val BANDS = 4  // bands of r = K/BANDS = 2 rows each
+  private[operators] val K = 8      // minhash permutations (word lane, base)
+  private[operators] val BANDS = 4  // word-lane band count (fixed; the recall dial)
 
-  /** Char-gram lane signature length: 3 bands x 8 rows. The 10x organic
+  /** Char-gram lane BASE signature length: 3 bands x 8 rows. The 10x organic
     * scale smoke measured the old 2x4 geometry at 19x runtime for 10x data
     * — with per-band collision p = J^4, background char-gram similarity
     * (J ~ 0.1 .. 0.3 tail) admits ~1e-4 of ALL pairs as candidates, which
@@ -43,6 +47,36 @@ object DedupText {
     * the trade is graded semantics, not a silent truncation. */
   private[operators] val NGRAM_K = 24
   private[operators] val NGRAM_BANDS = 3
+
+  /** Corpus-adaptive rows-per-band — the minhash twin of
+    * `Similarity.planesFor` (which retired the fixed-P hyperplane
+    * quadratic at the sf1→sf10 decade). With FIXED band geometry the
+    * candidate join admits each background pair with probability
+    * b·J^r; pairs grow as n² per corpus doubling (×4) while the
+    * admission rate stays put — so candidate volume is quadratic until
+    * MAX_BUCKET engages, after which recall silently erodes instead.
+    * Growing r by ONE ROW PER CORPUS DOUBLING multiplies the background
+    * admission by J_bg per doubling; for the J_bg ≲ 0.3 tail that both
+    * lanes' base geometries were sized against, ×4 pairs × ≤0.3 admission
+    * ≈ ×1.2 per doubling — candidate volume stays near-LINEAR in n. The
+    * band count b stays fixed (it is the recall dial): planted near-dups
+    * at J ≈ 0.9 keep p = 1−(1−J^r)^b high (word lane at the r-cap 8:
+    * 0.9⁸ = 0.43 → 0.90 recall), while the mid-J S-curve shifts right —
+    * an explicit, oracle-mirrored trade, measured in DedupRecallSpec's
+    * elevated-r corpus. Both engines derive r from the same documents
+    * count by integer arithmetic, so the grade stays hash-exact at every
+    * scale. N0 = 2000 keeps every corpus ≤ 2×N0 — including the sf0.01
+    * correctness gate (500 docs) and the recall fixtures — at its BASE
+    * geometry. */
+  private[operators] val DOC_N0 = 2000L
+  private[operators] val WORD_R0 = K / BANDS          // 2 rows at base
+  private[operators] val WORD_MAX_R = 8               // sigK cap 4×8 = 32
+  private[operators] val NGRAM_R0 = NGRAM_K / NGRAM_BANDS // 8 rows at base
+  private[operators] val NGRAM_MAX_R = 16             // sigK cap 3×16 = 48
+  private[operators] def rowsFor(n: Long, r0: Int, rMax: Int): Int = {
+    val ratio = math.max(1L, n / DOC_N0)
+    math.min(rMax, r0 + (63 - java.lang.Long.numberOfLeadingZeros(ratio)))
+  }
 
   /** 60-bit engine-agnostic hash of "<seed>:" + x (shared Hashing kernel). */
   private def h60(seed: Int, x: Column): Column =
@@ -197,8 +231,18 @@ object DedupText {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  private[operators] def verifiedPairs(s: SparkSession, dir: String): DataFrame =
-    verifiedPairsFrom(shingled(s, dir), 0.5)
+  /** Corpus-adaptive word-lane rows-per-band for a dir (see `rowsFor`). */
+  private[operators] def wordRows(s: SparkSession, dir: String): Int =
+    rowsFor(Tables.cachedCount(s, dir, "documents"), WORD_R0, WORD_MAX_R)
+
+  /** Corpus-adaptive char-lane rows-per-band for a dir (see `rowsFor`). */
+  private[operators] def ngramRows(s: SparkSession, dir: String): Int =
+    rowsFor(Tables.cachedCount(s, dir, "documents"), NGRAM_R0, NGRAM_MAX_R)
+
+  private[operators] def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val r = wordRows(s, dir)
+    verifiedPairsFrom(shingled(s, dir), 0.5, nBands = BANDS, sigK = BANDS * r)
+  }
 
   // ---- graded queries ----
 
@@ -219,10 +263,12 @@ object DedupText {
   // or verification work grows quadratically with corpus size — the
   // NGRAM_K note has the measured 19×-at-10× failure of the old r = 4
   // geometry. Near-dups (J≈0.98) still collide with p≈0.997.
-  private val dedupNgram: Q = (s, dir) =>
+  private val dedupNgram: Q = (s, dir) => {
+    val r = ngramRows(s, dir)
     verifiedPairsFrom(shingledChars(s, dir), 0.6,
-        nBands = NGRAM_BANDS, sigK = NGRAM_K)
+        nBands = NGRAM_BANDS, sigK = NGRAM_BANDS * r)
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+  }
 
   // Greedy keep-lowest-id survivor policy: any doc appearing as the higher id
   // of a verified pair is dropped. Deterministic and one-pass (a full
@@ -590,20 +636,44 @@ object DedupText {
 
   private[operators] val mhSql = mhSqlFor(K)
 
-  private def bandsSqlFor(nBands: Int, sigK: Int = K): String = {
-    val r = sigK / nBands
-    val union = (0 until nBands).map { g =>
-      val sig = (0 until r).map(k => s"mh_${r * g + k}").mkString("||','||")
-      s"SELECT doc_id, $g AS band, md5($sig) AS sig FROM mh WHERE len(s) > 0"
-    }.mkString("bands0 AS (\n  ", " UNION ALL\n  ", ")")
-    // mirror of the MAX_BUCKET boilerplate guard
-    union + s""",
+  private def seedsSql(kMax: Int): String =
+    (0 until kMax).map(seed).mkString("[", ", ", "]")
+
+  /** Count-adaptive mirror of the (mh, bands) CTE pair: r(n) is derived
+    * from the documents count by PURE INTEGER threshold arithmetic (the
+    * same idiom as the hyperplane-LSH oracle — no float log), all
+    * rMax·nBands minhashes are computed (static SQL cannot vary its term
+    * count on data) and each band consumes its r(n)-row slice via
+    * list_slice with the scalar r. Expects `sh(doc_id, s)` in scope;
+    * exposes `mh(doc_id, s)` for pairsSql's verification join and
+    * `bands(doc_id, band, sig)` with the MAX_BUCKET guard mirrored. */
+  private def adaptiveBandsSqlFor(nBands: Int, r0: Int, rMax: Int): String = {
+    val extra = (1 to rMax - r0).map { k =>
+      s"CASE WHEN count(*) // $DOC_N0 >= ${1L << k} THEN 1 ELSE 0 END"
+    }.mkString(" + ")
+    s"""params AS (
+       |  SELECT least($rMax, $r0 + ($extra)) AS r FROM documents),
+       |hsd AS (
+       |  SELECT doc_id, s,
+       |    list_transform(s, x -> CAST(('0x'||substr(md5('0:'||x),1,15)) AS BIGINT)) AS hs
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id, s,
+       |    list_transform(${seedsSql(nBands * rMax)},
+       |                   sd -> list_min(list_transform(hs, h -> xor(h, sd)))) AS sigl
+       |  FROM hsd),
+       |bands0 AS (
+       |  SELECT doc_id, CAST(u.g AS INT) AS band,
+       |    md5(array_to_string(list_slice(mh.sigl, CAST(u.g AS INT) * p.r + 1, (CAST(u.g AS INT) + 1) * p.r), ',')) AS sig
+       |  FROM mh, params p, UNNEST(range(0, $nBands)) AS u(g)
+       |  WHERE len(s) > 0),
        |bands AS (
        |  SELECT doc_id, band, sig FROM (
        |    SELECT doc_id, band, sig, count(*) OVER (PARTITION BY band, sig) AS bsz
        |    FROM bands0) WHERE bsz <= $MAX_BUCKET)""".stripMargin
   }
-  private[operators] val bandsSql = bandsSqlFor(BANDS)
+  private[operators] val wordBandsSql = adaptiveBandsSqlFor(BANDS, WORD_R0, WORD_MAX_R)
+  private val ngramBandsSql = adaptiveBandsSqlFor(NGRAM_BANDS, NGRAM_R0, NGRAM_MAX_R)
 
   private[operators] val pairsSql =
     """cand AS (
@@ -647,12 +717,12 @@ object DedupText {
          |SELECT doc_id, len(s) AS n_shingles, ${(0 until K).map(j => s"mh_$j").mkString(", ")}
          |FROM mh ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "dedup_lsh_pairs" ->
-      s"""WITH $shSql,\n$mhSql,\n$bandsSql,\n$pairsSql
+      s"""WITH $shSql,\n$wordBandsSql,\n$pairsSql
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
     "dedup_ngram" ->
-      s"""WITH $chShSql,\n${mhSqlFor(NGRAM_K)},\n${bandsSqlFor(NGRAM_BANDS, NGRAM_K)},\n$pairsSql
+      s"""WITH $chShSql,\n$ngramBandsSql,\n$pairsSql
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
          |WHERE jaccard >= 0.6
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
@@ -680,7 +750,7 @@ object DedupText {
          |FROM cont WHERE c >= $CONTAIN_TAU
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $shSql,\n$mhSql,\n$bandsSql,\n$pairsSql,
+      s"""WITH RECURSIVE $shSql,\n$wordBandsSql,\n$pairsSql,
          |p AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
          |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION ALL SELECT doc_b, doc_a FROM p),
          |walk(doc_id, cluster) AS (
@@ -690,7 +760,7 @@ object DedupText {
          |SELECT doc_id, min(cluster) AS cluster FROM walk GROUP BY doc_id
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "dedup_drop_list" ->
-      s"""WITH $shSql,\n$mhSql,\n$bandsSql,\n$pairsSql
+      s"""WITH $shSql,\n$wordBandsSql,\n$pairsSql
          |SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jaccard >= 0.5
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "dedup_spans" ->

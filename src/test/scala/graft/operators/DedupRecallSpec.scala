@@ -43,16 +43,18 @@ class DedupRecallSpec extends SparkTestBase {
   private val N_BG = 300
   private val N_PAIRS = 40
   private val DOC_WORDS = 60
+  /** Planted-pair id base — above any background id at every corpus size. */
+  private val PLANT_BASE = 1000000L
 
   /** Planted corpus: background docs + near-dup pairs, deterministic. */
-  private def plantCorpus(vocabSize: Int): String = {
+  private def plantCorpus(vocabSize: Int, nBg: Int = N_BG): String = {
     val rnd = new Random(42 + vocabSize)
     val vocab = if (vocabSize >= 1000)
       (0 until vocabSize).map(i => s"w${i}x") // distinct, no substring overlap
     else
       (0 until vocabSize).map(i => s"word${i}q")
     def doc(): Array[String] = Array.fill(DOC_WORDS)(vocab(rnd.nextInt(vocab.size)))
-    val bg = (0 until N_BG).map(i => (i.toLong, doc().mkString(" ")))
+    val bg = (0 until nBg).map(i => (i.toLong, doc().mkString(" ")))
     val pairs = (0 until N_PAIRS).map { p =>
       val base = doc()
       val edits = if (p < N_PAIRS / 2) 1 else 2
@@ -60,10 +62,10 @@ class DedupRecallSpec extends SparkTestBase {
       (0 until edits).foreach { e =>
         near(7 + 17 * e) = vocab(rnd.nextInt(vocab.size))
       }
-      val (ida, idb) = (1000L + 2 * p, 1000L + 2 * p + 1)
+      val (ida, idb) = (PLANT_BASE + 2 * p, PLANT_BASE + 2 * p + 1)
       Seq((ida, base.mkString(" ")), (idb, near.mkString(" ")))
     }
-    val dir = Files.createTempDirectory(s"graft-dedup-recall-$vocabSize").toString
+    val dir = Files.createTempDirectory(s"graft-dedup-recall-$vocabSize-$nBg").toString
     val session = spark
     import session.implicits._
     (bg ++ pairs.flatten).toDF("doc_id", "text")
@@ -110,7 +112,7 @@ class DedupRecallSpec extends SparkTestBase {
     // is DESIGNED to pass almost nothing — at vocab 30 the char lane's
     // threshold-truth is dominated by such J ≈ 0.6 background pairs.
     val planted = (0 until N_PAIRS)
-      .map(p => (1000L + 2 * p, 1000L + 2 * p + 1)).toSet
+      .map(p => (PLANT_BASE + 2 * p, PLANT_BASE + 2 * p + 1)).toSet
     assert(planted.subsetOf(wordTruth) && planted.subsetOf(charTruth),
       s"every planted pair must clear both thresholds " +
         s"(word ${wordTruth.size}, char ${charTruth.size})")
@@ -141,5 +143,64 @@ class DedupRecallSpec extends SparkTestBase {
     info(f"vocab 30: word-lane recall $word%.3f, char-lane recall $char%.3f")
     assert(word >= 0.85, f"word-lane (4×2) recall floor 0.85, measured $word%.3f")
     assert(char >= 0.65, f"char-lane (3×8) recall floor 0.65, measured $char%.3f")
+  }
+
+  /** Planted recall at an ELEVATED adaptive geometry: ~8.2k docs → corpus
+    * ratio 4 → r0+2 rows per band (word 4×4, char 3×10). Ground truth here
+    * is the planted pairs alone — the graded queries verify every candidate
+    * with exact Jaccard, so emitted ⊆ threshold-truth holds by
+    * construction and the 33M-pair brute-force adds nothing. The planted
+    * pairs' own threshold clearance IS re-proven (cheap 80-doc self-join). */
+  private def plantedRecallAt(vocabSize: Int, nBg: Int): (Double, Double) = {
+    val dir = plantCorpus(vocabSize, nBg)
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
+    assert(DedupText.rowsFor(n, DedupText.WORD_R0, DedupText.WORD_MAX_R)
+        == DedupText.WORD_R0 + 2,
+      s"fixture must force the r0+2 geometry (n = $n)")
+    val planted = (0 until N_PAIRS)
+      .map(p => (PLANT_BASE + 2 * p, PLANT_BASE + 2 * p + 1)).toSet
+    val plantedDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") >= PLANT_BASE)
+    val wordTruth = exactTruth(
+      DedupText.withWordShingles(plantedDocs).filter(size(col("s")) > 0), 0.5)
+    val charTruth = exactTruth(
+      plantedDocs.withColumn("s",
+          graft.functions.ShingleExpression.charShingles(col("text"), 6))
+        .select(col("doc_id"), col("s")), 0.6)
+    assert(planted.subsetOf(wordTruth) && planted.subsetOf(charTruth),
+      "every planted pair must clear both thresholds")
+    val wordGot = gotPairs("dedup_lsh_pairs", dir)
+    val charGot = gotPairs("dedup_ngram", dir)
+    (planted.count(wordGot.contains).toDouble / planted.size,
+      planted.count(charGot.contains).toDouble / planted.size)
+  }
+
+  test("adaptive rows-per-band: planted recall floors at elevated r (8.2k docs)") {
+    // expected from p = 1-(1-J^r)^b at r0+2: word 4×4 — 1-edit J≈0.9 →
+    // 0.99, 2-edit J≈0.81 → 0.88; char 3×10 — 1-edit J≈0.94 → 0.90,
+    // 2-edit J≈0.89 → 0.67. Floors sit under the mixed expectations.
+    val (word, char) = plantedRecallAt(5000, 8100)
+    info(f"elevated r (vocab 5000, 8.2k docs): word $word%.3f, char $char%.3f")
+    assert(word >= 0.80, f"word-lane (4×4) recall floor 0.80, measured $word%.3f")
+    assert(char >= 0.60, f"char-lane (3×10) recall floor 0.60, measured $char%.3f")
+  }
+
+  test("rowsFor schedule: one row per corpus doubling from N0, capped") {
+    import DedupText._
+    // base geometry through 2×N0 — the sf0.01 gate (500 docs) and the
+    // small recall fixtures (~680 docs) stay exactly as graded
+    assert(rowsFor(1, WORD_R0, WORD_MAX_R) == WORD_R0)
+    assert(rowsFor(500, WORD_R0, WORD_MAX_R) == WORD_R0)
+    assert(rowsFor(2 * DOC_N0 - 1, WORD_R0, WORD_MAX_R) == WORD_R0)
+    // one row per doubling
+    assert(rowsFor(2 * DOC_N0, WORD_R0, WORD_MAX_R) == WORD_R0 + 1)
+    assert(rowsFor(5000, WORD_R0, WORD_MAX_R) == WORD_R0 + 1)   // sf0.1
+    assert(rowsFor(4 * DOC_N0, WORD_R0, WORD_MAX_R) == WORD_R0 + 2)
+    assert(rowsFor(50000, WORD_R0, WORD_MAX_R) == WORD_R0 + 4)  // sf1 organic
+    assert(rowsFor(500000, NGRAM_R0, NGRAM_MAX_R) == NGRAM_R0 + 7) // sf10
+    // caps
+    assert(rowsFor(500000, WORD_R0, WORD_MAX_R) == WORD_MAX_R)  // 2+7 ≥ 8
+    assert(rowsFor(Long.MaxValue / 2, WORD_R0, WORD_MAX_R) == WORD_MAX_R)
+    assert(rowsFor(Long.MaxValue / 2, NGRAM_R0, NGRAM_MAX_R) == NGRAM_MAX_R)
   }
 }
