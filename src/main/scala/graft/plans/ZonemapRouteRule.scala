@@ -220,16 +220,43 @@ object ZonemapRouteRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** The sink-backed scan under a Project/Filter chain, with every filter
     * conjunct collected on the way down — None unless EVERY root path of
-    * the relation is registered (a foreign parquet scan is never ours). */
+    * the relation is registered (a foreign parquet scan is never ours).
+    *
+    * The fourth element maps each PURE-RENAME output attribute of `p` (by
+    * exprId) back to the relation's own attribute, composed through every
+    * intervening Project — so `select(col("k").as("fk"))` between scan and
+    * join no longer hides the stored column from the zonemap (the join key
+    * `fk` resolves to `k`'s zones). Filter conjuncts are rewritten through
+    * the map AT THEIR OWN LEVEL (where their references are in scope), so a
+    * predicate stated above a renaming Project still narrows the survivor
+    * set. Only exprId-keyed renames ride the map: an alias over a COMPUTED
+    * expression gets no entry, its conjuncts/keys stay unresolvable, and
+    * every consumer already treats that as "proves nothing" — conservative,
+    * and immune to name shadowing (e.g. (grp+1).as("grp")) by construction. */
   private def scanOf(p: LogicalPlan)
-      : Option[(LogicalRelation, HadoopFsRelation, Seq[Expression])] = p match {
-    case Project(_, child) => scanOf(child)
+      : Option[(LogicalRelation, HadoopFsRelation, Seq[Expression],
+                Map[ExprId, AttributeReference])] = p match {
+    case Project(plist, child) =>
+      scanOf(child).map { case (l, fs, cs, m) =>
+        val m2 = plist.flatMap {
+          case a: AttributeReference => m.get(a.exprId).map(a.exprId -> _)
+          case al @ Alias(ar: AttributeReference, _) =>
+            m.get(ar.exprId).map(al.exprId -> _)
+          case _ => None
+        }.toMap
+        (l, fs, cs, m2)
+      }
     case Filter(c, child) =>
-      scanOf(child).map { case (l, fs, cs) => (l, fs, cs ++ splitConjunctivePredicates(c)) }
+      scanOf(child).map { case (l, fs, cs, m) =>
+        val remapped = splitConjunctivePredicates(c).map(_.transform {
+          case a: AttributeReference => m.getOrElse(a.exprId, a)
+        })
+        (l, fs, cs ++ remapped, m)
+      }
     case l: LogicalRelation => l.relation match {
       case fs: HadoopFsRelation if fs.location.rootPaths.nonEmpty &&
           fs.location.rootPaths.forall(r => pathZones.get(r.toUri.getPath) != null) =>
-        Some((l, fs, Nil))
+        Some((l, fs, Nil, l.output.map(a => a.exprId -> a).toMap))
       case _ => None
     }
     case _ => None
@@ -263,19 +290,17 @@ object ZonemapRouteRule extends Rule[LogicalPlan] with PredicateHelper {
     * on the other side could ever be dropped). */
   private def multiKeyBounds(side: LogicalPlan, keys: Seq[AttributeReference])
       : Option[Seq[Seq[Option[(Any, Any)]]]] =
-    scanOf(side).flatMap { case (l, fs, conjuncts) =>
-      // only conjuncts whose attributes resolve to the RELATION's own
-      // outputs may narrow the survivor set: a Filter above a Project
-      // can reference an alias that shadows a stored column's NAME
-      // (e.g. (grp+1).as("grp")) — testing that against the stored
-      // zones would derive bounds from the wrong buckets and prune
-      // fact buckets that hold matches. Ignoring such a conjunct only
-      // widens the bound: conservative.
+    scanOf(side).flatMap { case (l, fs, conjuncts, renames) =>
+      // only conjuncts whose attributes resolve (possibly through scanOf's
+      // rename map) to the RELATION's own outputs may narrow the survivor
+      // set — an alias over a computed expression never resolves, and
+      // ignoring its conjunct only widens the bound: conservative.
       val applicable = conjuncts.filter(_.references.subsetOf(l.outputSet))
       val surviving = fs.location.rootPaths
         .map(p => pathZones.get(p.toUri.getPath))
         .filter(zs => applicable.forall(keeps(zs, _)))
-      val vectors = surviving.map(zs => keys.map(k => keyZone(l, zs, k)))
+      val resolved = keys.map(k => renames.get(k.exprId))
+      val vectors = surviving.map(zs => resolved.map(_.flatMap(keyZone(l, zs, _))))
       if (surviving.isEmpty || vectors.exists(_.forall(_.isEmpty))) None
       else Some(vectors)
     }
@@ -287,11 +312,12 @@ object ZonemapRouteRule extends Rule[LogicalPlan] with PredicateHelper {
   private def pruneByKeys(side: LogicalPlan, keys: Seq[AttributeReference],
                           bounds: Seq[Seq[Option[(Any, Any)]]]): LogicalPlan =
     scanOf(side) match {
-      case Some((l, fs, _)) =>
+      case Some((l, fs, _, renames)) =>
         val ords = keys.map(k => TypeUtils.getInterpretedOrdering(k.dataType))
+        val resolved = keys.map(k => renames.get(k.exprId))
         val kept = fs.location.rootPaths.filter { p =>
           val zs = pathZones.get(p.toUri.getPath)
-          val mine = keys.map(k => keyZone(l, zs, k))
+          val mine = resolved.map(_.flatMap(keyZone(l, zs, _)))
           bounds.exists(vec => keys.indices.forall { i =>
             (mine(i), vec(i)) match {
               case (Some((zlo, zhi)), Some((blo, bhi))) =>

@@ -297,6 +297,51 @@ class ZonemapSpec extends SparkTestBase {
       "vector pruning must stay value-identical to the unpruned join")
   }
 
+  test("join routing resolves keys and filters through pure-rename projections") {
+    val fdir = Files.createTempDirectory("graft-zmj-alias-f").toString
+    val ddir = Files.createTempDirectory("graft-zmj-alias-d").toString
+    val fact = daySink(fdir); fact.merge(rows(0 until 64), 0L)
+    val dim = grpDim(ddir); dim.merge(dimRows, 0L)
+
+    // both join keys are ALIASES of the stored column: the rename map must
+    // resolve fx -> x on each side or no zone is provable at all
+    val aliased = fact.table().select(col("x").as("fx"), col("d"), col("id"))
+      .join(dim.table().filter(col("grp") === 1)
+        .select(col("x").as("fx"), col("grp")), Seq("fx"))
+    assert(plannedBucketsIn(aliased, fdir) == Seq(2, 3),
+      "an aliased join key must still route through the stored column's zones")
+    assert(plannedBucketsIn(aliased, ddir) == Seq(1))
+    assert(sortedRows(aliased.select(col("fx"), col("d"), col("id"), col("grp"))
+        .withColumnRenamed("fx", "x")) ==
+      sortedRows(fact.current.join(dimRows.filter(col("grp") === 1), Seq("x"))
+        .select("x", "d", "id", "grp")),
+      "alias-routed join must stay value-identical to the unpruned join")
+
+    // a filter stated ABOVE a renaming projection narrows the survivor set
+    // through the same map (g -> grp)
+    val filteredAbove = fact.table().join(
+      dim.table().select(col("x"), col("grp").as("g")).filter(col("g") === 1),
+      Seq("x"))
+    assert(plannedBucketsIn(filteredAbove, fdir) == Seq(2, 3),
+      "a predicate over a renamed column must still bound the fact scan")
+
+    // a COMPUTED alias that shadows the stored name must NOT resolve:
+    // grp+1 = 2 means real grp = 1, and testing it against grp's zones
+    // would keep the wrong dim bucket and prune fact buckets that match.
+    // Conservative outcome: no fact pruning, values exact.
+    val shadowed = fact.table().join(
+      dim.table().select(col("x"), (col("grp") + 1).as("grp"))
+        .filter(col("grp") === 2),
+      Seq("x"))
+    assert(plannedBucketsIn(shadowed, fdir).size == 8,
+      "a computed alias shadowing a stored column must prove nothing")
+    assert(sortedRows(shadowed.select("x", "d", "id", "grp")) ==
+      sortedRows(fact.current.join(
+        dimRows.select(col("x"), (col("grp") + 1).as("grp"))
+          .filter(col("grp") === 2), Seq("x"))
+        .select("x", "d", "id", "grp")))
+  }
+
   test("join routing stays conservative when the dim key zone is unprovable") {
     val fdir = Files.createTempDirectory("graft-zmj-cons-f").toString
     val fact = daySink(fdir); fact.merge(rows(0 until 64), 0L)
