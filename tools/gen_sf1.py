@@ -41,6 +41,15 @@ R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 #           position), but the grams they mint are COMBINATIONS OF SHARED
 #           vocabulary, so cross-document gram-sharing — and hence the df
 #           distribution the rare-gram filter sees — survives the scale-up.
+#
+#           The filler key must be HASHED, not a linear form: the original
+#           (doc_id*7 + k*13 + i*3) % 16 is periodic in k mod 16, so at
+#           R > 16 every replica pair with k1 ≡ k2 (mod 16) drew IDENTICAL
+#           fillers at EVERY position — byte-identical texts, i.e. ~1.29M
+#           planted J=1 cliques at R=100 (measured: 90% of the sf10
+#           dedup_ngram output), exactly the adversarial quadratic this
+#           rewrite exists to avoid. hash() breaks the periodicity; any
+#           two replicas now agree on ~1/16 of positions only.
 mode = sys.argv[4] if len(sys.argv) > 4 else "novel"
 assert mode in ("novel", "organic"), f"unknown mode {mode}"
 
@@ -66,7 +75,7 @@ else:
                "'for','it','on','as','with','was','at','by']")
     rewrite = f"""array_to_string(flatten([
            CASE WHEN i % 2 = 0 THEN
-             [d.w[i], ({fillers})[1 + (d.doc_id*7 + ks.k*13 + i*3) % 16]]
+             [d.w[i], ({fillers})[1 + CAST(hash(d.doc_id*7 + ks.k*13 + i*3) % 16 AS INT)]]
            ELSE [d.w[i]] END
            for i in range(1, len(d.w)+1)]), ' ')"""
     doc_src = f"(SELECT *, string_split(text, ' ') AS w FROM {doc}) d"
