@@ -14,9 +14,10 @@ import graft.{Q, Tables}
   *   normalize → word 3-shingles → b·r(n) MinHashes → 4 bands × r(n) rows
   *   → band-bucket equi-join (candidates) → exact-Jaccard verify → drop list
   *
-  * Rows-per-band r(n) is CORPUS-ADAPTIVE (base 2, +1 per corpus doubling
-  * past N0 = 2000, capped at 8; char lane base 8 capped at 16) — see the
-  * `rowsFor` note for why fixed banding is quadratic at scale.
+  * Rows-per-band r(n) is CORPUS-ADAPTIVE (word lane: base 2, +1 per corpus
+  * doubling past N0 = 2000, capped at 8; char lane: base 8, +1 per TWO
+  * doublings, capped at 16) — see the `rowsFor` note for why fixed banding
+  * is quadratic at scale and why the growth rate is sized per lane.
   *
   * Scale design (100 TB corpus): everything up to banding is per-row map work
   * over the scan (no shuffle, codegen'd higher-order expressions). Candidate
@@ -55,27 +56,39 @@ object DedupText {
     * b·J^r; pairs grow as n² per corpus doubling (×4) while the
     * admission rate stays put — so candidate volume is quadratic until
     * MAX_BUCKET engages, after which recall silently erodes instead.
-    * Growing r by ONE ROW PER CORPUS DOUBLING multiplies the background
-    * admission by J_bg per doubling; for the J_bg ≲ 0.3 tail that both
-    * lanes' base geometries were sized against, ×4 pairs × ≤0.3 admission
-    * ≈ ×1.2 per doubling — candidate volume stays near-LINEAR in n. The
-    * band count b stays fixed (it is the recall dial): planted near-dups
-    * at J ≈ 0.9 keep p = 1−(1−J^r)^b high (word lane at the r-cap 8:
-    * 0.9⁸ = 0.43 → 0.90 recall), while the mid-J S-curve shifts right —
-    * an explicit, oracle-mirrored trade, measured in DedupRecallSpec's
-    * elevated-r corpus. Both engines derive r from the same documents
-    * count by integer arithmetic, so the grade stays hash-exact at every
-    * scale. N0 = 2000 keeps every corpus ≤ 2×N0 — including the sf0.01
-    * correctness gate (500 docs) and the recall fixtures — at its BASE
-    * geometry. */
+    * Growing r multiplies the background admission by J_bg per ADDED
+    * ROW, so the growth rate is sized per lane to its background:
+    *
+    *   - word lane (J_bg tail ≲ 0.3): one row per doubling — ×4 pairs ×
+    *     ≤0.3 admission ≈ ×1.2 per doubling, near-linear.
+    *   - char lane (J_bg ≈ 0.1 mean): one row per TWO doublings —
+    *     ×4 pairs per doubling × 0.1^(1/2) ≈ ×1.26, the same envelope
+    *     at HALF the signature growth. The full +1/doubling schedule
+    *     was measured counterproductive on the clean sf10 corpus
+    *     (500k docs): r=15 cost 28.1 s vs 19.7 s at r=11 in the same
+    *     JVM — the 3·4 extra minhashes per doc dominate once planted
+    *     candidate volume is linear — and passed 476 vs 588 true
+    *     J≥0.6 pairs (every added row also shifts the recall S-curve).
+    *
+    * The band count b stays fixed (it is the recall dial): planted
+    * near-dups at J ≈ 0.9 keep p = 1−(1−J^r)^b high (word lane at the
+    * r-cap 8: 0.9⁸ = 0.43 → 0.90 recall), while the mid-J S-curve
+    * shifts right — an explicit, oracle-mirrored trade, measured in
+    * DedupRecallSpec's elevated-r corpus. Both engines derive r from
+    * the same documents count by integer arithmetic, so the grade stays
+    * hash-exact at every scale. N0 = 2000 keeps every corpus ≤ 2×N0 —
+    * including the sf0.01 correctness gate (500 docs) and the recall
+    * fixtures — at its BASE geometry. */
   private[operators] val DOC_N0 = 2000L
   private[operators] val WORD_R0 = K / BANDS          // 2 rows at base
   private[operators] val WORD_MAX_R = 8               // sigK cap 4×8 = 32
+  private[operators] val WORD_STEP = 1                // doublings per added row
   private[operators] val NGRAM_R0 = NGRAM_K / NGRAM_BANDS // 8 rows at base
   private[operators] val NGRAM_MAX_R = 16             // sigK cap 3×16 = 48
-  private[operators] def rowsFor(n: Long, r0: Int, rMax: Int): Int = {
+  private[operators] val NGRAM_STEP = 2               // doublings per added row
+  private[operators] def rowsFor(n: Long, r0: Int, rMax: Int, step: Int = 1): Int = {
     val ratio = math.max(1L, n / DOC_N0)
-    math.min(rMax, r0 + (63 - java.lang.Long.numberOfLeadingZeros(ratio)))
+    math.min(rMax, r0 + (63 - java.lang.Long.numberOfLeadingZeros(ratio)) / step)
   }
 
   /** 60-bit engine-agnostic hash of "<seed>:" + x (shared Hashing kernel). */
@@ -237,7 +250,7 @@ object DedupText {
 
   /** Corpus-adaptive char-lane rows-per-band for a dir (see `rowsFor`). */
   private[operators] def ngramRows(s: SparkSession, dir: String): Int =
-    rowsFor(Tables.cachedCount(s, dir, "documents"), NGRAM_R0, NGRAM_MAX_R)
+    rowsFor(Tables.cachedCount(s, dir, "documents"), NGRAM_R0, NGRAM_MAX_R, NGRAM_STEP)
 
   private[operators] def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val r = wordRows(s, dir)
@@ -646,10 +659,12 @@ object DedupText {
     * count on data) and each band consumes its r(n)-row slice via
     * list_slice with the scalar r. Expects `sh(doc_id, s)` in scope;
     * exposes `mh(doc_id, s)` for pairsSql's verification join and
-    * `bands(doc_id, band, sig)` with the MAX_BUCKET guard mirrored. */
-  private def adaptiveBandsSqlFor(nBands: Int, r0: Int, rMax: Int): String = {
+    * `bands(doc_id, band, sig)` with the MAX_BUCKET guard mirrored.
+    * `step` mirrors `rowsFor`'s doublings-per-added-row: the k-th extra
+    * row engages at ratio 2^(step·k). */
+  private def adaptiveBandsSqlFor(nBands: Int, r0: Int, rMax: Int, step: Int = 1): String = {
     val extra = (1 to rMax - r0).map { k =>
-      s"CASE WHEN count(*) // $DOC_N0 >= ${1L << k} THEN 1 ELSE 0 END"
+      s"CASE WHEN count(*) // $DOC_N0 >= ${1L << (step * k)} THEN 1 ELSE 0 END"
     }.mkString(" + ")
     s"""params AS (
        |  SELECT least($rMax, $r0 + ($extra)) AS r FROM documents),
@@ -673,7 +688,8 @@ object DedupText {
        |    FROM bands0) WHERE bsz <= $MAX_BUCKET)""".stripMargin
   }
   private[operators] val wordBandsSql = adaptiveBandsSqlFor(BANDS, WORD_R0, WORD_MAX_R)
-  private val ngramBandsSql = adaptiveBandsSqlFor(NGRAM_BANDS, NGRAM_R0, NGRAM_MAX_R)
+  private val ngramBandsSql =
+    adaptiveBandsSqlFor(NGRAM_BANDS, NGRAM_R0, NGRAM_MAX_R, NGRAM_STEP)
 
   private[operators] val pairsSql =
     """cand AS (
