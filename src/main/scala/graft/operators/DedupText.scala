@@ -540,14 +540,25 @@ object DedupText {
   // Jain & Das Sarma, WWW'07 — Google's web-dedup): two docs are near-dups
   // when their f-bit simhashes differ in ≤ K bits. The scalable shape is
   // EXACT-recall banding by pigeonhole: split f = 60 bits into B = 6 bands
-  // of 10; any pair within hamming K ≤ B−1 = 5 (shipped HAM_K = 2) agrees
-  // on ≥ 1 whole band, so an equi-join on (band, band-bits) finds every
-  // qualifying pair — a deterministic guarantee, unlike MinHash banding's
-  // probabilistic one. The require below pins the bound: raising HAM_K past
-  // B−1 would silently lose recall.
-  // Verify = bit_count(xor) on the candidate pairs only. The MAX_BUCKET
-  // guard caps degenerate bands (near-empty docs hash alike), mirrored in
-  // the oracle as graded semantics.
+  // of 10; a pair within hamming K differs in at most K bands, so it AGREES
+  // on some (B−K)-band combination — an equi-join keyed on each of the
+  // C(B, B−K) combinations' concatenated bits finds every qualifying pair,
+  // a deterministic guarantee, unlike MinHash banding's probabilistic one
+  // (this is Manku's table construction; K = 2 → 15 tables of 40-bit keys).
+  //
+  // The key must be the (B−K)-band CONCATENATION, not a single band: a
+  // 10-bit single-band key has only 2^10 values, so bucket occupancy is
+  // n/1024 and the MAX_BUCKET cap starts DROPPING true pairs once the
+  // corpus passes ~65k docs (the sf10 gate measured the saturation: at
+  // 500k docs every bucket held ~488 docs). A 40-bit combo key keeps
+  // occupancy ~n/2^40 — scale-stable the same way planesFor/rowsFor are,
+  // but by pigeonhole instead of probability, so recall stays EXACT.
+  // The require below pins the bound: raising HAM_K past B−1 would leave
+  // zero-band combos (an all-pairs join), i.e. silently lose the guarantee.
+  // Verify = bit_count(xor) on the candidate pairs only (agreeing on B−K
+  // bands does NOT imply hamming ≤ K overall — the free bands are
+  // unconstrained). The MAX_BUCKET guard caps degenerate combos (near-empty
+  // docs hash alike), mirrored in the oracle as graded semantics.
   private[operators] val SIM_BITS = 60
   private[operators] val SIM_BANDS = 6
   private[operators] val HAM_K = 2
@@ -564,26 +575,37 @@ object DedupText {
   private[operators] def simhash60(hsCol: Column): Column =
     graft.functions.SimHashExpression.simhash(hsCol, SIM_BITS)
 
-  /** Pigeonhole hamming-band pairs over a (doc_id, sig) frame: all pairs
-    * within HAM_K bits, exact recall (K ≤ B−1), MAX_BUCKET guard riding the
-    * band-join key. Shared by the text and binary-payload simhash dedups —
-    * the kernel is signature-source-agnostic. */
+  /** The C(B, B−k) pigeonhole combinations for hamming radius k: each is
+    * the band subset one key concatenates. Shared verbatim with the SQL
+    * generator so both engines enumerate identical combos in identical
+    * order. At the shipped k = 2 this is 15 combos of 4 bands; at k = 5
+    * (the payload lane) it degenerates to the 6 single-band keys. */
+  private[operators] def hamCombos(k: Int): Seq[Seq[Int]] =
+    (0 until SIM_BANDS).combinations(SIM_BANDS - k).map(_.toSeq).toSeq
+
+  /** Pigeonhole hamming pairs over a (doc_id, sig) frame: all pairs within
+    * k bits, exact recall (k ≤ B−1), MAX_BUCKET guard riding the (combo,
+    * key) join key — see the dedup_hamming note for why the key is a
+    * (B−k)-band concatenation. Shared by the text and binary-payload
+    * simhash dedups — the kernel is signature-source-agnostic. */
   private[operators] def hammingPairs(sigs: DataFrame, k: Int = HAM_K): DataFrame = {
     require(k <= SIM_BANDS - 1,
       s"hamming radius $k breaks the pigeonhole exact-recall bound (B-1 = ${SIM_BANDS - 1})")
     val r = SIM_BITS / SIM_BANDS
-    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bits")
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("combo", "key")
     val bands = sigs.select(col("doc_id"), col("sig"),
-        explode(array((0 until SIM_BANDS).map { g =>
-          struct(lit(g).as("band"),
-            shiftright(col("sig"), g * r).bitwiseAND(lit((1L << r) - 1)).as("bits"))
+        explode(array(hamCombos(k).zipWithIndex.map { case (c, ci) =>
+          struct(lit(ci).as("combo"),
+            c.zipWithIndex.map { case (b, j) =>
+              shiftleft(shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1)), j * r)
+            }.reduce(_ bitwiseOR _).as("key"))
         }: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+      .select(col("doc_id"), col("sig"), col("bb.combo").as("combo"), col("bb.key").as("key"))
       .withColumn("bsz", count(lit(1)).over(wB))
       .filter(col("bsz") <= MAX_BUCKET)
       .drop("bsz")
     bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+        col("a.combo") === col("b.combo") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
@@ -706,24 +728,33 @@ object DedupText {
   private val simhashBitsSql = simhashBitsSqlFor(16)
 
   /** Oracle mirror of `hammingPairs`: expects an `hs(doc_id, hs)` CTE in
-    * scope, yields the banded verified pair SELECT (caller appends ORDER
-    * BY). Shared by the text and binary-payload hamming dedups. */
+    * scope, yields the combo-banded verified pair SELECT (caller appends
+    * ORDER BY). The combo list comes from the SAME `hamCombos` enumeration
+    * the Spark side explodes, one UNION ALL arm per combo, each packing its
+    * (B−k) bands' bits into one BIGINT key by shift-or — identical integer
+    * arithmetic in both engines. Shared by the text and binary-payload
+    * hamming dedups. */
   private[operators] def hammingPairsSql(k: Int = HAM_K): String = {
     val r = SIM_BITS / SIM_BANDS
+    val arms = hamCombos(k).zipWithIndex.map { case (c, ci) =>
+      val key = c.zipWithIndex.map { case (b, j) =>
+        s"(((sig >> ${b * r}) & ${(1L << r) - 1}) << ${j * r})"
+      }.mkString(" | ")
+      s"SELECT doc_id, sig, $ci AS combo, ($key) AS key FROM sg"
+    }.mkString("\n  UNION ALL ")
     s"""sg AS (
        |  SELECT doc_id, (${simhashBitsSqlFor(SIM_BITS)}) AS sig
        |  FROM hs WHERE len(hs) > 0),
        |b0 AS (
-       |  SELECT doc_id, sig, CAST(g AS INT) AS band, (sig >> (CAST(g AS INT) * $r)) & ${(1L << r) - 1} AS bits
-       |  FROM sg, UNNEST(range(0, $SIM_BANDS)) AS u(g)),
+       |  $arms),
        |bands AS (
-       |  SELECT doc_id, sig, band, bits FROM (
-       |    SELECT *, count(*) OVER (PARTITION BY band, bits) AS bsz FROM b0)
+       |  SELECT doc_id, sig, combo, key FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY combo, key) AS bsz FROM b0)
        |  WHERE bsz <= $MAX_BUCKET)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
        |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+       |  ON a.combo = b.combo AND a.key = b.key AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= $k""".stripMargin
   }
 

@@ -155,7 +155,8 @@ object Multimodal {
     * recall. Zero new machinery: only the signature SOURCE changed, which
     * is the kernel contract. At 100 TB the hex/gram/simhash chain is
     * per-row map work over the media scan; candidates stay an equi-join on
-    * (band, bits).
+    * (combo, key) — at radius 5 the C(6,1) combos are the six single
+    * bands, so this lane's admission is unchanged by the combo-key kernel.
     */
   private val mmPayloadDedup: Q = (s, dir) =>
     DedupText.hammingPairs(

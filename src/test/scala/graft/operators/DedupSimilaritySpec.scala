@@ -127,6 +127,40 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"banding must find exactly the brute-force pairs: banded=$banded brute=$brute")
   }
 
+  test("hamming combo keys survive single-band bucket saturation (the 65k-doc cliff)") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    // planted pair: sigs differ in 2 bits, BOTH inside band 0 — so the pair
+    // agrees on bands 1..5 and on every 4-band combo excluding band 0.
+    // 70 filler docs per band j share the planted sig's band-j bits (zero)
+    // but carry distinct nonzero bits in every OTHER band: under the OLD
+    // single-band keys every (band, bits=0) bucket held 72 > MAX_BUCKET=64
+    // docs and the planted pair was silently dropped; under the 4-band
+    // combo keys each filler's key differs from the planted key in ≥ 3
+    // bands, so the planted combo bucket holds exactly the pair.
+    val r = DedupText.SIM_BITS / DedupText.SIM_BANDS
+    val planted = Seq((1L, 0L), (2L, 3L)) // hamming 2, both bits in band 0
+    val fillers = for {
+      j <- 0 until DedupText.SIM_BANDS
+      i <- 0 until 70
+    } yield {
+      val sig = (0 until DedupText.SIM_BANDS).map { b =>
+        if (b == j) 0L else ((i * 6 + b) % 1023 + 1).toLong << (b * r)
+      }.reduce(_ | _)
+      (100L + j * 100 + i, sig)
+    }
+    val sigs = (planted ++ fillers).toDF("doc_id", "sig")
+    val got = DedupText.hammingPairs(sigs)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.contains((1L, 2L, 2)),
+      "the planted pair must survive saturation of every single-band bucket")
+    // and nothing false: every emitted pair really is within HAM_K
+    val bySig = (planted ++ fillers).toMap
+    assert(got.forall { case (a, b, h) =>
+      java.lang.Long.bitCount(bySig(a) ^ bySig(b)) == h && h <= DedupText.HAM_K })
+  }
+
   test("brute-force cosine top-k ranks the colinear vector first") {
     val session = spark
     import session.implicits._
