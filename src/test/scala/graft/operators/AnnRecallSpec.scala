@@ -97,6 +97,73 @@ class AnnRecallSpec extends SparkTestBase {
     assert(recall >= 0.8, f"IVF recall@5 floor is 0.8, measured $recall%.3f")
   }
 
+  /** Recall at the ELEVATED adaptive plane counts a large corpus runs at —
+    * the sizing table for the `tables` dial (planesFor holds occupancy
+    * linear, and the COST of that is per-table recall: each extra bit
+    * multiplies a true pair's per-table collision odds by 1 − θ/π). 33k
+    * vectors force P = 10 and 132k force P = 12; recall is measured per
+    * table count T against the planted siblings (cos ≈ 0.998 — the true
+    * top-5 by construction: over 132k random 64-dim background vectors the
+    * largest background cosine concentrates near 0.125·√(2·ln n) ≈ 0.6).
+    *
+    * Expected from the geometry (θ ≈ 0.05 rad): per-table r = (1 − θ/π)^P
+    * ≈ 0.85 at P = 10, ≈ 0.82 at P = 12; T tables compound to 1 − (1−r)^T
+    * ≈ 0.98 (T = 2), ≈ 0.997 (T = 3). Floors sit under those rates; the
+    * measured sweep is printed for the sizing table in BENCH_sf10.md. */
+  test("multi-probe recall vs (P, T): planted-pair floors at P = 10 and P = 12") {
+    val session = spark
+    import session.implicits._
+
+    val planted = (0 until 10)
+      .flatMap(g => (1 to 5).map(j => (g * 100L, g * 100L + j))).toSet
+
+    def corpus(nBg: Int): String = {
+      val rnd = new Random(7)
+      def vec(): Array[Float] = Array.fill(DIM)(rnd.nextGaussian().toFloat)
+      val rows = (0 until 10).flatMap { g =>
+        val base = vec()
+        (g * 100L, base, g) +: (1 to 5).map { j =>
+          (g * 100L + j, base.map(x => x + 0.05f * rnd.nextGaussian().toFloat), g)
+        }
+      } ++ (0 until nBg).map(i => (1000000L + i, vec(), 99))
+      val dir = Files.createTempDirectory(s"graft-ann-pt-$nBg").toString
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+
+    def recallAt(dir: String, tables: Int): Double = {
+      // only pairs touching a planted id matter for recall: filter before
+      // the collect so the ~1M background-background candidates stay out
+      // of the driver
+      val cands = Similarity.multiProbePairs(spark, dir, tables, threshold = 0.15)
+        .filter(org.apache.spark.sql.functions.col("vec_a") < 1000000L ||
+          org.apache.spark.sql.functions.col("vec_b") < 1000000L)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect()
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+      planted.count(cands.contains).toDouble / planted.size
+    }
+
+    val dir10 = corpus(33000)   // 33 060 vectors → ratio 16 → P = 10
+    assert(Similarity.planesFor(
+      graft.Tables.cachedCount(spark, dir10, "embeddings")) == 10)
+    val r10 = (1 to 3).map(t => t -> recallAt(dir10, t))
+    info(r10.map { case (t, r) => f"P=10 T=$t: $r%.3f" }.mkString(", "))
+
+    val dir12 = corpus(132000)  // 132 060 vectors → ratio 66 → P = 12
+    assert(Similarity.planesFor(
+      graft.Tables.cachedCount(spark, dir12, "embeddings")) == 12)
+    val r12 = Seq(1, 3).map(t => t -> recallAt(dir12, t))
+    info(r12.map { case (t, r) => f"P=12 T=$t: $r%.3f" }.mkString(", "))
+
+    assert(r10.toMap.apply(1) >= 0.6, "P=10 single-table floor 0.6")
+    assert(r10.toMap.apply(3) >= 0.9, "P=10 three-table floor 0.9")
+    assert(r12.toMap.apply(1) >= 0.6, "P=12 single-table floor 0.6")
+    assert(r12.toMap.apply(3) >= 0.9, "P=12 three-table floor 0.9")
+    // monotone in T: each table only ADDS candidates
+    assert(r10.map(_._2) == r10.map(_._2).sorted)
+  }
+
   test("PQ/ADC recall@5 vs brute force on the planted clusters") {
     val session = spark
     import session.implicits._
