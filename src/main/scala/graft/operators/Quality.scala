@@ -169,8 +169,14 @@ object Quality {
       .filter(col("digit").between(1, 9))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n"))
-    val total = counts.agg(sum(col("n")).as("_total"))
-    counts.crossJoin(broadcast(total))
+    // grand total as an unpartitioned window over the NINE aggregate rows —
+    // an agg-subtree + crossJoin(broadcast(...)) would re-evaluate the whole
+    // grouped scan a second time (the multi-consumer recompute pathology:
+    // measured 2 scans of lineitem in the physical plan); the window's
+    // single-partition exchange moves 9 rows
+    counts
+      .withColumn("_total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("observed_p", round(col("n").cast("double") / col("_total"), 6))
       .withColumn("expected_p", round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
       .select(col("digit"), col("n"), col("observed_p"), col("expected_p"),
