@@ -48,22 +48,27 @@ object Tables {
 
   /** Table row count per (dir, table), memoized for the process — the
     * corpus-size input of the adaptive geometry dials (LSH plane count,
-    * minhash rows-per-band). Keyed on a filesystem snapshot token (file
-    * count + max mtime + total bytes), so an in-process rewrite or append
-    * invalidates the memo instead of silently sizing geometry from a stale
-    * count while the DuckDB oracle counts live rows; superseded-snapshot
-    * entries are dropped eagerly, bounding the map by live (dir, table)s. */
+    * minhash rows-per-band). Keyed on a filesystem snapshot token — a
+    * digest over the sorted per-file (path, size, mtime) tuples, so ANY
+    * file-level change invalidates the memo (aggregate sums could collide:
+    * a rewrite preserving file count + total bytes within mtime granularity
+    * would otherwise serve a stale count while the DuckDB oracle counts
+    * live rows). Superseded-snapshot entries are dropped opportunistically;
+    * a racing thread holding a superseded token can transiently re-insert
+    * its (still token-keyed, so correct) entry, so the map is bounded by
+    * live (dir, table)s only up to that short-lived leak. */
   private val countMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), java.lang.Long]()
   private def snapshotToken(dir: String, name: String): String = {
     def walk(f: java.io.File): Iterator[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).iterator.flatten.flatMap(walk)
       else Iterator.single(f)
-    var n = 0L; var mtime = 0L; var bytes = 0L
-    walk(new java.io.File(s"$dir/$name.parquet")).foreach { f =>
-      n += 1; mtime = math.max(mtime, f.lastModified()); bytes += f.length()
-    }
-    s"$n:$mtime:$bytes"
+    val tuples = walk(new java.io.File(s"$dir/$name.parquet"))
+      .map(f => s"${f.getPath}\u0000${f.length()}\u0000${f.lastModified()}")
+      .toSeq.sorted
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    tuples.foreach(t => md.update(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    md.digest().map("%02x".format(_)).mkString
   }
   def cachedCount(spark: SparkSession, sfDir: String, name: String): Long = {
     val snap = snapshotToken(sfDir, name)

@@ -587,7 +587,15 @@ object DedupText {
     * k bits, exact recall (k ≤ B−1), MAX_BUCKET guard riding the (combo,
     * key) join key — see the dedup_hamming note for why the key is a
     * (B−k)-band concatenation. Shared by the text and binary-payload
-    * simhash dedups — the kernel is signature-source-agnostic. */
+    * simhash dedups — the kernel is signature-source-agnostic.
+    *
+    * Cost constant to price in when changing the radius: the kernel
+    * explodes C(B, B−k) key rows per doc — 15 at k = 2 (vs 6 for the
+    * saturating single-band scheme it replaced, a 2.5× row-explosion into
+    * the bucket-count shuffle, and the keys are near-unique 40-bit values
+    * so most count-window partitions are size 1). k = 3 would be
+    * C(6,3) = 20 rows of 30-bit keys (more rows AND denser buckets);
+    * k = 5 degenerates to the 6 single-band keys. */
   private[operators] def hammingPairs(sigs: DataFrame, k: Int = HAM_K): DataFrame = {
     require(k <= SIM_BANDS - 1,
       s"hamming radius $k breaks the pigeonhole exact-recall bound (B-1 = ${SIM_BANDS - 1})")

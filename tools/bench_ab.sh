@@ -21,13 +21,20 @@ set -e
 cd "$(dirname "$0")/.."
 A=$1; B=$2; SF=$3; ONLY=${4:-}; ROUNDS=${5:-5}
 
+ERRLOG=${BENCH_AB_ERRLOG:-/tmp/bench_ab_stderr.log}
+: > "$ERRLOG"
+
 run_side() { # $1 classes dir -> prints the bench "value" seconds
+  # Select the JSON line explicitly (last line starting with '{'): trailing
+  # non-JSON stdout (JVM shutdown notices etc.) must not break json.loads.
+  # stderr goes to $ERRLOG so a failed side leaves its cause on disk.
   local out
   out=$(SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_ONLY="$ONLY" \
         SPARK_GRAFT_BENCH_RUNS=1 \
         java $(tools/jvm_opens.sh) -Xmx8g -Dspark.ui.enabled=false \
           -Dspark.sql.session.timeZone=UTC \
-          -cp "$1:/opt/spark/jars/*" graft.Bench 2>/dev/null | tail -1)
+          -cp "$1:/opt/spark/jars/*" graft.Bench 2>>"$ERRLOG" \
+        | grep '^{' | tail -1)
   python3 -c "import json,sys; print(json.loads(sys.argv[1])['value'])" "$out"
 }
 
