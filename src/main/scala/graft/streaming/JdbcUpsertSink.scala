@@ -141,6 +141,8 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
     // probes the TARGET's primary key and the conflict probe is a
     // sort-group-by, so an index there would be pure insert-path overhead.
     ensure(c, "CREATE TABLE graft_commits (sink_name VARCHAR(128) PRIMARY KEY, batch_id BIGINT)")
+    ensure(c, "CREATE TABLE graft_sink_locks (sink_name VARCHAR(128) PRIMARY KEY, " +
+      "holder VARCHAR(256), acquired_at TIMESTAMP)")
   }
 
   def lastCommittedBatchId: Long = withConn { c =>
@@ -360,19 +362,123 @@ final class JdbcUpsertSink(url: String, table: String, keys: Seq[String],
       } catch { case e: Throwable => c.rollback(); throw e }
     }
 
+  /** Test-only stall point invoked while the sink lock is held, before any
+    * destructive work — the two-writer JdbcSinkSpec drive parks here.
+    * Transient: only the driver invokes it, and the sink object rides into
+    * the executor-side staging closures (a test-assigned hook must not drag
+    * its captures through serialization). */
+  @transient private[streaming] var onLockAcquired: () => Unit = () => ()
+
+  /** This writer's recorded identity in the lock row — diagnostic only (the
+    * lock's liveness is the HOLDING TRANSACTION, not this string): an
+    * operator inspecting a contended sink sees who has it. */
+  private def holderId: String = {
+    val host = scala.util.Try(java.net.InetAddress.getLocalHost.getHostName).getOrElse("?")
+    s"$host pid=${ProcessHandle.current().pid()}"
+  }
+
+  /** ONE-WRITER ENFORCEMENT. The sink's staging tables and commit protocol
+    * assume a single merger per sink name (two concurrent mergers would
+    * interleave rows in the shared staging table). That contract is
+    * enforced database-natively: an UPDATE of this sink's `graft_sink_locks`
+    * row inside a transaction that stays OPEN for the whole merge — the row
+    * X-lock IS the mutex. A second merger's UPDATE blocks on the row and
+    * errors out of the engine's lock-wait timeout (or this statement's own
+    * query timeout, whichever fires first), failing loud before touching
+    * staging. Chosen over the parquet sink's lock-file idiom because the
+    * database is the sink's only shared medium — a warehouse URL is reached
+    * from hosts that share no filesystem — and because crash-release is
+    * free: a holder that dies mid-merge has its transaction rolled back by
+    * the engine, freeing the lock with no pid-liveness sweep. (Embedded
+    * Derby additionally refuses to dual-boot one database directory from
+    * two JVMs — SQLSTATE XSDB6 — so cross-process contention on the
+    * embedded stand-in already fails loud at connect; the row lock is the
+    * portable mechanism a client/server URL relies on.)
+    *
+    * Returns the open lock connection; the caller MUST release it. */
+  private def acquireWriterLock(): Connection = {
+    JdbcUpsertSink.ensureDriver(url)
+    val c = DriverManager.getConnection(url)
+    try {
+      // lock-wait SQLSTATEs → the loud one-writer error. Any statement that
+      // touches the X-locked row can be the one that blocks (the duplicate-
+      // key probe of the INSERT below included), so both statements share it.
+      def busy(e: SQLException): Nothing =
+        sys.error(s"JdbcUpsertSink($table): another writer holds the sink lock " +
+          s"(graft_sink_locks row for '$table' is X-locked by a live transaction); " +
+          "one merger per sink — stop the other writer and retry. " +
+          s"[${e.getSQLState}] ${e.getMessage}")
+      val busyStates = Set("40XL1", "40001", "XCL52")
+      // ensure the registry row exists (its own autocommit statement;
+      // a concurrent creator's duplicate-key error means it exists)
+      val ins = c.prepareStatement(
+        "INSERT INTO graft_sink_locks (sink_name, holder, acquired_at) VALUES (?, NULL, NULL)")
+      ins.setQueryTimeout(JdbcUpsertSink.LockWaitSeconds)
+      ins.setString(1, table)
+      try ins.executeUpdate()
+      catch {
+        case e: SQLException if e.getSQLState == "23505" => ()
+        case e: SQLException if busyStates.contains(e.getSQLState) => busy(e)
+      } finally ins.close()
+      c.setAutoCommit(false)
+      val upd = c.prepareStatement(
+        "UPDATE graft_sink_locks SET holder = ?, acquired_at = CURRENT_TIMESTAMP " +
+          "WHERE sink_name = ?")
+      // belt-and-braces bound on the blocking wait, for engines whose
+      // lock-wait timeout is configured infinite
+      upd.setQueryTimeout(JdbcUpsertSink.LockWaitSeconds)
+      upd.setString(1, holderId); upd.setString(2, table)
+      try upd.executeUpdate()
+      catch { case e: SQLException if busyStates.contains(e.getSQLState) => busy(e) }
+      finally upd.close()
+      c
+    } catch { case e: Throwable =>
+      try c.rollback() catch { case _: SQLException => () }
+      try c.close() catch { case _: SQLException => () }
+      throw e
+    }
+  }
+
+  private def releaseWriterLock(c: Connection): Unit =
+    try {
+      // clear the diagnostic holder stamp, then commit — the commit is what
+      // releases the row X-lock (rollback would equally; the stamp is for
+      // operators, the transaction is the lock)
+      val upd = c.prepareStatement(
+        "UPDATE graft_sink_locks SET holder = NULL WHERE sink_name = ?")
+      try { upd.setString(1, table); upd.executeUpdate() } finally upd.close()
+      c.commit()
+    } catch { case _: SQLException =>
+      try c.rollback() catch { case _: SQLException => () }
+    } finally {
+      try c.close() catch { case _: SQLException => () }
+    }
+
   /** Micro-batch upsert with the exactly-once batchId guard. */
   def merge(batch: DataFrame, batchId: Long): Unit = {
     ensureTables()
     if (batchId <= lastCommittedBatchId) return // replay of a committed batch
-    timed("clear-staging")(clearStaging()) // repeatable: a replayed batch re-stages from scratch
-    timed("load-staging")(loadStaging(batch))
-    timed("merge-commit")(mergeCommit(batchId))
+    val lock = timed("acquire-lock")(acquireWriterLock())
+    try {
+      onLockAcquired()
+      // re-check under the lock: the writer we waited behind may have
+      // committed this very batch (replayed work splitting across writers)
+      if (batchId <= lastCommittedBatchId) return
+      timed("clear-staging")(clearStaging()) // repeatable: a replayed batch re-stages from scratch
+      timed("load-staging")(loadStaging(batch))
+      timed("merge-commit")(mergeCommit(batchId))
+    } finally releaseWriterLock(lock)
   }
 }
 
 object JdbcUpsertSink {
   /** JDBC executeBatch flush interval for the staging load. */
   val InsertBatch = 4000
+
+  /** Upper bound (seconds) a merger blocks on another writer's sink lock
+    * before failing loud — statement-level query timeout, so it binds even
+    * when the engine's own lock-wait timeout is configured infinite. */
+  val LockWaitSeconds = 15
 
   /** Belt-and-braces driver registration: JDBC 4 service loading normally
     * finds the embedded Derby driver on the classpath, but an isolating
@@ -397,7 +503,8 @@ object JdbcUpsertSink {
         "derby.storage.pageSize" -> "32768",            // bytes: 8x fewer page allocations/latches on the bulk paths
         "derby.storage.logSwitchInterval" -> "134217728",  // bytes: not one log-file rotate+sync per MB of merge log
         "derby.storage.checkpointInterval" -> "134217728", // bytes: don't checkpoint-storm the page cache mid-merge
-        "derby.locks.escalationThreshold" -> "1000000"  // rows: keep the parallel staging writers on row locks (the 5000 default escalates each to an X table lock, serializing the load)
+        "derby.locks.escalationThreshold" -> "1000000", // rows: keep the parallel staging writers on row locks (the 5000 default escalates each to an X table lock, serializing the load)
+        "derby.locks.waitTimeout" -> "10"               // s: a merger blocked on another writer's sink lock fails loud in 10 s, not the desktop default 60 (no legitimate lock wait exists in the one-writer-per-sink design)
       ).foreach { case (k, v) =>
         if (System.getProperty(k) == null) System.setProperty(k, v) }
       try Class.forName("org.apache.derby.jdbc.EmbeddedDriver")

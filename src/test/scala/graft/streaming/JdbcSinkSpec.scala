@@ -181,6 +181,99 @@ class JdbcSinkSpec extends SparkTestBase {
       "duplicated staging rows must collapse to single delivery through the retry-dedup table")
   }
 
+  test("one-writer contract: a concurrent merger fails loud; committed state matches the single-writer sequence") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val url = freshUrl()
+    val sinkA = newSink(url)
+    val sinkB = newSink(url)
+    val b0 = events.filter(col("event_id") < 100)
+    val b1 = events.filter(col("event_id") >= 100 && col("event_id") < 200)
+    val b2 = events.filter(col("event_id") >= 200 && col("event_id") < 250)
+    sinkA.merge(b0, 0L)
+
+    // writer A parks MID-MERGE holding the sink lock (transaction open,
+    // nothing staged yet); writer B must fail loud without touching staging
+    val held = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    sinkA.onLockAcquired = () => {
+      held.countDown(); release.await(120, TimeUnit.SECONDS); ()
+    }
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = scala.concurrent.Future(sinkA.merge(b1, 1L))
+    assert(held.await(120, TimeUnit.SECONDS), "writer A must reach the lock-held point")
+    val e = intercept[RuntimeException](sinkB.merge(b2, 2L))
+    assert(e.getMessage.contains("another writer holds the sink lock"),
+      s"the losing merger must stop loudly on the held sink lock: ${e.getMessage}")
+    assert(tableIds(url) == sortedIds(b0),
+      "the losing merger must leave committed state untouched")
+
+    // release A; its commit lands; B's serialized retry then lands; the
+    // final table equals the single-writer sequential run
+    release.countDown()
+    scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration(180, "seconds"))
+    sinkA.onLockAcquired = () => ()
+    sinkB.merge(b2, 2L)
+    assert(sinkB.lastCommittedBatchId == 2L)
+    assert(tableIds(url) == sortedIds(b0.union(b1).union(b2)),
+      "serialized writers must produce exactly the single-writer result")
+  }
+
+  test("a crashed lock holder self-releases: the holding transaction IS the lock") {
+    val url = freshUrl()
+    val sink = newSink(url)
+    val b0 = events.filter(col("event_id") < 100)
+    val b1 = events.filter(col("event_id") >= 100 && col("event_id") < 150)
+    sink.merge(b0, 0L)
+
+    // a foreign holder with an OPEN transaction X-locking the sink row
+    val foreign = DriverManager.getConnection(url)
+    foreign.setAutoCommit(false)
+    val st = foreign.createStatement()
+    assert(st.executeUpdate(
+      "UPDATE graft_sink_locks SET holder = 'crashed-writer' WHERE sink_name = 'events_tbl'") == 1)
+    val e = intercept[RuntimeException](sink.merge(b1, 1L))
+    assert(e.getMessage.contains("another writer holds the sink lock"))
+
+    // the holder dies: the engine rolls its transaction back (modeled here
+    // by the rollback crash recovery performs) — the lock is gone with no
+    // sweep, no registry surgery, no operator action
+    foreign.rollback(); st.close(); foreign.close()
+    sink.merge(b1, 1L)
+    assert(tableIds(url) == sortedIds(b0.union(b1)),
+      "after the holder's death the next merge proceeds hands-off")
+  }
+
+  test("two real processes: the late writer errors before touching anything; the table is intact") {
+    import java.nio.file.Files
+    val url = freshUrl()
+    val sink = newSink(url)
+    val b0 = events.filter(col("event_id") < 100)
+    sink.merge(b0, 0L) // boots the embedded engine in THIS JVM and keeps it booted
+
+    // a REAL second JVM pointed at the same database directory: embedded
+    // Derby's dual-boot guard (db.lck) refuses the second engine at connect
+    // — upstream of staging, loud by construction. (On a client/server
+    // warehouse URL both processes connect and the graft_sink_locks row
+    // X-lock — driven above — is the arbiter.)
+    val log = Files.createTempFile("graft-jdbcdrive", ".log")
+    val p = new ProcessBuilder(
+      Seq("java", "-cp", System.getProperty("java.class.path"),
+        "graft.streaming.JdbcDriveMain", url): _*)
+      .redirectErrorStream(true)
+      .redirectOutput(log.toFile)
+      .start()
+    assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+      "the child process must terminate")
+    val out = Files.readString(log)
+    assert(out.contains("LOST"),
+      s"the second process must fail to reach the busy database: $out")
+    assert(out.contains("XSDB6") || out.contains("XJ040") ||
+        out.toLowerCase.contains("another instance"),
+      s"the failure must be the engine's boot guard, not something obscure: $out")
+    assert(tableIds(url) == sortedIds(b0),
+      "the failed foreign writer must leave the table untouched")
+  }
+
   test("conflicting same-key staging rows (nondeterministic upstream) fail loud, not merge") {
     val url = freshUrl()
     val sink = newSink(url)
