@@ -396,6 +396,45 @@ class ZonemapSpec extends SparkTestBase {
       "replay must rewrite the sidecar from real data, not trust the orphan")
   }
 
+  test("a deleted-and-reborn table dir re-registers: reborn zones govern, no stale prune fires") {
+    // The declared residual (PLANS.md adversarial sweep): version numbering
+    // restarts when a table dir is deleted and re-created from scratch, so
+    // the reborn incarnation's bucket dirs REUSE absolute paths an earlier
+    // incarnation already registered — with entirely different contents.
+    // The argument is that `table()` re-registers every path at read
+    // resolution before exposing a scan, so the stale entries can never
+    // govern a reborn plan. This drives that argument end-to-end.
+    val dir = Files.createTempDirectory("graft-zm-reborn").toString
+    val sink1 = daySink(dir)
+    sink1.merge(rows(0 until 64), 0L)
+    // plan through the registry so incarnation 1's zones are registered
+    assert(plannedBuckets(sink1.table().filter(col("x") >= 200L && col("x") < 400L)) == Seq(2, 3))
+
+    // kill the table wholesale (no unregister API exists — deliberately)
+    Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { Files.delete(p); () })
+
+    // reborn from scratch at the SAME path: version numbering restarts, so
+    // bucket dirs collide with registered paths; x shifts by +10000 so
+    // every stale zone wildly disagrees (stale max ≈ 807 would prune ALL
+    // reborn buckets for any reborn-range predicate)
+    val sink2 = daySink(dir)
+    sink2.merge(rows(0 until 64).withColumn("x", col("x") + 10000L), 0L)
+    spark.catalog.refreshByPath(dir) // Spark's own file-status cache is not under test
+
+    val all = sink2.table().filter(col("x") >= 10000L)
+    assert(all.count() == 64,
+      "a stale zone entry (max ~807) governing the reborn path would prune every row here")
+    val window = sink2.table().filter(col("x") >= 10200L && col("x") < 10400L)
+    assert(plannedBuckets(window) == Seq(2, 3),
+      "the reborn registration must prune by the REBORN zones")
+    assert(sortedRows(window) ==
+      sortedRows(sink2.current.filter(col("x") >= 10200L && col("x") < 10400L)))
+    // incarnation 1's window is provably empty under the reborn zones
+    assert(sink2.rangePrunedBuckets("x", 200L, 400L).isEmpty)
+    assert(sink2.table().filter(col("x") >= 200L && col("x") < 400L).count() == 0)
+  }
+
   test("tables without zonemapCols read empty zones and never prune") {
     val dir = Files.createTempDirectory("graft-zm-off").toString
     val sink = new ParquetTableSink(spark, dir, rows(0 until 0),
