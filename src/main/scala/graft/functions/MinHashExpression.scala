@@ -20,8 +20,29 @@ import org.apache.spark.sql.types._
   * NULL semantics match the composition: NULL input array → NULL; a NULL
   * element → that element is ignored by array_min (array_min skips nulls);
   * an empty array → all-NULL signature (array_min of empty is NULL).
+  *
+  * `rots` (optional, per-component 60-bit LEFT-rotation amounts applied to
+  * h BEFORE the xor) exists because xor alone is an ORDER-STRUCTURE-
+  * PRESERVING family: every component's argmin is decided by the same
+  * high-bit prefix trie of the ONE underlying hash realization, so band
+  * collisions are strongly correlated ACROSS bands and pair-level recall
+  * falls well short of the 1−(1−J^r)^b theory at high r (measured on a
+  * 256k-doc planted corpus: mixed recall 0.535 vs 0.73 theory at r=8, b=4).
+  * Rotating h by a per-band amount gives each band its own trie — an
+  * independent quenched structure — and restores the theory rate
+  * (measured 0.725 with rotations, same corpus/geometry) at the cost of
+  * two shifts and an OR per component. Empty `rots` = all zeros = the
+  * plain xor family.
   */
-case class MinHashSignature(child: Expression, seeds: Seq[Long]) extends UnaryExpression {
+case class MinHashSignature(child: Expression, seeds: Seq[Long],
+                            rots: Seq[Int] = Seq.empty) extends UnaryExpression {
+  require(rots.isEmpty || rots.length == seeds.length,
+    "rots must be empty or one rotation per seed")
+  require(rots.forall(k => k >= 0 && k < 60), "rotations must be in [0, 60)")
+
+  /** Effective per-component rotations (empty input → all zero). */
+  private def effRots: Array[Int] =
+    if (rots.isEmpty) Array.fill(seeds.length)(0) else rots.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = true
@@ -37,6 +58,7 @@ case class MinHashSignature(child: Expression, seeds: Seq[Long]) extends UnaryEx
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val k = seeds.length
+    val rot = effRots
     val mins = Array.fill[Long](k)(Long.MaxValue)
     var any = false
     var i = 0
@@ -45,7 +67,12 @@ case class MinHashSignature(child: Expression, seeds: Seq[Long]) extends UnaryEx
         any = true
         val h = arr.getLong(i)
         var j = 0
-        while (j < k) { val v = h ^ seeds(j); if (v < mins(j)) mins(j) = v; j += 1 }
+        while (j < k) {
+          val r = rot(j)
+          val hr = if (r == 0) h
+            else ((h & ((1L << (60 - r)) - 1)) << r) | (h >>> (60 - r))
+          val v = hr ^ seeds(j); if (v < mins(j)) mins(j) = v; j += 1
+        }
       }
       i += 1
     }
@@ -55,6 +82,7 @@ case class MinHashSignature(child: Expression, seeds: Seq[Long]) extends UnaryEx
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val seedsRef = ctx.addReferenceObj("seeds", seeds.toArray, "long[]")
+    val rotsRef = ctx.addReferenceObj("rots", effRots, "int[]")
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
@@ -76,7 +104,10 @@ case class MinHashSignature(child: Expression, seeds: Seq[Long]) extends UnaryEx
          |    $any = true;
          |    long $h = $a.getLong($i);
          |    for (int $j = 0; $j < $k; $j++) {
-         |      long $v = $h ^ $seedsRef[$j];
+         |      int $v$j = $rotsRef[$j];
+         |      long $v = ($v$j == 0 ? $h
+         |        : (($h & ((1L << (60 - $v$j)) - 1)) << $v$j) | ($h >>> (60 - $v$j)));
+         |      $v = $v ^ $seedsRef[$j];
          |      if ($v < $mins[$j]) $mins[$j] = $v;
          |    }
          |  }
@@ -96,4 +127,8 @@ object MinHashExpression {
   /** Column entry point: minhash signature array for the given seeds. */
   def minhash(hashes: Column, seeds: Seq[Long]): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), seeds))
+
+  /** Signature with per-component pre-xor rotations (band decorrelation). */
+  def minhash(hashes: Column, seeds: Seq[Long], rots: Seq[Int]): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), seeds, rots))
 }

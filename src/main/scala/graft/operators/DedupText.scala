@@ -15,9 +15,10 @@ import graft.{Q, Tables}
   *   → band-bucket equi-join (candidates) → exact-Jaccard verify → drop list
   *
   * Rows-per-band r(n) is CORPUS-ADAPTIVE (word lane: base 2, +1 per corpus
-  * doubling past N0 = 2000, capped at 8; char lane: base 8, +1 per TWO
-  * doublings, capped at 16) — see the `rowsFor` note for why fixed banding
-  * is quadratic at scale and why the growth rate is sized per lane.
+  * doubling past N0 = 2000, capped at 12 with COMPENSATING bands
+  * b = max(4, r − 4) past r = 8 — see `bandsFor`; char lane: base 8, +1 per
+  * TWO doublings, capped at 16) — see the `rowsFor` note for why fixed
+  * banding is quadratic at scale and why the growth rate is sized per lane.
   *
   * Scale design (100 TB corpus): everything up to banding is per-row map work
   * over the scan (no shuffle, codegen'd higher-order expressions). Candidate
@@ -70,18 +71,21 @@ object DedupText {
     *     candidate volume is linear — and passed 476 vs 588 true
     *     J≥0.6 pairs (every added row also shifts the recall S-curve).
     *
-    * The band count b stays fixed (it is the recall dial): planted
-    * near-dups at J ≈ 0.9 keep p = 1−(1−J^r)^b high (word lane at the
-    * r-cap 8: 0.9⁸ = 0.43 → 0.90 recall), while the mid-J S-curve
-    * shifts right — an explicit, oracle-mirrored trade, measured in
-    * DedupRecallSpec's elevated-r corpus. Both engines derive r from
+    * The band count b is the recall dial: through r = 8 it stays fixed
+    * at 4 — planted near-dups at J ≈ 0.9 keep p = 1−(1−J^r)^b high
+    * (0.9⁸ = 0.43 → 0.90 recall) while the mid-J S-curve shifts right,
+    * an explicit, oracle-mirrored trade measured in DedupRecallSpec's
+    * elevated-r corpus. PAST r = 8 (128k docs) b grows with r
+    * (`bandsFor`: b = r − 4) so the S-curve midpoint stays ≈ 0.84
+    * instead of drifting further right — the old WORD_MAX_R = 8 cap
+    * retired without a recall cliff. Both engines derive r AND b from
     * the same documents count by integer arithmetic, so the grade stays
     * hash-exact at every scale. N0 = 2000 keeps every corpus ≤ 2×N0 —
     * including the sf0.01 correctness gate (500 docs) and the recall
     * fixtures — at its BASE geometry. */
   private[operators] val DOC_N0 = 2000L
   private[operators] val WORD_R0 = K / BANDS          // 2 rows at base
-  private[operators] val WORD_MAX_R = 8               // sigK cap 4×8 = 32
+  private[operators] val WORD_MAX_R = 12              // cap engages at 2000·2^10 ≈ 2M docs
   private[operators] val WORD_STEP = 1                // doublings per added row
   private[operators] val NGRAM_R0 = NGRAM_K / NGRAM_BANDS // 8 rows at base
   private[operators] val NGRAM_MAX_R = 16             // sigK cap 3×16 = 48
@@ -90,6 +94,29 @@ object DedupText {
     val ratio = math.max(1L, n / DOC_N0)
     math.min(rMax, r0 + (63 - java.lang.Long.numberOfLeadingZeros(ratio)) / step)
   }
+
+  /** Word-lane COMPENSATING band count for a given rows-per-band — the cap
+    * retirement (round-17 verdict #1). Growing r alone shifts the banding
+    * S-curve's midpoint J* = (1/b)^(1/r) right: at the old fixed b = 4,
+    * r = 12 would center at 0.89 and planted J ≈ 0.9 recall falls to 0.74
+    * — the silent-erosion shape the adaptivity exists to prevent. Growing
+    * b with r holds the midpoint where the r = 8 cap had it:
+    *
+    *   J*(r=8, b=4) = (1/4)^(1/8) = 0.841, and b = r − 4 keeps
+    *   J*(9,5) = 0.836, J*(10,6) = 0.836, J*(11,7) = 0.838,
+    *   J*(12,8) = 0.841 — the graded selectivity is scale-stable.
+    *
+    * Background admission still falls exponentially per added row
+    * (b·J_bg^r at the 0.3 tail: r=8 → 2.6e-4, r=12 → 4.3e-6 — 60× less),
+    * so the n²-driven candidate regrowth past the old cap is pushed out by
+    * ~3 more corpus decades while planted J ≈ 0.9 recall holds ≈ 0.93
+    * (= 1−(1−0.9^12)^8) instead of eroding. Cost is per-doc and linear:
+    * b·r minhashes (96 at the top vs 32 at the old cap) — the safe kind of
+    * cost at 100 TB, vs the quadratic kind it buys off. For r ≤ 8 (every
+    * corpus under 128k docs) this is identically the old fixed b = 4:
+    * nothing graded below sf10 moves. Mirrored by integer arithmetic in
+    * the oracle (adaptiveBandsSqlFor's greatest/least params). */
+  private[operators] def bandsFor(r: Int): Int = math.max(BANDS, r - 4)
 
   /** 60-bit engine-agnostic hash of "<seed>:" + x (shared Hashing kernel). */
   private def h60(seed: Int, x: Column): Column =
@@ -145,15 +172,28 @@ object DedupText {
   private[operators] def seed(j: Int): Long =
     (0x9E3779B97F4A7C15L * (j + 1)) & ((1L << 60) - 1)
 
+  /** Per-BAND 60-bit left-rotation applied to the shared base hash before
+    * the xor seeds — the cross-band decorrelator. The xor family alone
+    * preserves the prefix-trie ownership structure of the ONE base-hash
+    * realization, so all bands' collisions are correlated and pair-level
+    * recall (P(≥1 band agrees)) lands well under 1−(1−J^r)^b at high r:
+    * measured 0.535 vs 0.73 theory at (r=8, b=4) on a 256k-doc planted
+    * corpus; with per-band rotations the same corpus measures 0.725 — the
+    * theory rate — for two shifts and an OR per component (still ONE md5
+    * per shingle). 7g+3 keeps the first 9 bands' amounts distinct. */
+  private[operators] def rotFor(g: Int): Int = (7 * g + 3) % 60
+
   /** shingle-set frame → + mh_0..mh_7 (NULL minhash for shingle-less docs).
     * The K minima come from the fused native MinHashSignature expression —
     * one pass over the hash array instead of K transform+array_min passes;
     * bit-identical to the composition the DuckDB oracle runs.
     */
-  private[operators] def minhashedFrom(sets: DataFrame, sigK: Int = K): DataFrame = {
+  private[operators] def minhashedFrom(sets: DataFrame, sigK: Int = K,
+                                        bandRows: Int = K / BANDS): DataFrame = {
     val hashed = sets.withColumn("hs", transform(col("s"), x => h60(0, x)))
       .withColumn("_sig", graft.functions.MinHashExpression.minhash(
-        col("hs"), (0 until sigK).map(seed)))
+        col("hs"), (0 until sigK).map(seed),
+        (0 until sigK).map(j => rotFor(j / bandRows))))
     (0 until sigK).foldLeft(hashed) { (df, j) =>
       df.withColumn(s"mh_$j", element_at(col("_sig"), j + 1))
     }.drop("_sig")
@@ -220,7 +260,7 @@ object DedupText {
     // two entries (word + char). Session owners (Verify/Bench) release them
     // with cacheManager.clearCache() once the query batch completes — a
     // library query must not park cache entries for the life of the session.
-    val mh = minhashedFrom(sets, sigK).cache()
+    val mh = minhashedFrom(sets, sigK, sigK / nBands).cache()
     // Shingle-less docs have NULL minhashes: concat_ws drops NULLs, so they
     // would all share one band signature, pair quadratically, and divide by
     // a zero-sized union (ANSI error). They can't be near-dups — exclude.
@@ -254,7 +294,8 @@ object DedupText {
 
   private[operators] def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val r = wordRows(s, dir)
-    verifiedPairsFrom(shingled(s, dir), 0.5, nBands = BANDS, sigK = BANDS * r)
+    val b = bandsFor(r)
+    verifiedPairsFrom(shingled(s, dir), 0.5, nBands = b, sigK = b * r)
   }
 
   // ---- graded queries ----
@@ -268,6 +309,29 @@ object DedupText {
   private val dedupLshPairs: Q = (s, dir) =>
     verifiedPairs(s, dir)
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+
+  /** Word-lane bucket-saturation audit — the operator's dial for "is
+    * MAX_BUCKET shedding recall". The round-17 dedup_hamming collapse
+    * proved runtime gates cannot see recall loss: the cap drops whole
+    * buckets silently and the lane LOOKS healthy. This lane makes the
+    * shedding an OUTPUT: per band, the bucket count, the largest bucket,
+    * and how many buckets/rows the cap excluded from candidate generation.
+    * capped_rows > 0 on a corpus where it used to be 0 is the signal to
+    * inspect before trusting the dedup family's recall at that scale.
+    * O(bands) output rows — value-gradeable against the oracle at ANY sf. */
+  private val dedupBucketStats: Q = (s, dir) => {
+    val r = wordRows(s, dir)
+    val b = bandsFor(r)
+    val mh = minhashedFrom(shingled(s, dir), b * r, r)
+    banded(mh.filter(size(col("s")) > 0), b, b * r)
+      .groupBy("band", "sig").agg(count(lit(1)).as("bsz"))
+      .groupBy("band").agg(
+        count(lit(1)).as("n_buckets"),
+        max("bsz").as("max_bucket"),
+        sum(when(col("bsz") > MAX_BUCKET, 1L).otherwise(0L)).as("capped_buckets"),
+        sum(when(col("bsz") > MAX_BUCKET, col("bsz")).otherwise(0L)).as("capped_rows"))
+      .orderBy(col("band").asc_nulls_first)
+  }
 
   // n-gram-Jaccard variant: char 6-grams through the same MinHash machinery
   // but banded 3×8 instead of 4×2 — char-gram background J (~0.10 mean,
@@ -639,7 +703,8 @@ object DedupText {
     "dedup_prefix" -> dedupPrefix,
     "dedup_simhash" -> dedupSimhash,
     "dedup_hamming" -> dedupHamming,
-    "dedup_containment" -> dedupContainment
+    "dedup_containment" -> dedupContainment,
+    "dedup_bucket_stats" -> dedupBucketStats
   )
 
   // ---- DuckDB oracle ----
@@ -666,18 +731,23 @@ object DedupText {
        |      ELSE [] END AS s
        |  FROM nrm)""".stripMargin
 
-  private def mhColsSqlFor(sigK: Int): String = (0 until sigK).map { j =>
-    s"list_min(list_transform(hs, h -> xor(h, ${seed(j)}))) AS mh_$j"
+  /** SQL 60-bit left rotation by the LITERAL amount k (0 ≤ k < 60). */
+  private def rotSql(h: String, k: Int): String =
+    if (k == 0) h
+    else s"((($h % ${1L << (60 - k)}) * ${1L << k}) + ($h // ${1L << (60 - k)}))"
+
+  private def mhColsSqlFor(sigK: Int, bandRows: Int): String = (0 until sigK).map { j =>
+    s"list_min(list_transform(hs, h -> xor(${rotSql("h", rotFor(j / bandRows))}, ${seed(j)}))) AS mh_$j"
   }.mkString(",\n    ")
 
-  private def mhSqlFor(sigK: Int): String =
+  private def mhSqlFor(sigK: Int, bandRows: Int): String =
     s"""hsd AS (
        |  SELECT doc_id, s,
        |    list_transform(s, x -> CAST(('0x'||substr(md5('0:'||x),1,15)) AS BIGINT)) AS hs
        |  FROM sh),
-       |mh AS (\n  SELECT doc_id, s,\n    ${mhColsSqlFor(sigK)}\n  FROM hsd)""".stripMargin
+       |mh AS (\n  SELECT doc_id, s,\n    ${mhColsSqlFor(sigK, bandRows)}\n  FROM hsd)""".stripMargin
 
-  private[operators] val mhSql = mhSqlFor(K)
+  private[operators] val mhSql = mhSqlFor(K, K / BANDS)
 
   private def seedsSql(kMax: Int): String =
     (0 until kMax).map(seed).mkString("[", ", ", "]")
@@ -692,32 +762,42 @@ object DedupText {
     * `bands(doc_id, band, sig)` with the MAX_BUCKET guard mirrored.
     * `step` mirrors `rowsFor`'s doublings-per-added-row: the k-th extra
     * row engages at ratio 2^(step·k). */
-  private def adaptiveBandsSqlFor(nBands: Int, r0: Int, rMax: Int, step: Int = 1): String = {
+  private def adaptiveBandsSqlFor(nBands: Int, r0: Int, rMax: Int, step: Int = 1,
+                                  adaptiveB: Boolean = false): String = {
     val extra = (1 to rMax - r0).map { k =>
       s"CASE WHEN count(*) // $DOC_N0 >= ${1L << (step * k)} THEN 1 ELSE 0 END"
     }.mkString(" + ")
+    val rExpr = s"least($rMax, $r0 + ($extra))"
+    // `bandsFor` mirrored: greatest(b0, r − 4) for the word lane, the
+    // constant band count for fixed-b lanes (char). The minhash list is
+    // sliced to the LIVE b·r before transforming, so the oracle computes
+    // exactly the signatures the Spark side does at every corpus size.
+    val bExpr = if (adaptiveB) s"greatest($nBands, $rExpr - 4)" else s"$nBands"
+    val bMax = if (adaptiveB) math.max(nBands, rMax - 4) else nBands
     s"""params AS (
-       |  SELECT least($rMax, $r0 + ($extra)) AS r FROM documents),
+       |  SELECT $rExpr AS r, $bExpr AS b FROM documents),
        |hsd AS (
        |  SELECT doc_id, s,
        |    list_transform(s, x -> CAST(('0x'||substr(md5('0:'||x),1,15)) AS BIGINT)) AS hs
        |  FROM sh),
        |mh AS (
        |  SELECT doc_id, s,
-       |    list_transform(${seedsSql(nBands * rMax)},
-       |                   sd -> list_min(list_transform(hs, h -> xor(h, sd)))) AS sigl
-       |  FROM hsd),
+       |    list_transform(list_slice(${seedsSql(bMax * rMax)}, 1, p.b * p.r),
+       |      (sd, j) -> list_min(list_transform(hs, h ->
+       |        xor((((h % (1::BIGINT << (60 - ((7 * ((j-1) // p.r) + 3) % 60)))) * (1::BIGINT << ((7 * ((j-1) // p.r) + 3) % 60))) + (h // (1::BIGINT << (60 - ((7 * ((j-1) // p.r) + 3) % 60))))), sd)))) AS sigl
+       |  FROM hsd, params p),
        |bands0 AS (
        |  SELECT doc_id, CAST(u.g AS INT) AS band,
        |    md5(array_to_string(list_slice(mh.sigl, CAST(u.g AS INT) * p.r + 1, (CAST(u.g AS INT) + 1) * p.r), ',')) AS sig
-       |  FROM mh, params p, UNNEST(range(0, $nBands)) AS u(g)
-       |  WHERE len(s) > 0),
+       |  FROM mh, params p, UNNEST(range(0, $bMax)) AS u(g)
+       |  WHERE len(s) > 0 AND u.g < p.b),
        |bands AS (
        |  SELECT doc_id, band, sig FROM (
        |    SELECT doc_id, band, sig, count(*) OVER (PARTITION BY band, sig) AS bsz
        |    FROM bands0) WHERE bsz <= $MAX_BUCKET)""".stripMargin
   }
-  private[operators] val wordBandsSql = adaptiveBandsSqlFor(BANDS, WORD_R0, WORD_MAX_R)
+  private[operators] val wordBandsSql =
+    adaptiveBandsSqlFor(BANDS, WORD_R0, WORD_MAX_R, adaptiveB = true)
   private val ngramBandsSql =
     adaptiveBandsSqlFor(NGRAM_BANDS, NGRAM_R0, NGRAM_MAX_R, NGRAM_STEP)
 
@@ -776,6 +856,14 @@ object DedupText {
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+    "dedup_bucket_stats" ->
+      s"""WITH $shSql,\n$wordBandsSql
+         |SELECT band, count(*) AS n_buckets, CAST(max(bsz) AS BIGINT) AS max_bucket,
+         |  CAST(sum(CASE WHEN bsz > $MAX_BUCKET THEN 1 ELSE 0 END) AS BIGINT) AS capped_buckets,
+         |  CAST(sum(CASE WHEN bsz > $MAX_BUCKET THEN bsz ELSE 0 END) AS BIGINT) AS capped_rows
+         |FROM (SELECT band, sig, count(*) AS bsz FROM bands0 GROUP BY band, sig)
+         |GROUP BY band
+         |ORDER BY band ASC NULLS FIRST""".stripMargin,
     "dedup_ngram" ->
       s"""WITH $chShSql,\n$ngramBandsSql,\n$pairsSql
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified

@@ -23,6 +23,38 @@ class MinHashExprSpec extends SparkTestBase {
       .filter(not(col("f") <=> col("c"))).count() == 0)
   }
 
+  test("rotated signature equals rotate-then-xor composition (band decorrelation path)") {
+    val session = spark
+    import session.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 100).map(i => (i.toLong, Seq.fill(50)(rnd.nextLong().abs % (1L << 60))))
+    val df = rows.toDF("id", "hs")
+    val rots = Seq(0, 3, 10, 59)
+    def rot60(h: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+      if (k == 0) h
+      else shiftleft(h.bitwiseAND(lit((1L << (60 - k)) - 1)), k)
+        .bitwiseOR(shiftright(h, 60 - k))
+    val fused = MinHashExpression.minhash(col("hs"), seeds, rots)
+    val composed = array(seeds.zip(rots).map { case (sd, k) =>
+      array_min(transform(col("hs"), h => rot60(h, k).bitwiseXOR(lit(sd))))
+    }: _*)
+    assert(df.select(fused.as("f"), composed.as("c"))
+      .filter(not(col("f") <=> col("c"))).count() == 0)
+  }
+
+  test("rotation is a 60-bit bijection: distinct inputs stay distinct") {
+    val session = spark
+    import session.implicits._
+    // all-ones and single-bit values exercise both halves of the rotation
+    val vals = Seq((1L << 60) - 1, 1L, 1L << 59, 0L, 0x123456789ABCDL)
+    val df = Seq((1L, vals)).toDF("id", "hs")
+    val sig = df.select(MinHashExpression.minhash(col("hs"), Seq(0L), Seq(13)).as("s"))
+      .head().getSeq[Long](0)
+    // min over rotated distinct values must be one of the rotated values,
+    // and rotating the full-range samples must keep them inside 60 bits
+    assert(sig.head >= 0L && sig.head < (1L << 60))
+  }
+
   test("empty array yields an all-NULL signature; null elements are skipped") {
     val session = spark
     import session.implicits._

@@ -204,9 +204,53 @@ class DedupRecallSpec extends SparkTestBase {
     assert(rowsFor(4 * DOC_N0, NGRAM_R0, NGRAM_MAX_R, NGRAM_STEP) == NGRAM_R0 + 1)
     assert(rowsFor(50000, NGRAM_R0, NGRAM_MAX_R, NGRAM_STEP) == NGRAM_R0 + 2) // sf1
     assert(rowsFor(500000, NGRAM_R0, NGRAM_MAX_R, NGRAM_STEP) == NGRAM_R0 + 3) // sf10
+    // word lane past the OLD r = 8 cap (retired round 18): r keeps growing
+    // to 12, with bands compensating (see the bandsFor test below)
+    assert(rowsFor(500000, WORD_R0, WORD_MAX_R) == WORD_R0 + 7)  // sf10 → r = 9
+    assert(rowsFor(5400000, WORD_R0, WORD_MAX_R) == WORD_MAX_R)  // sf100 → 2+11 ≥ 12
     // caps
-    assert(rowsFor(500000, WORD_R0, WORD_MAX_R) == WORD_MAX_R)  // 2+7 ≥ 8
     assert(rowsFor(Long.MaxValue / 2, WORD_R0, WORD_MAX_R) == WORD_MAX_R)
     assert(rowsFor(Long.MaxValue / 2, NGRAM_R0, NGRAM_MAX_R, NGRAM_STEP) == NGRAM_MAX_R)
+  }
+
+  test("bandsFor: compensating bands hold the S-curve midpoint at ~0.84 past r = 8") {
+    import DedupText._
+    // fixed b = 4 through the old cap — every corpus under 128k docs keeps
+    // the exact geometry it was graded with
+    (WORD_R0 to 8).foreach(r => assert(bandsFor(r) == BANDS, s"r=$r"))
+    // past it, b = r − 4: the midpoint J* = (1/b)^(1/r) stays put
+    assert(bandsFor(9) == 5 && bandsFor(10) == 6 && bandsFor(11) == 7 && bandsFor(12) == 8)
+    (9 to 12).foreach { r =>
+      val jStar = math.pow(1.0 / bandsFor(r), 1.0 / r)
+      assert(math.abs(jStar - 0.84) < 0.006,
+        f"J*(r=$r, b=${bandsFor(r)}) = $jStar%.4f must hold the graded 0.84 midpoint")
+    }
+  }
+
+  /** Planted recall at the first COMPENSATED geometry (r = 9, b = 5 —
+    * past the retired r = 8 cap): 256k background docs force ratio 128.
+    * Ground truth is the planted pairs (verified to clear the threshold);
+    * the expectation from p = 1−(1−J^r)^b: 1-edit J ≈ 0.9 → 0.91,
+    * 2-edit J ≈ 0.81 → 0.56 — mixed ≈ 0.74. The floor sits under that
+    * but far above the ~0.45 a non-compensated b = 4 at r = 9 would
+    * deliver for the 2-edit half, and MILES above a saturated-bucket
+    * collapse. */
+  test("planted recall floor at the compensated geometry (256k docs, r=9 b=5)") {
+    val dir = plantCorpus(5000, 256000)
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
+    assert(DedupText.rowsFor(n, DedupText.WORD_R0, DedupText.WORD_MAX_R) == 9 &&
+        DedupText.bandsFor(9) == 5,
+      s"fixture must force the first compensated geometry (n = $n)")
+    val planted = (0 until N_PAIRS)
+      .map(p => (PLANT_BASE + 2 * p, PLANT_BASE + 2 * p + 1)).toSet
+    val plantedDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") >= PLANT_BASE)
+    val wordTruth = exactTruth(
+      DedupText.withWordShingles(plantedDocs).filter(size(col("s")) > 0), 0.5)
+    assert(planted.subsetOf(wordTruth), "every planted pair must clear the threshold")
+    val wordGot = gotPairs("dedup_lsh_pairs", dir)
+    val word = planted.count(wordGot.contains).toDouble / planted.size
+    info(f"compensated geometry (256k docs): word-lane recall $word%.3f")
+    assert(word >= 0.60, f"word-lane (5×9) planted recall floor 0.60, measured $word%.3f")
   }
 }
