@@ -250,32 +250,44 @@ object DedupText {
     * cap is graded semantics, not a silent truncation. */
   private[operators] val MAX_BUCKET = 64
 
-  /** Verified near-dup pairs: band-bucket candidates with exact Jaccard. */
+  /** Verified near-dup pairs: band-bucket candidates with exact Jaccard.
+    *
+    * Cache discipline (the sf100 lesson): cache the SKINNY (doc_id, band,
+    * sig) frame, never the wide signature frame. Through round 17 this
+    * cached `mh` — shingle-string array + hash array + sigK long columns —
+    * and the columnar cache build on that row shape measured 26 cpu-ms/doc
+    * at 400k docs (vs 0.74 compute-only: a 9× tax, super-linear with heap
+    * pressure) and was the whole-lane bottleneck at 5M docs. Banding needs
+    * only band signatures, and the verify joins need only the shingle sets,
+    * which recompute from the scan for ~10 µs/doc (no md5, no minhash) —
+    * so the full signature pipeline runs exactly once (the cache build),
+    * the cached bytes are ~50 B/doc/band flat strings, and the two verify
+    * sides pay one extra scan+shingle pass each. Identical band plans share
+    * one CacheManager entry across the graded dedup queries (word + char
+    * lanes → two entries per Verify session). Session owners (Verify/Bench)
+    * release them with cacheManager.clearCache() once the query batch
+    * completes — a library query must not park cache entries for the life
+    * of the session. */
   private[operators] def verifiedPairsFrom(sets: DataFrame, threshold: Double,
                                 nBands: Int = BANDS, sigK: Int = K): DataFrame = {
-    // cache: the frame is read three times within this query (band join +
-    // both sides of the verification join). Identical plans share one
-    // CacheManager entry across the graded dedup queries (the word-gram
-    // pipeline is plan-equal in all three), so a full Verify session holds
-    // two entries (word + char). Session owners (Verify/Bench) release them
-    // with cacheManager.clearCache() once the query batch completes — a
-    // library query must not park cache entries for the life of the session.
-    val mh = minhashedFrom(sets, sigK, sigK / nBands).cache()
     // Shingle-less docs have NULL minhashes: concat_ws drops NULLs, so they
     // would all share one band signature, pair quadratically, and divide by
     // a zero-sized union (ANSI error). They can't be near-dups — exclude.
+    val sets2 = sets.filter(size(col("s")) > 0)
+    val mh = minhashedFrom(sets2, sigK, sigK / nBands)
     val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
-    val bands = banded(mh.filter(size(col("s")) > 0), nBands, sigK)
+    val bands = banded(mh, nBands, sigK)
       .withColumn("bsz", count(lit(1)).over(wB))
       .filter(col("bsz") <= MAX_BUCKET)
       .drop("bsz")
+      .cache()
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val shingleSets = mh.select(col("doc_id"), col("s"))
+    val shingleSets = sets2.select(col("doc_id"), col("s"))
     cand
       .join(shingleSets.select(col("doc_id").as("doc_a"), col("s").as("s_a")), Seq("doc_a"))
       .join(shingleSets.select(col("doc_id").as("doc_b"), col("s").as("s_b")), Seq("doc_b"))

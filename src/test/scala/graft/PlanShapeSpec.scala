@@ -51,14 +51,25 @@ class PlanShapeSpec extends SparkTestBase {
     withStaticPlans {
       // the MAX_BUCKET guard must not buy its per-bucket count with an extra
       // exchange: the window partitions by the same keys the self-join hashes
-      // on, so each band frame shuffles once for both
-      val ns = nodes(staticPlan(SparkEntry.queries("dedup_lsh_pairs")(spark, sf)))
+      // on, so each band frame shuffles once for both. The guard window now
+      // lives INSIDE the cached (doc_id, band, sig) build (the skinny-cache
+      // restructure), so traverse into each distinct InMemoryRelation too.
+      val seen = scala.collection.mutable.Set[SparkPlan]()
+      def deep(p: SparkPlan): Seq[SparkPlan] = {
+        val cached = p match {
+          case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+            if seen.add(s.relation.cachedPlan) => Seq(s.relation.cachedPlan)
+          case _ => Nil
+        }
+        p +: (p.children ++ cached).flatMap(deep)
+      }
+      val ns = deep(staticPlan(SparkEntry.queries("dedup_lsh_pairs")(spark, sf)))
       val windows = ns.count(_.isInstanceOf[WindowExec])
       assert(windows >= 1, "the bucket-size guard window must be present")
       val shuffles = ns.count(_.isInstanceOf[ShuffleExchangeExec])
       assert(shuffles <= 5,
-        s"cap window must reuse the join partitioning (band-join sides + candidate " +
-          s"dedup + verify joins + orderBy budget), got $shuffles exchanges")
+        s"cap window must reuse the join partitioning (cache build: spread + " +
+          s"band shuffle; candidate dedup + verify spread + orderBy), got $shuffles exchanges")
     }
   }
 
