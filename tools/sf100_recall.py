@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Planted-pair recall grade for the sf100 dedup-family smoke (round-18
+verdict item 1): the word lane at its capped geometry (r = 12, b = 8,
+5M docs) must still FIND the planted near-dup pairs — the sf10 hamming
+lesson is that runtime gates cannot see recall loss.
+
+Ground truth first: each planted pair's exact word-3-shingle Jaccard is
+computed with the SAME normalization the graded oracle uses, and only
+pairs clearing the lane's 0.5 threshold count toward the denominator
+(they all should, by generator construction — asserted).
+
+Usage: sf100_recall.py <sfDir> <verifyOutDir>
+"""
+import sys
+
+import duckdb
+
+PLANT_BASE = 100_000_000
+N_PAIRS = 200
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+
+# exact truth for the 400 planted docs only (tiny)
+con.execute(f"""CREATE TABLE ps AS
+  WITH d AS (SELECT * FROM read_parquet('{sf}/documents.parquet')
+             WHERE doc_id >= {PLANT_BASE}),
+  toks AS (
+    SELECT doc_id,
+      string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+    FROM d),
+  sh AS (
+    SELECT doc_id,
+      CASE WHEN len(t) >= 3
+        THEN list_distinct(list_transform(range(1, len(t)-1),
+          i -> t[i]||' '||t[i+1]||' '||t[i+2]))
+        ELSE [] END AS s
+    FROM toks)
+  SELECT (a.doc_id - {PLANT_BASE}) // 4 AS p,
+    len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS j
+  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+  WHERE (a.doc_id - {PLANT_BASE}) % 4 = 0""")
+n_true, n_clear = con.execute(
+    "SELECT count(*), sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) FROM ps").fetchone()
+jmin, jmed = con.execute(
+    "SELECT min(j), median(j) FROM ps WHERE j >= 0.5").fetchone()
+print(f"planted pairs: {n_true}, clearing J>=0.5: {n_clear} "
+      f"(min J {jmin:.3f}, median {jmed:.3f})")
+assert n_true == N_PAIRS, "generator must have planted all pairs"
+
+con.execute(f"""CREATE TABLE got AS
+  SELECT (doc_a - {PLANT_BASE}) // 4 AS p
+  FROM read_parquet('{out}/dedup_lsh_pairs/*.parquet')
+  WHERE doc_a >= {PLANT_BASE} AND doc_b = doc_a + 1 AND doc_a % 4 = 0""")
+for label, cond in [("1-edit (p even)", "p % 2 = 0"),
+                    ("2-edit (p odd)", "p % 2 = 1"), ("mixed", "TRUE")]:
+    den, = con.execute(
+        f"SELECT count(*) FROM ps WHERE j >= 0.5 AND {cond}").fetchone()
+    num, = con.execute(f"""SELECT count(*) FROM ps
+      WHERE j >= 0.5 AND {cond} AND p IN (SELECT p FROM got)""").fetchone()
+    print(f"recall {label}: {num}/{den} = {num/den:.3f}")
+
+print("\nbucket stats (capped_rows > 0 = MAX_BUCKET shed candidate rows):")
+for row in con.execute(f"""SELECT * FROM
+    read_parquet('{out}/dedup_bucket_stats/*.parquet') ORDER BY band""").fetchall():
+    print(" ", row)
