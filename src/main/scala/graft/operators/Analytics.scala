@@ -25,6 +25,26 @@ object Analytics {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(25, 6))).cast("double")
 
+  /** Exact double sum with NO decimal-rounding window: floor at micro
+    * precision — floor(x·10⁶) is pure IEEE arithmetic (one deterministic
+    * multiply, one exact floor: no rounding MODE, no tie, no decimal
+    * expansion), so both engines compute the identical integer — then an
+    * exact BIGINT sum and one deterministic IEEE divide. The
+    * dsum/DECIMAL(25,6) idiom has an engine-disagreement window the sf10
+    * gate exposed on the 100×-jittered orders table: Spark's
+    * double→decimal rounds the EXACT binary expansion
+    * (BigDecimal.setScale HALF_UP) while DuckDB rounds the scaled double,
+    * and values whose expansion straddles the half-µ boundary convert
+    * differently (~100 in 15M jittered values — invisible at sf1, a
+    * guaranteed hash mismatch at sf10). Rounding-mode fixes (bround /
+    * half-even) just move the boundary: DuckDB's double→BIGINT cast is
+    * half-away-from-zero, Spark's round family works on decimal
+    * expansions. floor has no boundary at all. Mirror:
+    * CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0.
+    * Headroom: |Σx| ≤ 9.2e12 per group before the BIGINT sum overflows. */
+  private def dsumMicro(c: org.apache.spark.sql.Column) =
+    (sum(floor(c * lit(1e6))).cast("double") / lit(1e6))
+
   // TPC-H Q1 shape: scan-heavy grouped aggregation with derived measures.
   private val q1Agg: Q = (s, dir) =>
     ord(
@@ -156,7 +176,9 @@ object Analytics {
     ord(
       Tables(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price")),
+        // dsumMicro, not dsum: the 15M-row jittered sf10 orders table hits
+        // the decimal-conversion disagreement window (see dsumMicro note)
+        .agg(count(lit(1)).as("n"), dsumMicro(col("o_totalprice")).as("sum_price")),
       "o_orderstatus", "o_orderpriority")
 
   // TF-style top terms per language: explode tokens → count per (lang, term)
@@ -453,7 +475,8 @@ object Analytics {
           col("o_orderstatus"), col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n"),
-          dsum(col("o_totalprice")).as("sum_price"),
+          // dsumMicro: same jittered-orders conversion window as agg_cube
+          dsumMicro(col("o_totalprice")).as("sum_price"),
           grouping(col("o_orderstatus")).cast("long").as("g_status"),
           grouping(col("o_orderpriority")).cast("long").as("g_priority")),
       "o_orderstatus", "o_orderpriority")
@@ -996,7 +1019,7 @@ object Analytics {
         |FROM f ORDER BY event_type ASC NULLS FIRST""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(floor(o_totalprice * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_price,
         |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
         |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
         |FROM orders
@@ -1059,7 +1082,7 @@ object Analytics {
         |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+        |  CAST(sum(CAST(floor(o_totalprice * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "text_top_terms" ->
