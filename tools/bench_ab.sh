@@ -28,9 +28,12 @@ run_side() { # $1 classes dir -> prints the bench "value" seconds
   # Select the JSON line explicitly (last line starting with '{'): trailing
   # non-JSON stdout (JVM shutdown notices etc.) must not break json.loads.
   # stderr goes to $ERRLOG so a failed side leaves its cause on disk.
+  # ONLY is exported only when non-empty: Bench parses an EMPTY
+  # SPARK_GRAFT_BENCH_ONLY as the empty query set (a 0-query sweep, value
+  # 0.0), not as "all queries" — an empty 4th arg must mean full sweep.
   local out
-  out=$(SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_ONLY="$ONLY" \
-        SPARK_GRAFT_BENCH_RUNS=1 \
+  out=$(env SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_RUNS=1 \
+        ${ONLY:+SPARK_GRAFT_BENCH_ONLY="$ONLY"} \
         java $(tools/jvm_opens.sh) -Xmx8g -Dspark.ui.enabled=false \
           -Dspark.sql.session.timeZone=UTC \
           -cp "$1:/opt/spark/jars/*" graft.Bench 2>>"$ERRLOG" \
