@@ -54,14 +54,24 @@ class PlanShapeSpec extends SparkTestBase {
       // on, so each band frame shuffles once for both. The guard window now
       // lives INSIDE the cached (doc_id, band, sig) build (the skinny-cache
       // restructure), so traverse into each distinct InMemoryRelation too.
+      // AQE-wrap gotcha: a cache entry registered by an EARLIER suite with
+      // AQE on (RegistrySpec builds every graded query that way) stores its
+      // cachedPlan as an AdaptiveSparkPlanExec, whose `children` is EMPTY —
+      // a plain p.children recursion is blind to the WindowExec inside it
+      // and this test fails order-dependently. Unwrap via executedPlan.
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
       val seen = scala.collection.mutable.Set[SparkPlan]()
       def deep(p: SparkPlan): Seq[SparkPlan] = {
-        val cached = p match {
+        val inner = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          // a materialized adaptive plan holds its subtrees behind
+          // QueryStageExec wrappers — children is empty there too
+          case q: QueryStageExec => Seq(q.plan)
           case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
             if seen.add(s.relation.cachedPlan) => Seq(s.relation.cachedPlan)
           case _ => Nil
         }
-        p +: (p.children ++ cached).flatMap(deep)
+        p +: (p.children ++ inner).flatMap(deep)
       }
       val ns = deep(staticPlan(SparkEntry.queries("dedup_lsh_pairs")(spark, sf)))
       val windows = ns.count(_.isInstanceOf[WindowExec])
