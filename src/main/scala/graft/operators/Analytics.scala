@@ -2,8 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-import graft.{Q, Tables}
+import graft.{Micro, Q, Tables}
 
 /** Analytics extension surface (SURVEY.md §7 phase 5; BASELINE.json north star).
   *
@@ -13,37 +12,21 @@ import graft.{Q, Tables}
   * semantics to their Structured Streaming forms), JSON prop extraction, and
   * join-heavy reporting queries.
   *
-  * Float determinism: every SUM over doubles goes through an exact
-  * DECIMAL(25,6) accumulator and is cast back to DOUBLE at the end — partial
-  * aggregation order can then never change the result, on Spark or DuckDB.
+  * Float determinism: every SUM over doubles goes through the exact
+  * micro-unit accumulator ([[graft.Micro]] — floor(x·10⁶) summed in
+  * DECIMAL(38,0), cast back to DOUBLE at the end): partial aggregation
+  * order can never change the result, and neither engine has a
+  * double→decimal conversion boundary to disagree on (the DECIMAL(25,6)
+  * idiom this file used through round 17 carried exactly that window —
+  * the sf10 gate caught it on agg_cube/agg_grouping_sets; rationale at
+  * [[graft.Micro]]).
   */
 object Analytics {
 
   private def ord(df: DataFrame, cols: String*): DataFrame =
     df.orderBy(cols.map(c => col(c).asc_nulls_first): _*)
 
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(25, 6))).cast("double")
-
-  /** Exact double sum with NO decimal-rounding window: floor at micro
-    * precision — floor(x·10⁶) is pure IEEE arithmetic (one deterministic
-    * multiply, one exact floor: no rounding MODE, no tie, no decimal
-    * expansion), so both engines compute the identical integer — then an
-    * exact BIGINT sum and one deterministic IEEE divide. The
-    * dsum/DECIMAL(25,6) idiom has an engine-disagreement window the sf10
-    * gate exposed on the 100×-jittered orders table: Spark's
-    * double→decimal rounds the EXACT binary expansion
-    * (BigDecimal.setScale HALF_UP) while DuckDB rounds the scaled double,
-    * and values whose expansion straddles the half-µ boundary convert
-    * differently (~100 in 15M jittered values — invisible at sf1, a
-    * guaranteed hash mismatch at sf10). Rounding-mode fixes (bround /
-    * half-even) just move the boundary: DuckDB's double→BIGINT cast is
-    * half-away-from-zero, Spark's round family works on decimal
-    * expansions. floor has no boundary at all. Mirror:
-    * CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0.
-    * Headroom: |Σx| ≤ 9.2e12 per group before the BIGINT sum overflows. */
-  private def dsumMicro(c: org.apache.spark.sql.Column) =
-    (sum(floor(c * lit(1e6))).cast("double") / lit(1e6))
+  private def dsumMicro(c: org.apache.spark.sql.Column) = Micro.dsumMicro(c)
 
   // TPC-H Q1 shape: scan-heavy grouped aggregation with derived measures.
   private val q1Agg: Q = (s, dir) =>
@@ -52,10 +35,10 @@ object Analytics {
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          dsumMicro(col("l_quantity")).as("sum_qty"),
+          dsumMicro(col("l_extendedprice")).as("sum_base_price"),
+          dsumMicro(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          (dsumMicro(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order")),
       "l_returnflag", "l_linestatus")
 
@@ -69,7 +52,7 @@ object Analytics {
           countDistinct(col("user_id")).as("n_users"),
           min(col("value")).as("min_v"),
           max(col("value")).as("max_v"),
-          dsum(col("value")).as("sum_v")),
+          dsumMicro(col("value")).as("sum_v")),
       "event_type")
 
   // Sketch aggregate with a real oracle gate: the HLL++ estimate itself is not
@@ -102,7 +85,7 @@ object Analytics {
     ord(
       Tables(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+        .agg(count(lit(1)).as("n"), dsumMicro(col("value")).as("sum_v"))
         .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_v")),
       "ws", "event_type")
 
@@ -142,7 +125,7 @@ object Analytics {
       .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("o_orderkey", "o_orderdate")
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .agg(dsumMicro(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc_nulls_last, col("o_orderkey").asc_nulls_first)
       .limit(10)
   }
@@ -158,7 +141,7 @@ object Analytics {
       .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
       .groupBy("n_name")
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .agg(dsumMicro(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("n_name").asc_nulls_first)
   }
 
@@ -167,7 +150,7 @@ object Analytics {
     ord(
       Tables(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")),
+        .agg(count(lit(1)).as("n"), dsumMicro(col("l_quantity")).as("sum_qty")),
       "l_returnflag", "l_linestatus")
 
   // Cube: all grouping-set combinations (rollup's sibling; same Expand-based
@@ -176,8 +159,8 @@ object Analytics {
     ord(
       Tables(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        // dsumMicro, not dsum: the 15M-row jittered sf10 orders table hits
-        // the decimal-conversion disagreement window (see dsumMicro note)
+        // the lane that CAUGHT the decimal-conversion disagreement window:
+        // the 15M-row jittered sf10 orders table (see graft.Micro)
         .agg(count(lit(1)).as("n"), dsumMicro(col("o_totalprice")).as("sum_price")),
       "o_orderstatus", "o_orderpriority")
 
@@ -256,7 +239,7 @@ object Analytics {
   private val q18TopCustomers: Q = (s, dir) => {
     val bigOrders = Tables(s, dir, "lineitem")
       .groupBy("l_orderkey")
-      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .agg(dsumMicro(col("l_quantity")).as("total_qty"))
       .filter(col("total_qty") > 250)
     bigOrders
       .join(Tables(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
@@ -311,7 +294,7 @@ object Analytics {
 
   // Time-range window frame: per-user trailing-1-hour running sum — RANGE
   // frames bound by the ORDER value (event-time micros), not row position.
-  // The streaming sibling of a sliding window, expressed per-row. Decimal
+  // The streaming sibling of a sliding window, expressed per-row. Micro-unit
   // accumulator as everywhere, so frame evaluation order can't drift the sum.
   private val windowRangeFrame: Q = (s, dir) => {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
@@ -321,26 +304,26 @@ object Analytics {
       Tables(s, dir, "events")
         .withColumn("tmicros", unix_micros(col("ts")))
         .select(col("user_id"), col("event_id"),
-          sum(col("value").cast(DecimalType(25, 6))).over(w).cast("double").as("sum_1h"),
+          Micro.fromMicro(Micro.microSum(col("value")).over(w)).as("sum_1h"),
           count(lit(1)).over(w).as("n_1h")),
       "user_id", "event_id")
   }
 
-  // Correlation/covariance via closed-form moments over EXACT decimal
+  // Correlation/covariance via closed-form moments over EXACT micro-unit
   // accumulators: built-in corr()/covar_pop() merge partial moments in
   // doubles, so their low bits depend on partition boundaries — fine for
   // statistics, fatal for a cross-engine hash gate. Summing the five
-  // moments as DECIMAL(25,6) makes the derived statistics bit-identical on
+  // moments through Micro makes the derived statistics bit-identical on
   // any engine and any partitioning, at the cost of one extra multiply per
   // row. Same single-Exchange partial-aggregate shape as every groupBy.
   private val aggCorr: Q = (s, dir) => {
     val e = Tables(s, dir, "events").withColumn("hr", hour(col("ts")).cast("long"))
     val g = e.groupBy("event_type").agg(
       count(lit(1)).as("n"),
-      sum(col("value").cast(DecimalType(25, 6))).cast("double").as("sx"),
+      dsumMicro(col("value")).as("sx"),
       sum(col("hr")).as("sy"),
-      sum((col("value") * col("hr")).cast(DecimalType(25, 6))).cast("double").as("sxy"),
-      sum((col("value") * col("value")).cast(DecimalType(25, 6))).cast("double").as("sxx"),
+      dsumMicro(col("value") * col("hr")).as("sxy"),
+      dsumMicro(col("value") * col("value")).as("sxx"),
       sum(col("hr") * col("hr")).as("syy"))
     val n = col("n").cast("double")
     val cov = n * col("sxy") - col("sx") * col("sy").cast("double")
@@ -359,7 +342,7 @@ object Analytics {
   // intercept, r² from the same exact-decimal moment algebra as agg_corr —
   // the one-feature regression every metrics pipeline runs ("is this KPI
   // drifting"), computed without any iterative solver. Moments accumulate
-  // exactly (integer x, DECIMAL(25,6) y-products) so the fit is
+  // exactly (integer x, micro-unit y-products) so the fit is
   // partition-order-proof; the closing arithmetic is the identical IEEE
   // double formula on both engines. Zero-variance guards return NULL like
   // agg_corr. One partial-aggregated exchange on the group key.
@@ -369,10 +352,10 @@ object Analytics {
     val g = e.groupBy("event_type").agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"),
-      sum(col("value").cast(DecimalType(25, 6))).cast("double").as("sy"),
-      sum((col("x") * col("value")).cast(DecimalType(25, 6))).cast("double").as("sxy"),
+      dsumMicro(col("value")).as("sy"),
+      dsumMicro(col("x") * col("value")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"),
-      sum((col("value") * col("value")).cast(DecimalType(25, 6))).cast("double").as("syy"))
+      dsumMicro(col("value") * col("value")).as("syy"))
     val n = col("n").cast("double")
     val sx = col("sx").cast("double")
     val sxx = col("sxx").cast("double")
@@ -429,14 +412,14 @@ object Analytics {
   // division binning (not width_bucket: arithmetic this plain is identical
   // on every engine), one partial-aggregated exchange on the bucket id.
   // Exact stats per bin: count, min/max (exact double comparisons), sum via
-  // the DECIMAL(25,6) accumulator rule.
+  // the micro-unit accumulator rule.
   private val aggHistogram: Q = (s, dir) =>
     ord(
       Tables(s, dir, "events")
         .groupBy(floor(col("value") / 20.0).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"),
           min(col("value")).as("lo"), max(col("value")).as("hi"),
-          sum(col("value").cast(DecimalType(25, 6))).cast("double").as("sum_v")),
+          dsumMicro(col("value")).as("sum_v")),
       "bucket")
 
   // Per-row anomaly scoring — z-scores against per-group moments, the
@@ -450,8 +433,8 @@ object Analytics {
     val e = Tables(s, dir, "events")
     val g = e.groupBy("event_type").agg(
       count(lit(1)).as("n"),
-      sum(col("value").cast(DecimalType(25, 6))).cast("double").as("sx"),
-      sum((col("value") * col("value")).cast(DecimalType(25, 6))).cast("double").as("sxx"))
+      dsumMicro(col("value")).as("sx"),
+      dsumMicro(col("value") * col("value")).as("sxx"))
     val nD = col("n").cast("double")
     val stats = g.select(col("event_type"),
       (col("sx") / nD).as("mu"),
@@ -519,7 +502,7 @@ object Analytics {
       .select((col("user_id") % 50).as("cohort"), to_date(col("ts")).as("day"),
         col("value"))
     val actual = ev.groupBy("cohort", "day")
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+      .agg(count(lit(1)).as("n"), dsumMicro(col("value")).as("sum_v"))
     val grid = ev.groupBy("cohort")
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("cohort"),
@@ -547,7 +530,7 @@ object Analytics {
       .select((col("user_id") % 50).as("cohort"), to_date(col("ts")).as("day"),
         col("value"))
     val actual = ev.groupBy("cohort", "day")
-      .agg((dsum(col("value")) / count(lit(1))).as("v"))
+      .agg((dsumMicro(col("value")) / count(lit(1))).as("v"))
     val grid = ev.groupBy("cohort")
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("cohort"),
@@ -563,9 +546,12 @@ object Analytics {
       .withColumn("nd", first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(fwd))
     ord(
       joined.select(col("cohort"), col("day"),
-        round(coalesce(col("v"),
+        // Micro.round6, not round(_, 6): the daily mean is a micro-sum
+        // quotient, the exact shape whose round-at-1e-6 diverged between
+        // engines at sf0.01 (35.871666 vs 35.871667)
+        Micro.round6(coalesce(col("v"),
           col("pv") + (col("nv") - col("pv")) *
-            datediff(col("day"), col("pd")) / datediff(col("nd"), col("pd"))), 6).as("v"),
+            datediff(col("day"), col("pd")) / datediff(col("nd"), col("pd")))).as("v"),
         col("v").isNull.as("interpolated")),
       "cohort", "day")
   }
@@ -614,7 +600,7 @@ object Analytics {
     val per = o.groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_d"),
         count(lit(1)).as("n_orders"),
-        dsum(col("o_totalprice")).as("total"))
+        dsumMicro(col("o_totalprice")).as("total"))
     val ref = o.agg(max(col("o_orderdate")).as("ref_d"))
     val base = per.crossJoin(ref)
       .withColumn("recency_days", datediff(col("ref_d"), col("last_d")).cast("long"))
@@ -808,7 +794,7 @@ object Analytics {
         |  SELECT user_id % 50 AS cohort, CAST(ts AS DATE) AS day, value FROM events),
         |actual AS (
         |  SELECT cohort, day, count(*) AS n,
-        |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_v
+        |    CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_v
         |  FROM ev GROUP BY 1, 2),
         |grid AS (
         |  SELECT cohort, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
@@ -820,7 +806,7 @@ object Analytics {
     "customer_rfm" ->
       """WITH per AS (
         |  SELECT o_custkey, max(o_orderdate) AS last_d, count(*) AS n_orders,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |    CAST(sum(CAST(floor((o_totalprice) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total
         |  FROM orders GROUP BY o_custkey),
         |ref AS (SELECT max(o_orderdate) AS ref_d FROM orders),
         |base AS (
@@ -873,7 +859,7 @@ object Analytics {
         |  SELECT user_id % 50 AS cohort, CAST(ts AS DATE) AS day, value FROM events),
         |actual AS (
         |  SELECT cohort, day,
-        |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS v
+        |    CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*) AS v
         |  FROM ev GROUP BY 1, 2),
         |grid AS (
         |  SELECT cohort, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
@@ -891,8 +877,8 @@ object Analytics {
         |    wf AS (PARTITION BY g.cohort ORDER BY g.day ASC
         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT cohort, day,
-        |  round(COALESCE(v,
-        |    pv + (nv - pv) * date_diff('day', pd, day) / date_diff('day', pd, nd)), 6) AS v,
+        |  round((COALESCE(v,
+        |    pv + (nv - pv) * date_diff('day', pd, day) / date_diff('day', pd, nd))) * 1000000.0) / 1000000.0 AS v,
         |  v IS NULL AS interpolated
         |FROM j
         |ORDER BY cohort ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin,
@@ -928,13 +914,13 @@ object Analytics {
     "agg_histogram" ->
       """SELECT CAST(floor(value / 20.0) AS BIGINT) AS bucket, count(*) AS n,
         |  min(value) AS lo, max(value) AS hi,
-        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_v
+        |  CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_v
         |FROM events GROUP BY 1 ORDER BY bucket ASC NULLS FIRST""".stripMargin,
     "anomaly_zscore" ->
       """WITH g AS (
         |  SELECT event_type, count(*) AS n,
-        |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE) AS sxx
+        |    CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sx,
+        |    CAST(sum(CAST(floor((value * value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxx
         |  FROM events GROUP BY 1),
         |s AS (
         |  SELECT event_type, sx / n AS mu,
@@ -948,10 +934,10 @@ object Analytics {
     "agg_corr" ->
       """WITH m AS (
         |  SELECT event_type, count(*) AS n,
-        |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sx,
         |    sum(EXTRACT(hour FROM ts)) AS sy,
-        |    CAST(sum(CAST(value * EXTRACT(hour FROM ts) AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
-        |    CAST(sum(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(floor((value * EXTRACT(hour FROM ts)) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxy,
+        |    CAST(sum(CAST(floor((value * value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxx,
         |    sum(EXTRACT(hour FROM ts) * EXTRACT(hour FROM ts)) AS syy
         |  FROM events GROUP BY event_type)
         |SELECT event_type, n,
@@ -1000,10 +986,10 @@ object Analytics {
       """WITH m AS (
         |  SELECT event_type, count(*) AS n,
         |    sum(epoch_us(ts) // 86400000000) AS sx,
-        |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST((epoch_us(ts) // 86400000000) * value AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sy,
+        |    CAST(sum(CAST(floor(((epoch_us(ts) // 86400000000) * value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxy,
         |    sum((epoch_us(ts) // 86400000000) * (epoch_us(ts) // 86400000000)) AS sxx,
-        |    CAST(sum(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE) AS syy
+        |    CAST(sum(CAST(floor((value * value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS syy
         |  FROM events GROUP BY event_type),
         |f AS (
         |  SELECT event_type, n,
@@ -1035,7 +1021,7 @@ object Analytics {
         |ORDER BY event_type ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
     "window_range_frame" ->
       """SELECT user_id, event_id,
-        |  CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sum_1h,
+        |  CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) OVER w AS DOUBLE) / 1000000.0 AS sum_1h,
         |  count(*) OVER w AS n_1h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
@@ -1058,7 +1044,7 @@ object Analytics {
         |FROM events GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""".stripMargin,
     "q18_top_customers" ->
       """WITH big AS (
-        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+        |  SELECT l_orderkey, CAST(sum(CAST(floor((l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_qty
         |  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 250)
         |SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
         |FROM big JOIN orders ON l_orderkey = o_orderkey
@@ -1097,10 +1083,10 @@ object Analytics {
         |ORDER BY lang ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(floor((l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_qty,
+        |  CAST(sum(CAST(floor((l_extendedprice) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_base_price,
+        |  CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+        |  CAST(sum(CAST(floor((l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -1111,12 +1097,12 @@ object Analytics {
     "agg_stats" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  min(value) AS min_v, max(value) AS max_v,
-        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_v
+        |  CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_v
         |FROM events GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""".stripMargin,
     "window_agg_time" ->
       """SELECT make_timestamp(epoch_us(ts) // 3600000000 * 3600000000) AS ws,
         |  event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_v
+        |  CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_v
         |FROM events GROUP BY 1, 2
         |ORDER BY ws ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
     "window_sliding" ->
@@ -1146,7 +1132,7 @@ object Analytics {
         |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin,
     "q3_topk" ->
       """SELECT o_orderkey, o_orderdate,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1155,7 +1141,7 @@ object Analytics {
         |ORDER BY revenue DESC NULLS LAST, o_orderkey ASC NULLS FIRST LIMIT 10""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1165,7 +1151,7 @@ object Analytics {
         |GROUP BY n_name ORDER BY n_name ASC NULLS FIRST""".stripMargin,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        |  CAST(sum(CAST(floor((l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
   )

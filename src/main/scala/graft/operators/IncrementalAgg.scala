@@ -24,15 +24,17 @@ import graft.{Q, Tables}
   * shuffles by its key (or not at all, if it lives bucketed by that key),
   * the delta is micro-batch-sized and broadcastable. Per refresh the work
   * is O(|delta| + |touched groups|), never O(history). Double sums ride
-  * DECIMAL(25,6) so the merged state is bit-equal to a from-scratch
-  * recompute on any engine (floating addition is not associative; decimal
-  * addition is).
+  * the exact micro-unit accumulator ([[graft.Micro]]: floor(x·10⁶) summed
+  * in DECIMAL(38,0)) so the merged state is bit-equal to a from-scratch
+  * recompute on any engine (floating addition is not associative; integer
+  * addition is — and unlike the old DECIMAL(25,6) idiom, the micro floor
+  * has no double→decimal conversion boundary for engines to disagree on).
   */
 object IncrementalAgg {
 
   /** Merge two partial-aggregate states keyed by `keys`.
     *
-    * @param add     additive partial columns (counts, decimal sums)
+    * @param add     additive partial columns (counts, integer micro-sums)
     * @param maxCols high-water partials merged with `greatest`
     * @param minCols low-water partials merged with `least`
     *
@@ -81,7 +83,7 @@ object IncrementalAgg {
       df.groupBy((col("user_id") % 100).as("cohort"), col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(25,6)")).as("sum_value"),
+          graft.Micro.microSum(col("value")).as("sum_value"),
           max(col("ts")).as("last_ts"),
           min(col("value")).as("min_value"))
     val state = partial(ev.filter(col("ts") < lit(T1).cast("timestamp")))
@@ -91,9 +93,9 @@ object IncrementalAgg {
       add = Seq("n_events", "sum_value"),
       maxCols = Seq("last_ts"), minCols = Seq("min_value"))
       .select(col("cohort"), col("event_type"), col("n_events"),
-        col("sum_value").cast("double").as("sum_value"),
+        graft.Micro.fromMicro(col("sum_value")).as("sum_value"),
         // the derived metric, re-derived post-merge (never stored)
-        round(col("sum_value").cast("double") / col("n_events"), 6).as("avg_value"),
+        graft.Micro.round6(graft.Micro.fromMicro(col("sum_value")) / col("n_events")).as("avg_value"),
         col("last_ts"), col("min_value"))
       .orderBy(col("cohort").asc_nulls_first, col("event_type").asc_nulls_first)
   }
@@ -106,8 +108,8 @@ object IncrementalAgg {
     "incr_agg_merge" ->
       s"""SELECT user_id % 100 AS cohort, event_type,
          |  count(*) AS n_events,
-         |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
-         |  round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS avg_value,
+         |  CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value,
+         |  round((CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)) * 1000000.0) / 1000000.0 AS avg_value,
          |  max(ts) AS last_ts,
          |  min(value) AS min_value
          |FROM events WHERE ts < TIMESTAMP '$T2'

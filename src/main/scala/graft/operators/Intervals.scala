@@ -103,9 +103,10 @@ object Intervals {
   // Scale: ONE grouped aggregate over the scan with map-side partials — no
   // window, no join; the groups are the tiny event_type dimension. Duration
   // is the interval length in whole seconds (exact integers). Determinism:
-  // both numerators sum value·weight as exact DECIMAL(25,6) (the Lloyd-mean
-  // discipline — a double sum across a shuffle is merge-order-dependent, the
-  // decimal sum is not) and divide as double once at the end.
+  // both numerators sum value·weight through the exact micro-unit
+  // accumulator (graft.Micro — a double sum across a shuffle is
+  // merge-order-dependent, the integer micro-sum is not) and divide as
+  // double once at the end.
   private val intervalWeightedAvg: Q = (s, dir) => {
     val durS = pmod(col("event_id"), lit(300)) + lit(60)
     Tables(s, dir, "events")
@@ -114,10 +115,10 @@ object Intervals {
       .agg(
         count(lit(1)).as("n_intervals"),
         sum(col("dur_s")).as("total_s"),
-        round(sum((col("value") * col("dur_s")).cast("decimal(25,6)")).cast("double") /
-          sum(col("dur_s")), 6).as("tw_avg"),
-        round(sum(col("value").cast("decimal(25,6)")).cast("double") /
-          count(lit(1)), 6).as("plain_avg"))
+        graft.Micro.round6(graft.Micro.dsumMicro(col("value") * col("dur_s")) /
+          sum(col("dur_s"))).as("tw_avg"),
+        graft.Micro.round6(graft.Micro.dsumMicro(col("value")) /
+          count(lit(1))).as("plain_avg"))
       .orderBy(col("event_type").asc_nulls_first)
   }
 
@@ -180,9 +181,9 @@ object Intervals {
       """SELECT event_type,
         |  count(*) AS n_intervals,
         |  CAST(sum(event_id % 300 + 60) AS BIGINT) AS total_s,
-        |  round(CAST(sum(CAST(value * (event_id % 300 + 60) AS DECIMAL(25,6))) AS DOUBLE)
-        |        / sum(event_id % 300 + 60), 6) AS tw_avg,
-        |  round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS plain_avg
+        |  round((CAST(sum(CAST(floor((value * (event_id % 300 + 60)) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+        |        / sum(event_id % 300 + 60)) * 1000000.0) / 1000000.0 AS tw_avg,
+        |  round((CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)) * 1000000.0) / 1000000.0 AS plain_avg
         |FROM events GROUP BY event_type
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin
   )

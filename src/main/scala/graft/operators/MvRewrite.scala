@@ -18,10 +18,13 @@ import graft.plans.MvRewriteRule
   * refresh incrementally (IncrementalAgg / stream_rollup_table), query
   * the refreshed artifact automatically.
   *
-  * Exactness discipline: the double `value` column rides DECIMAL(25,6)
-  * from the base projection onward, so partial sums and the rolled-up
-  * sum-of-sums are bit-equal to any engine's single-level sum (decimal
-  * addition is associative; float addition is not). The ratio metric
+  * Exactness discipline: the double `value` column rides the exact
+  * micro-unit integer form ([[graft.Micro]]: floor(value·10⁶) as
+  * DECIMAL(38,0)) from the base projection onward, so partial sums and
+  * the rolled-up sum-of-sums are bit-equal to any engine's single-level
+  * sum (integer addition is associative; float addition is not, and the
+  * old DECIMAL(25,6) projection carried the double→decimal conversion
+  * window the sf10 gate exposed). The ratio metric
   * (avg) is re-derived ABOVE the aggregate from the rewritten sum and
   * count — derived metrics are never stored in, nor matched against, the
   * MV (the IncrementalAgg mergeable-state discipline).
@@ -34,21 +37,21 @@ object MvRewrite {
   private def registeredBase(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val base = Tables(s, dir, "events")
       .select(col("event_id"), col("event_type"), col("user_id"),
-        col("value").cast("decimal(25,6)").as("value_dec"), col("ts"))
+        graft.Micro.micro(col("value")).as("value_mic"), col("ts"))
     val work = graft.Scratch.dir("graft-mv")
     val mvPath = work.resolve("mv_events").toString
     base.groupBy(col("event_type"), pmod(col("user_id"), lit(100)).as("cohort"))
       .agg(count(lit(1)).as("n"),
-        count(col("value_dec")).as("n_value"),
-        sum(col("value_dec")).as("s_value"),
+        count(col("value_mic")).as("n_value"),
+        sum(col("value_mic")).as("s_value"),
         min(col("ts")).as("min_ts"),
         max(col("ts")).as("max_ts"))
       .write.mode("overwrite").parquet(mvPath)
     MvRewriteRule.register(mvPath, base, s.read.parquet(mvPath),
       groupCols = Seq("event_type"),
       countStar = Some("n"),
-      countOf = Map("value_dec" -> "n_value"),
-      sumOf = Map("value_dec" -> "s_value"),
+      countOf = Map("value_mic" -> "n_value"),
+      sumOf = Map("value_mic" -> "s_value"),
       minOf = Map("ts" -> "min_ts"),
       maxOf = Map("ts" -> "max_ts"))
     base
@@ -60,13 +63,13 @@ object MvRewrite {
     // projection above derives the ratio from the rewritten partials
     registeredBase(s, dir).groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        count(col("value_dec")).as("n_value"),
-        sum(col("value_dec")).as("sum_value"),
+        count(col("value_mic")).as("n_value"),
+        sum(col("value_mic")).as("sum_value"),
         min(col("ts")).as("first_ts"),
         max(col("ts")).as("last_ts"))
       .select(col("event_type"), col("n_events"),
-        col("sum_value").cast("double").as("sum_value"),
-        round(col("sum_value").cast("double") / col("n_value"), 6).as("avg_value"),
+        graft.Micro.fromMicro(col("sum_value")).as("sum_value"),
+        graft.Micro.round6(graft.Micro.fromMicro(col("sum_value")) / col("n_value")).as("avg_value"),
         col("first_ts"), col("last_ts"))
       .orderBy(col("event_type").asc_nulls_first)
   }
@@ -79,10 +82,10 @@ object MvRewrite {
       .filter(col("event_type").isin("click", "view", "purchase"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value_dec")).as("sum_value"),
+        sum(col("value_mic")).as("sum_value"),
         max(col("ts")).as("last_ts"))
       .select(col("event_type"), col("n_events"),
-        col("sum_value").cast("double").as("sum_value"), col("last_ts"))
+        graft.Micro.fromMicro(col("sum_value")).as("sum_value"), col("last_ts"))
       .orderBy(col("event_type").asc_nulls_first)
   }
 
@@ -95,14 +98,14 @@ object MvRewrite {
     // MV-routed answer must be indistinguishable from
     "mv_rewrite_scan" ->
       """SELECT event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
-        |  round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(value), 6) AS avg_value,
+        |  CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value,
+        |  round((CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(value)) * 1000000.0) / 1000000.0 AS avg_value,
         |  min(ts) AS first_ts, max(ts) AS last_ts
         |FROM events GROUP BY 1
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
     "mv_rewrite_filter" ->
       """SELECT event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value,
         |  max(ts) AS last_ts
         |FROM events
         |WHERE event_type IN ('click', 'view', 'purchase')

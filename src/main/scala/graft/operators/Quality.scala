@@ -123,14 +123,17 @@ object Quality {
     * one grouped partial aggregate, a per-group size gate, and ONE
     * re-aggregation of only the generalized rows — the big groups pass
     * through untouched, so the second exchange carries O(rare groups).
-    * Exact decimal sums keep the released averages engine-stable.
+    * n_chars is integral, so a plain BIGINT sum is already exact on both
+    * engines (no double→decimal window — see graft.Micro for the double
+    * case); headroom: overflow needs ~9.2e18 chars in one (lang, source)
+    * group, ~10⁵× the whole 100 TB corpus.
     */
   private val ANON_K = 10
   private val dqAnonRelease: Q = (s, dir) => {
     val g = Tables(s, dir, "documents")
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars").cast("decimal(25,6)")).as("sum_chars"))
+        sum(col("n_chars").cast("long")).as("sum_chars"))
     val gated = g.select(
       when(col("n_docs") >= ANON_K, col("lang")).otherwise(lit("other")).as("lang"),
       when(col("n_docs") >= ANON_K, col("source")).otherwise(lit("other")).as("source"),
@@ -242,7 +245,7 @@ object Quality {
     "dq_anon_release" ->
       s"""WITH g AS (
          |  SELECT lang, source, count(*) AS n_docs,
-         |    sum(CAST(n_chars AS DECIMAL(25,6))) AS sum_chars
+         |    sum(CAST(n_chars AS BIGINT)) AS sum_chars
          |  FROM documents GROUP BY lang, source),
          |gated AS (
          |  SELECT CASE WHEN n_docs >= $ANON_K THEN lang ELSE 'other' END AS lang,

@@ -593,7 +593,7 @@ object StreamingOps {
       .join(dim.table().filter(col("week") === 2), Seq("day"))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"))
+        graft.Micro.dsumMicro(col("value")).as("sum_value"))
       .orderBy(col("day").asc_nulls_first)
   }
 
@@ -627,7 +627,7 @@ object StreamingOps {
       .join(dim.table(), Seq("day"), "left_outer")
       .groupBy(col("day"), col("week"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"))
+        graft.Micro.dsumMicro(col("value")).as("sum_value"))
       .orderBy(col("day").asc_nulls_first)
   }
 
@@ -641,7 +641,7 @@ object StreamingOps {
     * buckets). Deterministic under any micro-batch split because watermark
     * dedup delivers each event exactly once into some batch and the state
     * merge is associative over exact accumulators (long counts,
-    * DECIMAL(25,6) sums, timestamp max). The oracle is the from-scratch
+    * micro-unit DECIMAL(38,0) sums — graft.Micro, timestamp max). The oracle is the from-scratch
     * aggregate over the union window — the invariant of incremental view
     * maintenance.
     */
@@ -661,7 +661,7 @@ object StreamingOps {
     def partial(df: DataFrame): DataFrame =
       df.groupBy((col("user_id") % 100).as("cohort"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(25,6)")).cast("decimal(25,6)").as("sum_value"),
+          graft.Micro.microSum(col("value")).cast("decimal(38,0)").as("sum_value"),
           max(col("ts")).as("last_ts"))
 
     val viewKeys = Seq("cohort", "event_type")
@@ -670,7 +670,7 @@ object StreamingOps {
         add = Seq("n_events", "sum_value"), maxCols = Seq("last_ts"))
         .select(col("cohort"), col("event_type"), col("n_events"),
           // decimal addition widens the type per merge; pin the declared one
-          col("sum_value").cast("decimal(25,6)").as("sum_value"), col("last_ts"))
+          col("sum_value").cast("decimal(38,0)").as("sum_value"), col("last_ts"))
 
     val sink = new ParquetTableSink(local, work.resolve("table").toString,
       partial(ev).limit(0), viewKeys, buckets = 8, combine = combine)
@@ -685,7 +685,7 @@ object StreamingOps {
       .awaitTermination()
     sink.current
       .select(col("cohort"), col("event_type"), col("n_events"),
-        col("sum_value").cast("double").as("sum_value"), col("last_ts"))
+        graft.Micro.fromMicro(col("sum_value")).as("sum_value"), col("last_ts"))
       .orderBy(col("cohort").asc_nulls_first, col("event_type").asc_nulls_first)
   }
 
@@ -1256,7 +1256,7 @@ object StreamingOps {
     // delivered (the two drops' union = ts < t2)
     "stream_rollup_table" ->
       """SELECT user_id % 100 AS cohort, event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(CAST(floor((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value,
         |  max(ts) AS last_ts
         |FROM events WHERE ts < TIMESTAMP '2024-01-28 00:00:00'
         |GROUP BY 1, 2
@@ -1288,7 +1288,7 @@ object StreamingOps {
         |    CAST(floor((day(day) - 1) / 7) AS INT) AS week
         |  FROM ev)
         |SELECT ev.day, count(*) AS n_events,
-        |  CAST(sum(CAST(ev.value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |  CAST(sum(CAST(floor((ev.value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
         |FROM ev JOIN dim ON ev.day = dim.day
         |WHERE dim.week = 2
         |GROUP BY ev.day
@@ -1303,7 +1303,7 @@ object StreamingOps {
         |    CAST(floor((day(day) - 1) / 7) AS INT) AS week
         |  FROM ev WHERE day(day) <= 14)
         |SELECT ev.day, dim.week, count(*) AS n_events,
-        |  CAST(sum(CAST(ev.value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |  CAST(sum(CAST(floor((ev.value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
         |FROM ev LEFT JOIN dim ON ev.day = dim.day
         |WHERE ev.day >= DATE '2024-01-10' AND ev.day <= DATE '2024-01-17'
         |GROUP BY ev.day, dim.week
