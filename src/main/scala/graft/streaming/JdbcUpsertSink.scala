@@ -503,8 +503,14 @@ object JdbcUpsertSink {
         "derby.storage.pageSize" -> "32768",            // bytes: 8x fewer page allocations/latches on the bulk paths
         "derby.storage.logSwitchInterval" -> "134217728",  // bytes: not one log-file rotate+sync per MB of merge log
         "derby.storage.checkpointInterval" -> "134217728", // bytes: don't checkpoint-storm the page cache mid-merge
-        "derby.locks.escalationThreshold" -> "1000000", // rows: keep the parallel staging writers on row locks (the 5000 default escalates each to an X table lock, serializing the load)
-        "derby.locks.waitTimeout" -> "10"               // s: a merger blocked on another writer's sink lock fails loud in 10 s, not the desktop default 60 (no legitimate lock wait exists in the one-writer-per-sink design)
+        "derby.locks.escalationThreshold" -> "1000000" // rows: keep the parallel staging writers on row locks (the 5000 default escalates each to an X table lock, serializing the load)
+        // NOT derby.locks.waitTimeout: that knob is engine-GLOBAL, so a low
+        // value would abort any legitimate >10 s wait anywhere in the
+        // database (e.g. a staging writer queued behind a checkpoint on a
+        // large merge), while the only wait the design intends to cap — a
+        // second merger blocked on the sink-lock row — is already bounded
+        // per-statement by setQueryTimeout(LockWaitSeconds) on the lock
+        // INSERT/UPDATE themselves.
       ).foreach { case (k, v) =>
         if (System.getProperty(k) == null) System.setProperty(k, v) }
       try Class.forName("org.apache.derby.jdbc.EmbeddedDriver")

@@ -42,17 +42,27 @@ class MinHashExprSpec extends SparkTestBase {
       .filter(not(col("f") <=> col("c"))).count() == 0)
   }
 
-  test("rotation is a 60-bit bijection: distinct inputs stay distinct") {
+  test("rotation is a 60-bit bijection: distinct inputs stay distinct and round-trip") {
     val session = spark
     import session.implicits._
-    // all-ones and single-bit values exercise both halves of the rotation
+    // all-ones and single-bit values exercise both halves of the rotation;
+    // each value rides a SINGLE-element array with seed 0, so the signature
+    // component IS rot60(value, k) — min and xor are identities there
     val vals = Seq((1L << 60) - 1, 1L, 1L << 59, 0L, 0x123456789ABCDL)
-    val df = Seq((1L, vals)).toDF("id", "hs")
-    val sig = df.select(MinHashExpression.minhash(col("hs"), Seq(0L), Seq(13)).as("s"))
-      .head().getSeq[Long](0)
-    // min over rotated distinct values must be one of the rotated values,
-    // and rotating the full-range samples must keep them inside 60 bits
-    assert(sig.head >= 0L && sig.head < (1L << 60))
+    def rotAll(vs: Seq[Long], k: Int): Seq[Long] = {
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, Seq(v)) }.toDF("id", "hs")
+      df.select(col("id"), MinHashExpression.minhash(col("hs"), Seq(0L), Seq(k)).as("s"))
+        .collect().sortBy(_.getLong(0)).map(_.getSeq[Long](1).head).toSeq
+    }
+    val rotated = rotAll(vals, 13)
+    // range: stays inside 60 bits
+    rotated.foreach(r => assert(r >= 0L && r < (1L << 60), s"out of 60-bit range: $r"))
+    // injectivity on the sample: pairwise distinct in, pairwise distinct out
+    assert(rotated.distinct.size == vals.size,
+      s"rotation collapsed distinct inputs: $rotated")
+    // bijectivity: the inverse rotation (left by 60-13) restores the inputs
+    assert(rotAll(rotated, 60 - 13) == vals,
+      "rotate-left 13 then 47 must be the 60-bit identity")
   }
 
   test("empty array yields an all-NULL signature; null elements are skipped") {
