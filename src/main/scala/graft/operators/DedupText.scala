@@ -786,6 +786,55 @@ object DedupText {
         .select(col("doc_id"), simhash60(col("hs")).as("sig")))
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
 
+  /** Fold-then-pair hamming CLUSTERS — the replica-heavy scale path the
+    * saturation audit's first catch motivated (BENCH_sf10.md round 19: on
+    * a 5M-doc corpus of ~5000-rewrite clusters the PAIR kernel's
+    * MAX_BUCKET guard sheds ~60% of combo rows, correctly — emitting a
+    * 5000-doc mutual-near-dup cluster's pairs is Ω(5000²) output by the
+    * problem statement, not a plan defect). The dedup DECISION only needs
+    * cluster membership, and the hamming edge predicate is a function of
+    * the two SIGNATURES alone, so: fold identical sigs to their min-doc
+    * representative (one linear groupBy), run the exact-recall pigeonhole
+    * kernel over DISTINCT signatures only, connected-components the rep
+    * graph, and expand membership back over docs through the sig key.
+    * Identical-sig replica clusters collapse to ONE node before any
+    * bucket forms — occupancy (and the MAX_BUCKET guard) is measured over
+    * distinct sigs, and output is O(docs), never O(cluster²).
+    *
+    * Semantics: exactly the transitive closure of dedup_hamming's pair
+    * predicate hamming(sig_a, sig_b) ≤ k — INCLUDING closure edges the
+    * pair lane's guard sheds when replicas saturate a bucket (the
+    * 65-identical-doc case in DedupSimilaritySpec: pair lane emits
+    * nothing, this lane groups all of them).
+    *
+    * Scale (100 TB): one shuffle on sig for the fold, the pigeonhole
+    * kernel's cost model over |distinct sigs| ≤ n, O(log n) CC rounds on
+    * the rep EDGE set (empty when the corpus has no near-dups), one
+    * sig-keyed join to expand membership — the comps side is |reps with
+    * edges|, broadcast-sized on organic corpora. */
+  private[operators] def hammingClustersFrom(sigs0: DataFrame, k: Int = HAM_K): DataFrame = {
+    // three consumers of the signature frame (fold, rep pair kernel's input,
+    // membership expansion) — cache it so the doc scan + token-hash + simhash
+    // chain runs once. (doc_id, sig) is two longs per doc: the SKINNY cache
+    // class verifiedPairsFrom's discipline allows, not the wide-frame tax.
+    val sigs = sigs0.cache()
+    val reps = sigs.groupBy("sig").agg(min("doc_id").as("rep"))
+    val edges = hammingPairs(reps.select(col("rep").as("doc_id"), col("sig")), k)
+      .select("doc_a", "doc_b")
+    val comps = connectedComponents(edges)
+      .select(col("node").as("rep"), col("component"))
+    sigs.join(reps, "sig")
+      .join(comps, Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("rep")).as("cluster"))
+  }
+
+  private val dedupHammingClusters: Q = (s, dir) =>
+    hammingClustersFrom(docsSpread(s, dir)
+        .withColumn("hs", tokenHashes)
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), simhash60(col("hs")).as("sig")))
+      .orderBy(col("doc_id").asc_nulls_first)
+
   val queries: Map[String, Q] = Map(
     "dedup_minhash_sig" -> dedupMinhashSig,
     "dedup_lsh_pairs" -> dedupLshPairs,
@@ -797,6 +846,7 @@ object DedupText {
     "dedup_prefix" -> dedupPrefix,
     "dedup_simhash" -> dedupSimhash,
     "dedup_hamming" -> dedupHamming,
+    "dedup_hamming_clusters" -> dedupHammingClusters,
     "dedup_containment" -> dedupContainment,
     "dedup_bucket_stats" -> dedupBucketStats,
     "dedup_bucket_stats_ngram" -> dedupBucketStatsNgram,
@@ -924,20 +974,26 @@ object DedupText {
     * hamming dedups. */
   /** The sg + b0 (pre-cap pigeonhole rows) CTE pair — mirror of
     * `hamBands0`, shared by the pair kernel and the saturation audit. */
-  private[operators] def hammingBandsSql(k: Int = HAM_K): String = {
+  /** The C(B, B−k) pigeonhole UNION ALL arms over `src(doc_id, sig)` —
+    * shared by the doc-level kernel (src = sg) and the fold-then-pair
+    * cluster lane (src = the distinct-sig reps CTE), so both band the
+    * SAME integer key arithmetic the Spark side explodes. */
+  private def hamArmsSql(src: String, k: Int): String = {
     val r = SIM_BITS / SIM_BANDS
-    val arms = hamCombos(k).zipWithIndex.map { case (c, ci) =>
+    hamCombos(k).zipWithIndex.map { case (c, ci) =>
       val key = c.zipWithIndex.map { case (b, j) =>
         s"(((sig >> ${b * r}) & ${(1L << r) - 1}) << ${j * r})"
       }.mkString(" | ")
-      s"SELECT doc_id, sig, $ci AS combo, ($key) AS key FROM sg"
+      s"SELECT doc_id, sig, $ci AS combo, ($key) AS key FROM $src"
     }.mkString("\n  UNION ALL ")
+  }
+
+  private[operators] def hammingBandsSql(k: Int = HAM_K): String =
     s"""sg AS (
        |  SELECT doc_id, (${simhashBitsSqlFor(SIM_BITS)}) AS sig
        |  FROM hs WHERE len(hs) > 0),
        |b0 AS (
-       |  $arms)""".stripMargin
-  }
+       |  ${hamArmsSql("sg", k)})""".stripMargin
 
   private[operators] def hammingPairsSql(k: Int = HAM_K): String = {
     s"""${hammingBandsSql(k)},
@@ -1080,6 +1136,40 @@ object DedupText {
          |  FROM documents),
          |${hammingPairsSql()}
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+    // fold-then-pair closure: reps = min doc per DISTINCT sig, the pigeonhole
+    // kernel + MAX_BUCKET guard over reps only, recursive closure on the rep
+    // graph (same walk CTE as dedup_clusters), membership expanded through
+    // the sig key; edge-free sigs label themselves with their rep.
+    "dedup_hamming_clusters" ->
+      s"""WITH RECURSIVE hs AS (
+         |  SELECT doc_id,
+         |    list_transform(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')),
+         |                   t -> CAST(('0x'||substr(md5('0:'||t),1,15)) AS BIGINT)) AS hs
+         |  FROM documents),
+         |sg AS (
+         |  SELECT doc_id, (${simhashBitsSqlFor(SIM_BITS)}) AS sig
+         |  FROM hs WHERE len(hs) > 0),
+         |sn AS (SELECT min(doc_id) AS doc_id, sig FROM sg GROUP BY sig),
+         |b0 AS (
+         |  ${hamArmsSql("sn", HAM_K)}),
+         |bands AS (
+         |  SELECT doc_id, sig, combo, key FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY combo, key) AS bsz FROM b0)
+         |  WHERE bsz <= $MAX_BUCKET),
+         |p AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.combo = b.combo AND a.key = b.key AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= $HAM_K),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+         |walk(doc_id, cluster) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT e.src, w.cluster FROM e JOIN walk w ON e.dst = w.doc_id),
+         |comp AS (SELECT doc_id AS rep, min(cluster) AS cluster FROM walk GROUP BY doc_id)
+         |SELECT g.doc_id AS doc_id, coalesce(c.cluster, n.doc_id) AS cluster
+         |FROM sg g JOIN sn n USING (sig) LEFT JOIN comp c ON n.doc_id = c.rep
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "dedup_simhash" ->
       s"""WITH hs AS (
          |  SELECT doc_id,

@@ -161,6 +161,55 @@ class DedupSimilaritySpec extends SparkTestBase {
       java.lang.Long.bitCount(bySig(a) ^ bySig(b)) == h && h <= DedupText.HAM_K })
   }
 
+  test("hamming cluster fold groups the replica cluster the pair kernel's cap sheds") {
+    val session = spark
+    import session.implicits._
+    // The saturation audit's sf100 catch in miniature: 70 IDENTICAL sigs
+    // (> MAX_BUCKET = 64) saturate every combo bucket, so the PAIR kernel
+    // sheds the whole replica cluster by its declared contract — while the
+    // fold collapses them to ONE sig-node before any bucket forms, so the
+    // cluster lane still groups all 70. A second, unsaturated near-dup pair
+    // (hamming 1) must cluster through a real rep edge in the same run.
+    val sigs = ((1L to 70L).map(i => (i, 0x0F0F0F0F0FL)) ++
+      Seq((100L, 0x123456789AL), (101L, 0x123456789BL)))
+      .toDF("doc_id", "sig")
+    val shed = DedupText.hammingPairs(sigs)
+      .filter($"doc_a" <= 70L && $"doc_b" <= 70L).count()
+    assert(shed == 0L, "the pair kernel must shed the saturated replica bucket")
+    val clusters = DedupText.hammingClustersFrom(sigs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.size == 72, "every doc must receive a cluster label")
+    assert((1L to 70L).forall(clusters(_) == 1L),
+      "all 70 replicas must fold into the min-doc cluster the pair kernel lost")
+    assert(clusters(100L) == 100L && clusters(101L) == 100L,
+      "the hamming-1 pair must cluster through the rep graph")
+  }
+
+  test("hamming clusters are the transitive closure of the pair lane when nothing sheds") {
+    val session = spark
+    import session.implicits._
+    val dir = writeDocs(Seq(
+      1L -> base,
+      2L -> base,                           // hamming 0 of 1
+      3L -> base.replace("clock", "bell"),  // near-identical token set
+      4L -> "completely different content about catalyst optimizer internals",
+      5L -> "yet another unrelated document mentioning parquet row groups"))
+    val pairs = DedupText.queries("dedup_hamming")(spark, dir)
+      .as[(Long, Long, Int)].collect().toSeq
+    // doc-level closure of the (uncapped) pair graph, computed in the test
+    val parent = scala.collection.mutable.Map((1L to 5L).map(i => i -> i): _*)
+    def root(x: Long): Long = if (parent(x) == x) x else { val r = root(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b, _) =>
+      val (ra, rb) = (root(a), root(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (1L to 5L).map(i => i -> root(i)).toMap
+    val got = DedupText.queries("dedup_hamming_clusters")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected,
+      s"cluster lane must equal the pair graph's transitive closure: got=$got expected=$expected")
+  }
+
   test("brute-force cosine top-k ranks the colinear vector first") {
     val session = spark
     import session.implicits._
