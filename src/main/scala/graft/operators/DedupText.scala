@@ -807,20 +807,47 @@ object DedupText {
     * 65-identical-doc case in DedupSimilaritySpec: pair lane emits
     * nothing, this lane groups all of them).
     *
-    * Scale (100 TB): one shuffle on sig for the fold, the pigeonhole
-    * kernel's cost model over |distinct sigs| ≤ n, O(log n) CC rounds on
-    * the rep EDGE set (empty when the corpus has no near-dups), one
-    * sig-keyed join to expand membership — the comps side is |reps with
-    * edges|, broadcast-sized on organic corpora. */
+    * Rep edges come from a meet-in-the-middle BALL JOIN, not the capped
+    * pigeonhole kernel: the first 5M-doc run of the pigeonhole version
+    * measured rep buckets of up to 2302 (rewrite-cluster sigs agree on
+    * combo keys even when unequal), so MAX_BUCKET shed 20 of 53
+    * qualifying planted pairs — a cap, like the pair lane's, is a recall
+    * hole the CLUSTER lane doesn't need. Instead each distinct sig
+    * expands to its 61-element radius-1 ball (sig ⊕ {0, 2⁰..2⁵⁹}) and
+    * candidates equi-join on the midpoint: two sigs within hamming 2
+    * always meet at a middle (d₁ flipped on one side, d₂ on the other;
+    * distance 1 meets at either endpoint), and equal midpoints imply
+    * distance ≤ 2 — find-all AND no false candidates beyond the ≤ k
+    * verify. The skew bomb is structurally impossible: a midpoint group
+    * is the distinct sigs within 1 flip of one point, ≤ 61 rows by
+    * pigeonhole-free construction — no cap, no shedding, EXACT closure
+    * at every scale (the 5M-doc grade: 53/53 qualifying planted pairs).
+    * (General k would need radius-⌈k/2⌉ balls — C(60,≤3) ≈ 36k variants
+    * at k = 5 — so this kernel requires k ≤ 2; the graded lane's radius
+    * is HAM_K = 2, and larger radii stay on the capped pigeonhole
+    * kernel, whose shed the saturation audit prices.)
+    *
+    * Scale (100 TB): one shuffle on sig for the fold, a 61× explode of
+    * the DISTINCT-sig reps joined on the 60-bit midpoint (bounded
+    * groups), O(log n) CC rounds on the true edge set, one sig-keyed
+    * join to expand membership — the comps side is |reps with edges|,
+    * broadcast-sized on organic corpora. */
   private[operators] def hammingClustersFrom(sigs0: DataFrame, k: Int = HAM_K): DataFrame = {
-    // three consumers of the signature frame (fold, rep pair kernel's input,
+    require(k <= 2, s"ball-join cluster kernel holds for radius ≤ 2, got $k")
+    // three consumers of the signature frame (fold, ball join's rep input,
     // membership expansion) — cache it so the doc scan + token-hash + simhash
     // chain runs once. (doc_id, sig) is two longs per doc: the SKINNY cache
     // class verifiedPairsFrom's discipline allows, not the wide-frame tax.
     val sigs = sigs0.cache()
     val reps = sigs.groupBy("sig").agg(min("doc_id").as("rep"))
-    val edges = hammingPairs(reps.select(col("rep").as("doc_id"), col("sig")), k)
-      .select("doc_a", "doc_b")
+    val mid = reps.select(col("rep").as("doc_id"), col("sig"),
+        explode(array((lit(0L) +: (0 until SIM_BITS).map(b => lit(1L << b))): _*)).as("m"))
+      .select(col("doc_id"), col("sig"), col("sig").bitwiseXOR(col("m")).as("mid"))
+    val edges = mid.as("a").join(mid.as("b"),
+        col("a.mid") === col("b.mid") && col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= k)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
     val comps = connectedComponents(edges)
       .select(col("node").as("rep"), col("component"))
     sigs.join(reps, "sig")
@@ -1136,10 +1163,11 @@ object DedupText {
          |  FROM documents),
          |${hammingPairsSql()}
          |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
-    // fold-then-pair closure: reps = min doc per DISTINCT sig, the pigeonhole
-    // kernel + MAX_BUCKET guard over reps only, recursive closure on the rep
-    // graph (same walk CTE as dedup_clusters), membership expanded through
-    // the sig key; edge-free sigs label themselves with their rep.
+    // fold-then-ball-join closure: reps = min doc per DISTINCT sig, each rep
+    // expanded to its 61-element radius-1 ball, candidates = equal-midpoint
+    // pairs (exact for radius ≤ 2 — see hammingClustersFrom), recursive
+    // closure on the rep graph (same walk CTE as dedup_clusters), membership
+    // expanded through the sig key; edge-free sigs label themselves.
     "dedup_hamming_clusters" ->
       s"""WITH RECURSIVE hs AS (
          |  SELECT doc_id,
@@ -1150,16 +1178,14 @@ object DedupText {
          |  SELECT doc_id, (${simhashBitsSqlFor(SIM_BITS)}) AS sig
          |  FROM hs WHERE len(hs) > 0),
          |sn AS (SELECT min(doc_id) AS doc_id, sig FROM sg GROUP BY sig),
-         |b0 AS (
-         |  ${hamArmsSql("sn", HAM_K)}),
-         |bands AS (
-         |  SELECT doc_id, sig, combo, key FROM (
-         |    SELECT *, count(*) OVER (PARTITION BY combo, key) AS bsz FROM b0)
-         |  WHERE bsz <= $MAX_BUCKET),
+         |mid AS (
+         |  SELECT doc_id, sig, xor(sig, u.m) AS mid
+         |  FROM sn, UNNEST(list_prepend(0::BIGINT,
+         |    list_transform(range(0, $SIM_BITS), i -> (1::BIGINT << i)))) AS u(m)),
          |p AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.combo = b.combo AND a.key = b.key AND a.doc_id < b.doc_id
+         |  FROM mid a JOIN mid b
+         |    ON a.mid = b.mid AND a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.sig, b.sig)) <= $HAM_K),
          |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION ALL SELECT doc_b, doc_a FROM p),
          |walk(doc_id, cluster) AS (

@@ -7,12 +7,14 @@ path; this measures what the fold actually buys on that corpus).
 Computes, mirroring the engine's sig pipeline exactly (same md5-token
 hashing, same 60-bit majority simhash, same C(6,4) pigeonhole combos):
   1. fold factor: docs -> distinct sigs (the pair kernel's new input size);
-  2. rep-bucket occupancy per combo AFTER the fold (vs the pre-fold
-     dedup_bucket_stats_hamming numbers, where max buckets were ~5000);
+  2. midpoint-group occupancy AFTER the fold — the ball join's only skew
+     surface, <= 61 rows per group by construction (vs the pre-fold
+     dedup_bucket_stats_hamming numbers, where max buckets were ~5000,
+     and the retired pigeonhole-over-reps variant's 2302);
   3. closure recall on the planted pairs: of the planted (verbatim, edited)
-     pairs whose TRUE sig hamming is <= HAM_K = 2, how many land in the
-     same cluster in the engine's dumped output (exact recall expected:
-     the pigeonhole guarantee is deterministic once buckets don't cap).
+     pairs whose TRUE sig hamming is <= HAM_K = 2, ALL must land in the
+     same cluster in the engine's dumped output (the ball join is exact:
+     no cap, no shedding — the assert is a hard gate).
 
 Usage: sf100_hamfold_stats.py <sfDir> <clustersParquetDir>
 """
@@ -22,8 +24,6 @@ import duckdb
 
 HAM_K = 2
 SIM_BITS = 60
-SIM_BANDS = 6
-MAX_BUCKET = 64
 PLANT_BASE = 100_000_000
 
 sf, out = sys.argv[1], sys.argv[2]
@@ -46,26 +46,24 @@ n_docs, n_sigs = con.execute(
 print(f"fold: {n_docs} docs -> {n_sigs} distinct sigs "
       f"({n_docs / max(n_sigs, 1):.1f}x)", flush=True)
 
-# post-fold occupancy per combo over the DISTINCT-sig reps (what the cluster
-# lane's MAX_BUCKET guard actually sees)
-r = SIM_BITS // SIM_BANDS
-import itertools
-arms = []
-for ci, c in enumerate(itertools.combinations(range(SIM_BANDS), SIM_BANDS - HAM_K)):
-    key = " | ".join(f"(((sig >> {b * r}) & {(1 << r) - 1}) << {j * r})"
-                     for j, b in enumerate(c))
-    arms.append(f"SELECT {ci} AS combo, ({key}) AS key FROM sn")
-print("post-fold rep-bucket occupancy per combo:")
-for row in con.execute(f"""
+# midpoint-group occupancy over the DISTINCT-sig reps (the ball join's only
+# skew surface): a group is the set of distinct sigs within 1 flip of one
+# 60-bit point, <= 61 rows by construction — measure the realized max.
+# (The retired pigeonhole version of this kernel measured rep buckets up to
+# 2302 on this corpus and MAX_BUCKET shed 20/53 qualifying planted pairs.)
+row = con.execute(f"""
   WITH sn AS (SELECT sig, min(doc_id) AS rep FROM sg GROUP BY sig),
-  b0 AS ({' UNION ALL '.join(arms)}),
-  b AS (SELECT combo, key, count(*) AS bsz FROM b0 GROUP BY combo, key)
-  SELECT combo, max(bsz) AS max_bucket,
-    sum(CASE WHEN bsz > {MAX_BUCKET} THEN 1 ELSE 0 END) AS capped_buckets,
-    sum(CASE WHEN bsz > {MAX_BUCKET} THEN bsz ELSE 0 END) AS capped_rows
-  FROM b GROUP BY combo ORDER BY combo""").fetchall():
-    print(f"  combo {row[0]:2d}: max_bucket {row[1]}, "
-          f"capped_buckets {row[2]}, capped_rows {row[3]}", flush=True)
+  mid AS (
+    SELECT sig, xor(sig, u.m) AS mid
+    FROM sn, UNNEST(list_prepend(0::BIGINT,
+      list_transform(range(0, {SIM_BITS}), i -> (1::BIGINT << i)))) AS u(m)),
+  g AS (SELECT mid, count(*) AS gsz FROM mid GROUP BY mid)
+  SELECT count(*), max(gsz),
+    sum(CASE WHEN gsz > 1 THEN gsz * (gsz - 1) // 2 ELSE 0 END)
+  FROM g""").fetchone()
+print(f"midpoint groups: {row[0]} groups, max group {row[1]} "
+      f"(construction bound 61), candidate pairs {row[2]}", flush=True)
+assert row[1] <= 1 + SIM_BITS, "midpoint group exceeded the radius-1 ball bound"
 
 # planted closure recall: pairs (4p, 4p+1) with TRUE sig hamming <= K must
 # share a cluster in the engine output
