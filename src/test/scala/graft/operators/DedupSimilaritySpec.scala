@@ -49,6 +49,37 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(samples.map(Similarity.planesFor) == samples.map(Similarity.planesFor).sorted)
   }
 
+  test("tablesFor: T(P) compensation engages past the graded scales, monotone, pinned") {
+    // bit-identity guard: every graded corpus (sf0.01 200 vecs .. sf10 200k
+    // vecs, P <= 12) must keep the historical 3 tables
+    assert((6 to 12).map(Similarity.tablesFor).forall(_ == 3))
+    // the pinned step table: smallest T with 1-(1-0.898922^P)^T >= 0.6
+    // (design-point cosine 0.95), floored at 3
+    assert(Seq(13, 14, 15, 16, 17, 18, 19, 20).map(Similarity.tablesFor) ==
+      Seq(4, 4, 5, 5, 6, 6, 7, 8))
+    def recall(p: Int, t: Int): Double = 1 - math.pow(1 - math.pow(0.898922, p), t)
+    (13 to 20).foreach { p =>
+      val t = Similarity.tablesFor(p)
+      assert(recall(p, t) >= 0.6, s"P=$p T=$t must clear the 0.6 design floor")
+      assert(t == 3 || recall(p, t - 1) < 0.6, s"P=$p T=$t must be the SMALLEST such T")
+    }
+    assert((6 to 20).map(Similarity.tablesFor) == (6 to 20).map(Similarity.tablesFor).sorted)
+  }
+
+  test("plane layout is frozen: legacy bits keep their planes, extension bits are disjoint") {
+    // every graded bucket bit at every scale was computed on plane
+    // table*16 + p — the MAX_PLANES raise must not move ANY of them
+    for (t <- 0 until 8; p <- 0 until 16)
+      assert(Similarity.planeIndex(t, p) == t * 16 + p)
+    // extension bits (P > 16, engages at 4.1M vectors) live far above the
+    // legacy region and never collide across (table, p)
+    val ext = for (t <- 0 until 8; p <- 16 until Similarity.MAX_PLANES)
+      yield Similarity.planeIndex(t, p)
+    assert(ext.forall(_ >= 4096) && ext.distinct.size == ext.size)
+    val legacy = for (t <- 0 until 8; p <- 0 until 16) yield Similarity.planeIndex(t, p)
+    assert((legacy.toSet & ext.toSet).isEmpty)
+  }
+
   test("MinHash LSH finds the planted near-dup pair and only it") {
     val session = spark
     import session.implicits._
