@@ -838,6 +838,13 @@ object DedupText {
     // membership expansion) — cache it so the doc scan + token-hash + simhash
     // chain runs once. (doc_id, sig) is two longs per doc: the SKINNY cache
     // class verifiedPairsFrom's discipline allows, not the wide-frame tax.
+    // Lifetime follows the dedup-family convention (see verifiedPairsFrom):
+    // the returned frame is LAZY, so this function cannot unpersist without
+    // recomputing the chain per consumer — the SESSION OWNER (Verify/Bench/
+    // TimeQuery) releases via cacheManager.clearCache() after the query
+    // batch; in-between, a ~16 B/doc MEMORY_AND_DISK entry rides LRU
+    // eviction, which at 5M docs is ~80 MB — noise against the executors'
+    // storage fraction.
     val sigs = sigs0.cache()
     val reps = sigs.groupBy("sig").agg(min("doc_id").as("rep"))
     val mid = reps.select(col("rep").as("doc_id"), col("sig"),
@@ -992,36 +999,35 @@ object DedupText {
   }.mkString(" + ")
   private val simhashBitsSql = simhashBitsSqlFor(16)
 
-  /** Oracle mirror of `hammingPairs`: expects an `hs(doc_id, hs)` CTE in
-    * scope, yields the combo-banded verified pair SELECT (caller appends
-    * ORDER BY). The combo list comes from the SAME `hamCombos` enumeration
-    * the Spark side explodes, one UNION ALL arm per combo, each packing its
-    * (B−k) bands' bits into one BIGINT key by shift-or — identical integer
-    * arithmetic in both engines. Shared by the text and binary-payload
-    * hamming dedups. */
-  /** The sg + b0 (pre-cap pigeonhole rows) CTE pair — mirror of
-    * `hamBands0`, shared by the pair kernel and the saturation audit. */
-  /** The C(B, B−k) pigeonhole UNION ALL arms over `src(doc_id, sig)` —
-    * shared by the doc-level kernel (src = sg) and the fold-then-pair
-    * cluster lane (src = the distinct-sig reps CTE), so both band the
-    * SAME integer key arithmetic the Spark side explodes. */
-  private def hamArmsSql(src: String, k: Int): String = {
+  /** The C(B, B−k) pigeonhole UNION ALL arms over the `sg(doc_id, sig)`
+    * CTE — the capped pair kernel's banding, one arm per combo, each
+    * packing its (B−k) bands' bits into one BIGINT key by shift-or —
+    * identical integer arithmetic to the Spark side's explode. (The
+    * cluster lane no longer shares this: its oracle moved to the midpoint
+    * ball join when the pigeonhole-over-reps variant was retired in
+    * round 19.) */
+  private def hamArmsSql(k: Int): String = {
     val r = SIM_BITS / SIM_BANDS
     hamCombos(k).zipWithIndex.map { case (c, ci) =>
       val key = c.zipWithIndex.map { case (b, j) =>
         s"(((sig >> ${b * r}) & ${(1L << r) - 1}) << ${j * r})"
       }.mkString(" | ")
-      s"SELECT doc_id, sig, $ci AS combo, ($key) AS key FROM $src"
+      s"SELECT doc_id, sig, $ci AS combo, ($key) AS key FROM sg"
     }.mkString("\n  UNION ALL ")
   }
 
+  /** The sg + b0 (pre-cap pigeonhole rows) CTE pair — mirror of
+    * `hamBands0`, shared by the pair kernel and the saturation audit. */
   private[operators] def hammingBandsSql(k: Int = HAM_K): String =
     s"""sg AS (
        |  SELECT doc_id, (${simhashBitsSqlFor(SIM_BITS)}) AS sig
        |  FROM hs WHERE len(hs) > 0),
        |b0 AS (
-       |  ${hamArmsSql("sg", k)})""".stripMargin
+       |  ${hamArmsSql(k)})""".stripMargin
 
+  /** Oracle mirror of `hammingPairs`: expects an `hs(doc_id, hs)` CTE in
+    * scope, yields the combo-banded verified pair SELECT (caller appends
+    * ORDER BY). Shared by the text and binary-payload hamming dedups. */
   private[operators] def hammingPairsSql(k: Int = HAM_K): String = {
     s"""${hammingBandsSql(k)},
        |bands AS (

@@ -66,6 +66,42 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert((6 to 20).map(Similarity.tablesFor) == (6 to 20).map(Similarity.tablesFor).sorted)
   }
 
+  test("md5 planes are pairwise near-orthogonal across the FULL plane budget") {
+    // The round-19 LCG lattice failure mode, spec-pinned so it cannot
+    // return: planes 4 and 13 measured cos = 0.9987 (one bucket bit fully
+    // redundant; 230x candidate inflation at 5M vectors) and every pair 9
+    // apart ~0.91. Independence is the property planesFor's occupancy
+    // model STANDS ON — a correlated pair halves effective P and doubles
+    // occupancy at that scale, invisible to every oracle grade (the
+    // oracle mirrors the same planes). Assert it over ALL planes any
+    // table/probe configuration can touch — the full MAX_TABLES x
+    // MAX_PLANES layout, including the P = 18-20 extension region no
+    // graded corpus reaches yet — so a generator regression fails HERE,
+    // in milliseconds, not in the next 5M-vector smoke. Bound calibration:
+    // random pairs in 64-dim concentrate near cos 0 with sd ~ 1/8, and the
+    // EXPECTED MAX over these 12,720 pairs is ~ (1/8)*sqrt(2 ln 12720) ~
+    // 0.54 — the honest generator's measured worst pair (97, 103) sits at
+    // 0.509, ON that curve (deterministic: md5 never changes, so neither
+    // does this number). 0.6 separates cleanly: above every honest tail,
+    // far below the lattice's 0.91 / 0.9987 family.
+    val planes = (for (t <- 0 until Similarity.MAX_TABLES;
+                       p <- 0 until Similarity.MAX_PLANES)
+      yield Similarity.planeIndex(t, p)).distinct.sorted
+      .map(i => i -> Similarity.planeVals(i))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val worst = (for {
+      ((i, a), x) <- planes.zipWithIndex
+      (j, b) <- planes.drop(x + 1)
+    } yield (i, j, math.abs(cos(a, b)))).maxBy(_._3)
+    assert(worst._3 <= 0.6,
+      s"planes ${worst._1} and ${worst._2} measure |cos|=${worst._3} — " +
+        "generator correlation; the occupancy model (and planesFor) no longer hold")
+  }
+
   test("plane layout is frozen: legacy bits keep their planes, extension bits are disjoint") {
     // every graded bucket bit at every scale was computed on plane
     // table*16 + p — the MAX_PLANES raise must not move ANY of them

@@ -7,11 +7,14 @@ recall loss, so the third-decade claim must be graded on planted truth.
 
 Planted pairs (ids from PLANT_BASE, far above the organic id space):
   - N_PAIRS base docs sampled evenly from the organic corpus;
-  - each base doc re-emitted twice: verbatim at PLANT_BASE+4p, and with
+  - each base doc re-emitted three times: verbatim at PLANT_BASE+4p; with
     1 edit (p even) or 2 edits (p odd) at PLANT_BASE+4p+1 — word-level
     replacements at fixed positions, J(word-3-shingle) ~ 0.9 / ~0.8,
     both clearing the word lane's graded 0.5 threshold by construction
-    (re-verified exactly by the smoke before recall is scored).
+    (re-verified exactly by the smoke before recall is scored); and as a
+    containment HOST at PLANT_BASE+4p+2 (round-20: the quoted-snippet
+    family dedup_containment exists for — low Jaccard, high containment;
+    graded by sf100_contain_recall.py).
 
 Usage: python3 tools/gen_sf100_docs.py [src_sf0.1] [dst] [replicas]
 """
@@ -69,6 +72,26 @@ con.execute(f"""CREATE TABLE planted AS
            WHEN i = 25 AND p % 2 = 1 THEN 'plantedtokenz'
            ELSE toks[i] END
       for i in range(1, len(toks)+1)], ' ') AS text,
+    lang, source, n_chars
+  FROM w
+  UNION ALL
+  -- containment family (round-20): a HOST doc at 4p+2 embedding the base
+  -- verbatim (p even) or its first 90% of words (p odd) between per-pair
+  -- UNIQUE filler prose (30 words each side, 'hostw{{p}}{{i}}' — df 1, so
+  -- the host adds no shared grams beyond the quoted snippet itself).
+  -- Jaccard(snippet, host) ~ |snippet|/|host| ~ 0.4 — BELOW both minhash
+  -- lanes' thresholds by construction; containment C = |A n B|/min =
+  -- 1.0 (p even) / ~0.9 (p odd), both clearing CONTAIN_TAU = 0.8. The
+  -- snippet's grams appear in: the organic original, the verbatim plant
+  -- 4p, most of the edited plant 4p+1, and this host — df <= 5 <= DF_MAX,
+  -- so every pair (4p, 4p+2) is rare-gram-reachable and the lane's
+  -- EXACT-recall-for-reachable-pairs guarantee applies.
+  SELECT {PLANT_BASE} + 4*p + 2 AS doc_id,
+    array_to_string(
+      [ 'hostw' || p || 'a' || i for i in range(0, 30) ] ||
+      toks[1 : CASE WHEN p % 2 = 0 THEN len(toks)
+                    ELSE (9 * len(toks)) // 10 END] ||
+      [ 'hostw' || p || 'b' || i for i in range(0, 30) ], ' ') AS text,
     lang, source, n_chars
   FROM w""")
 print("planted:", con.execute("SELECT count(*) FROM planted").fetchone()[0], flush=True)
