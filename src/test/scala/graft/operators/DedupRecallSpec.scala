@@ -299,4 +299,67 @@ class DedupRecallSpec extends SparkTestBase {
     info(f"compensated geometry (256k docs): word-lane recall $word%.3f")
     assert(word >= 0.60, f"word-lane (5×9) planted recall floor 0.60, measured $word%.3f")
   }
+
+  /** Containment recall floor — planted quote/inclusion pairs (round-20:
+    * the last dedup family without a pinned recall floor). Unlike the
+    * banded lanes, dedup_containment's guarantee is EXACT recall for any
+    * pair sharing ≥ 1 rare gram (df ≤ DF_MAX), so the asserted floor is
+    * 1.0, not a probability curve — a miss here is a broken index, not an
+    * unlucky band. The fixture makes every planted pair rare-gram-
+    * reachable by construction: snippets are fresh random draws from a
+    * 5000-word vocab (shingle df = 2 — snippet + its host), and the hosts
+    * wrap the snippet (verbatim for even p, its first 90% of words for
+    * odd p) in per-pair-unique filler, so Jaccard(snippet, host) ≈ 0.4 —
+    * BELOW the minhash lanes' thresholds (the blind spot containment
+    * exists for) — while C = |A∩B|/min(|A|,|B|) is 1.0 / ≈ 0.9, clearing
+    * CONTAIN_TAU = 0.8 on both halves. */
+  test("containment: planted quote pairs are found exactly (recall 1.0, output truth-exact)") {
+    val session = spark
+    import session.implicits._
+    val rnd = new Random(977)
+    val vocab = (0 until 5000).map(i => s"w${i}x")
+    def words(n: Int): Array[String] = Array.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val bg = (0 until N_BG).map(i => (i.toLong, words(DOC_WORDS).mkString(" ")))
+    val pairs = (0 until N_PAIRS).map { p =>
+      val snippet = words(40)
+      val quoted = if (p % 2 == 0) snippet else snippet.take(36)
+      val host = (0 until 20).map(i => s"hostw${p}a$i") ++ quoted ++
+        (0 until 20).map(i => s"hostw${p}b$i")
+      Seq((PLANT_BASE + 2 * p, snippet.mkString(" ")),
+        (PLANT_BASE + 2 * p + 1, host.mkString(" ")))
+    }
+    val dir = Files.createTempDirectory("graft-contain-recall").toString
+    (bg ++ pairs.flatten).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // exact containment truth, brute force over the full corpus (380 docs —
+    // the TEST may; the graded query must never): same hashed-shingle sets
+    // and C definition as the lane
+    val sets = DedupText.withWordShingles(spark.read.parquet(s"$dir/documents.parquet"))
+      .filter(size(col("s")) > 0)
+      .select(col("doc_id"), array_distinct(transform(col("s"),
+        x => Hashing.h60(concat(lit("0:"), x)))).as("hs"))
+    val truth = sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")),
+        col("doc_a") < col("doc_b"))
+      .withColumn("c", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+        least(size(col("hs_a")), size(col("hs_b"))))
+      .filter(col("c") >= DedupText.CONTAIN_TAU)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+
+    val planted = (0 until N_PAIRS)
+      .map(p => (PLANT_BASE + 2 * p, PLANT_BASE + 2 * p + 1)).toSet
+    assert(planted.subsetOf(truth),
+      s"every planted quote pair must clear CONTAIN_TAU (truth ${truth.size})")
+
+    val got = gotPairs("dedup_containment", dir)
+    // emitted ⊆ truth: the lane verifies candidates with the exact C
+    assert(got.subsetOf(truth), "containment output must be truth-exact")
+    // EXACT recall on the planted family — the rare-gram guarantee, pinned
+    val missed = planted -- got
+    assert(missed.isEmpty,
+      s"containment must find EVERY rare-gram-reachable quote pair; missed $missed")
+    info(s"containment: ${planted.size}/${planted.size} planted quote pairs found, " +
+      s"truth ${truth.size}, emitted ${got.size}")
+  }
 }

@@ -52,15 +52,28 @@ n = con.execute("SELECT count(*), max(doc_id) FROM organic").fetchone()
 print(f"organic: {n[0]} rows, max id {n[1]}", flush=True)
 assert n[1] < PLANT_BASE, "planted id base must clear the organic id space"
 
-# planted near-dup pairs: sample every (n // N_PAIRS)-th organic doc with
-# >= 40 words (so 1-2 edits keep J high), emit (verbatim, edited) copies
+# planted near-dup pairs: sample every (n // N_PAIRS)-th K=0 ORIGINAL doc
+# with >= 40 words (so 1-2 edits keep J high), emit (verbatim, edited,
+# host) copies. k=0 only (round-20): a k>0 rewrite's every trigram
+# contains a filler, and with 16 filler choices x 1000 replicas x a small
+# source vocab those grams measure df ~ 9000 in the full corpus — so a
+# host quoting a REWRITE is invisible to the containment lane's rare-gram
+# index (df <= DF_MAX = 10) by the lane's own declared semantics, and the
+# containment family's denominator collapses (measured: 1/200 reachable).
+# Originals' grams measure median df ~ 11 with ~19 rare grams per doc —
+# reachable. The word/char/hamming families are indifferent to the base
+# choice: their recall is a function of J(4p, 4p+1) alone, which the
+# edit construction fixes regardless of which doc is copied.
 con.execute(f"""CREATE TABLE bases AS
   SELECT doc_id, text, lang, source, n_chars,
          row_number() OVER (ORDER BY doc_id) - 1 AS p
   FROM (SELECT *, row_number() OVER (ORDER BY doc_id) AS rn
-        FROM organic WHERE len(string_split(text, ' ')) >= 40)
+        FROM organic
+        WHERE doc_id <= (SELECT max(doc_id) FROM {doc})
+          AND len(string_split(text, ' ')) >= 40)
   WHERE rn % ((SELECT count(*) FROM organic
-               WHERE len(string_split(text, ' ')) >= 40) // {N_PAIRS}) = 1
+               WHERE doc_id <= (SELECT max(doc_id) FROM {doc})
+                 AND len(string_split(text, ' ')) >= 40) // {N_PAIRS}) = 1
   ORDER BY doc_id LIMIT {N_PAIRS}""")
 con.execute(f"""CREATE TABLE planted AS
   WITH w AS (SELECT *, string_split(text, ' ') AS toks FROM bases)
