@@ -418,6 +418,39 @@ object DedupText {
           .select(col("doc_id"), simhash60(col("hs")).as("sig")))
         .select(col("doc_id"), col("combo").as("band"), col("key").as("sig")))
 
+  /** Containment-index audit — the df distribution the rare-gram index
+    * stands on, as graded O(1)-row output (round-20; the audit family's
+    * fourth member). The containment lane's shed is not a bucket cap but
+    * the DF_MAX rarity bound itself: grams with df > DF_MAX leave the
+    * index, and a pair whose ENTIRE overlap is such boilerplate is
+    * invisible by declared semantics. The 5M-doc grade measured what that
+    * means on a template-heavy corpus (199/200 planted quote pairs
+    * reachable on originals; 1/200 when quoting rewrite replicas whose
+    * every gram has df ≈ 9000 — see BENCH_sf10.md round 20), so the
+    * number a corpus owner needs is exactly this distribution:
+    * dropped_rows prices the blindness, cand_pairs_bound is the
+    * Σ C(df, 2) ≤ C(DF_MAX, 2)·rare_grams structural candidate ceiling
+    * the no-quadratic-join argument rests on. One gram-keyed partial
+    * aggregate, one global fold — linear, skew-free (the hottest gram
+    * contributes one row to the df frame regardless of its df). */
+  private val dedupBucketStatsContain: Q = (s, dir) => {
+    val gdf = withWordShingles(docsSpread(s, dir))
+      .filter(size(col("s")) > 0)
+      .select(col("doc_id"),
+        array_distinct(transform(col("s"), x => h60(0, x))).as("hs"))
+      .select(explode(col("hs")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    gdf.agg(
+      count(lit(1)).as("n_grams"),
+      sum(when(col("df") <= DF_MAX, 1L).otherwise(0L)).as("rare_grams"),
+      sum(when(col("df") > DF_MAX, 1L).otherwise(0L)).as("dropped_grams"),
+      max("df").as("max_df"),
+      sum(when(col("df") <= DF_MAX, col("df")).otherwise(0L)).as("rare_rows"),
+      sum(when(col("df") > DF_MAX, col("df")).otherwise(0L)).as("dropped_rows"),
+      sum(when(col("df") <= DF_MAX, expr("df * (df - 1) DIV 2"))
+        .otherwise(0L)).as("cand_pairs_bound"))
+  }
+
   // n-gram-Jaccard variant: char 6-grams through the same MinHash machinery
   // but banded 3×8 instead of 4×2 — char-gram background J (~0.10 mean,
   // tail to ~0.3) is far above word-gram background, so candidate
@@ -884,7 +917,8 @@ object DedupText {
     "dedup_containment" -> dedupContainment,
     "dedup_bucket_stats" -> dedupBucketStats,
     "dedup_bucket_stats_ngram" -> dedupBucketStatsNgram,
-    "dedup_bucket_stats_hamming" -> dedupBucketStatsHamming
+    "dedup_bucket_stats_hamming" -> dedupBucketStatsHamming,
+    "dedup_bucket_stats_contain" -> dedupBucketStatsContain
   )
 
   // ---- DuckDB oracle ----
@@ -1080,6 +1114,27 @@ object DedupText {
          |FROM (SELECT combo, key, count(*) AS bsz FROM b0 GROUP BY combo, key)
          |GROUP BY combo
          |ORDER BY band ASC NULLS FIRST""".stripMargin,
+    // containment-index audit: df distribution over the hashed word-3-gram
+    // inverted index (same md5 gram hash as hsd; DIV 2 exact — df(df−1)
+    // is always even; sums CAST from DuckDB's HUGEINT like the sibling
+    // audit lanes)
+    "dedup_bucket_stats_contain" ->
+      s"""WITH $shSql,
+         |hsets AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(s, x -> CAST(('0x'||substr(md5('0:'||x),1,15)) AS BIGINT))) AS hs
+         |  FROM sh WHERE len(s) > 0),
+         |gdf AS (
+         |  SELECT g, count(*) AS df
+         |  FROM (SELECT doc_id, unnest(hs) AS g FROM hsets) GROUP BY g)
+         |SELECT count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN df <= $DF_MAX THEN 1 ELSE 0 END) AS BIGINT) AS rare_grams,
+         |  CAST(sum(CASE WHEN df > $DF_MAX THEN 1 ELSE 0 END) AS BIGINT) AS dropped_grams,
+         |  CAST(max(df) AS BIGINT) AS max_df,
+         |  CAST(sum(CASE WHEN df <= $DF_MAX THEN df ELSE 0 END) AS BIGINT) AS rare_rows,
+         |  CAST(sum(CASE WHEN df > $DF_MAX THEN df ELSE 0 END) AS BIGINT) AS dropped_rows,
+         |  CAST(sum(CASE WHEN df <= $DF_MAX THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT) AS cand_pairs_bound
+         |FROM gdf""".stripMargin,
     "dedup_ngram" ->
       s"""WITH $chShSql,\n$ngramBandsSql,\n$pairsSql
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified
