@@ -300,6 +300,51 @@ class DedupRecallSpec extends SparkTestBase {
     assert(word >= 0.60, f"word-lane (5×9) planted recall floor 0.60, measured $word%.3f")
   }
 
+  /** The containment-index audit lane's invariants, pinned on a corpus
+    * constructed so every value is hand-computable: 12 docs of one unique
+    * word-trigram-chain each (grams df = 1), plus one shared 5-word chain
+    * copied into DF_MAX + 2 = 12 of them (those 3 grams: df = 12 >
+    * DF_MAX — dropped). The identities graded here are the ones the
+    * oracle can't distinguish from luck on organic data: n_grams =
+    * rare + dropped, rare_rows ≤ DF_MAX·rare_grams, cand_pairs_bound ≤
+    * C(DF_MAX, 2)·rare_grams, and the exact planted values. */
+  test("dedup_bucket_stats_contain: df audit identities on a constructed corpus") {
+    val session = spark
+    import session.implicits._
+    val shared = "alpha bravo charlie delta echo" // 3 shared grams, df = 12
+    val docs = (0 until 12).map { i =>
+      // 8 unique words -> 6 unique grams per doc, then the shared chain
+      val uniq = (0 until 8).map(j => s"uniq${i}w$j").mkString(" ")
+      (i.toLong, s"$uniq $shared")
+    }
+    val dir = Files.createTempDirectory("graft-contain-audit").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = DedupText.queries("dedup_bucket_stats_contain")(spark, dir)
+      .collect().head
+    val (nGrams, rare, dropped) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (maxDf, rareRows, droppedRows, candBound) =
+      (row.getLong(3), row.getLong(4), row.getLong(5), row.getLong(6))
+    // per doc: 13 words -> 11 grams, 3 of them the shared chain's; the 2
+    // junction grams (uniq7 alpha bravo / uniq7w7 alpha bravo vary by doc)
+    // are doc-unique -> 8 unique + 3 shared... enumerate from truth instead:
+    val truth = docs.flatMap { case (id, text) =>
+      val t = text.toLowerCase.split(" ")
+      t.sliding(3).map(_.mkString(" ")).toSeq.distinct.map(g => (g, id))
+    }.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(nGrams == truth.size)
+    assert(rare == truth.count(_._2 <= DedupText.DF_MAX))
+    assert(dropped == truth.count(_._2 > DedupText.DF_MAX))
+    assert(rare + dropped == nGrams, "partition identity")
+    assert(maxDf == truth.values.max && maxDf == 12L, "the planted df spike")
+    assert(rareRows == truth.values.filter(_ <= DedupText.DF_MAX).sum)
+    assert(droppedRows == truth.values.filter(_ > DedupText.DF_MAX).sum)
+    assert(candBound == truth.values.filter(_ <= DedupText.DF_MAX)
+      .map(d => d * (d - 1) / 2).sum)
+    assert(rareRows <= DedupText.DF_MAX * rare, "posting-list bound")
+    assert(candBound <= DedupText.DF_MAX.toLong * (DedupText.DF_MAX - 1) / 2 * rare,
+      "the structural candidate ceiling the no-quadratic-join argument rests on")
+  }
+
   /** Containment recall floor — planted quote/inclusion pairs (round-20:
     * the last dedup family without a pinned recall floor). Unlike the
     * banded lanes, dedup_containment's guarantee is EXACT recall for any
